@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for a training-data pipeline, over `documents`
+  * and `embeddings` (reference has only exact dropDuplicates, SURVEY §2.5 A2
+  * — the rest is the 100 TB extension surface).
+  *
+  * Scale design:
+  *  - MinHash-LSH: per-row signatures (narrow map), explode to (band, hash)
+  *    keys, shuffle ONLY the 16-byte band hashes + ids for the bucket
+  *    self-join, then join candidate id-pairs back to shingle sets for exact
+  *    Jaccard verification. The full text/shingle payload is never shuffled
+  *    with band fan-out.
+  *  - SimHash: one explode + two hash aggregations (vectorized, codegen) to
+  *    build 32-bit signatures; candidate pairs via 4×8-bit block pigeonhole
+  *    (exact for hamming ≤ 3) instead of an O(n²) self-join.
+  *  - Embedding near-dup: blocked self-join (here on `label`; at 100 TB the
+  *    block key comes from LSH, see [[Similarity]]) so the cross product
+  *    never materializes.
+  *
+  * All hashes are md5-derived and all float math follows [[Mirror]], so each
+  * query has a bit-exact DuckDB oracle.
+  */
+object Dedup {
+  import Mirror._
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val Rows = 4
+  private val JaccardThreshold = 0.5
+
+  /** Exact dedup with deterministic survivor (min doc_id per key) + group
+    * size — the scalable groupBy form of dropDuplicates (reference A2,
+    * covid_streaming.py:153). */
+  val q18DedupExact = QueryDef(
+    "q18_dedup_exact",
+    """SELECT lang, n_chars, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+      |FROM documents
+      |GROUP BY lang, n_chars
+      |ORDER BY lang, n_chars""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("lang"), col("n_chars"))
+  }
+
+  /** doc_id + distinct 3-shingle set. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+
+  private val sqlShingleSets =
+    s"SELECT doc_id, $sqlShingles3 AS sh FROM documents"
+
+  /** MinHash + LSH near-duplicate detection: 16 md5-derived min-hashes over
+    * 3-word shingles, banded 4×4; docs sharing a band bucket are candidates;
+    * candidates verified with exact Jaccard >= 0.5. */
+  val q19DedupMinhashLsh = QueryDef(
+    "q19_dedup_minhash_lsh",
+    s"""WITH sh AS ($sqlShingleSets),
+       |exp AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |mh AS (SELECT e.doc_id, j.range AS j,
+       |    MIN(${sqlHash60("concat(e.s, '#', j.range)")}) AS mh
+       |  FROM exp e CROSS JOIN range($NumHashes) j GROUP BY e.doc_id, j.range),
+       |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.range AS band_idx,
+       |    md5(array_to_string(
+       |      sig[(CAST(b.range AS INTEGER)*$Rows+1):(CAST(b.range AS INTEGER)*$Rows+$Rows)],
+       |      ',')) AS band_hash
+       |  FROM sig CROSS JOIN range($Bands) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE)
+       |      AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
+       |FROM jac
+       |WHERE inter / (tot - inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sh = shingleSets(spark, dir)
+    // 16 min-hashes in one narrow projection (no shuffle).
+    val mhCols = (0 until NumHashes).map { j =>
+      array_min(transform(col("sh"), s => hash60(concat(s, lit(s"#$j")))))
+        .as(s"mh_$j")
+    }
+    val sig = sh.select(col("doc_id") +: mhCols: _*)
+    // Band hashes, exploded to (band_idx, band_hash) rows: only ids + 32-char
+    // hashes go through the bucket shuffle.
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",",
+          (0 until Rows).map(r => col(s"mh_${b * Rows + r}")): _*))
+          .as("band_hash"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Join candidate id-pairs back to shingle sets for exact verification.
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast(DoubleType)
+    val tot = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType)
+    verified
+      .select(col("doc_a"), col("doc_b"),
+        (inter / (tot - inter)).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** doc_id → 32-bit SimHash over md5-derived word hashes (frequency
+    * weighted), built with two vectorized hash aggregations. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+    val voteCols = (0 until 32).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v_$bit")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 32)
+      .map(bit => when(col(s"v_$bit") > 0, lit(1L << bit)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  private val sqlSimhash =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${sqlHash60("w")} AS h FROM tok),
+       |votes AS (SELECT doc_id, b.range AS bit,
+       |    SUM(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+       |             THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN range(32) b GROUP BY doc_id, b.range),
+       |sim AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0
+       |         THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+       |         ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** SimHash signature table (the per-doc fingerprint a near-dup pipeline
+    * persists and incrementally matches against). */
+  val q20SimhashSignature = QueryDef(
+    "q20_simhash_signature",
+    s"""WITH $sqlSimhash
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      simhashDf(spark, dir).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 8-bit blocks
+    * (pigeonhole: exact for hamming distance <= 3), verified by bit_count of
+    * xor. */
+  val q21DedupSimhashPairs = QueryDef(
+    "q21_dedup_simhash_pairs",
+    s"""WITH $sqlSimhash,
+       |blk AS (SELECT doc_id, simhash, k.range AS k,
+       |    (simhash >> CAST(k.range * 8 AS INTEGER)) & 255 AS blk
+       |  FROM sim CROSS JOIN range(4) k),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM blk a JOIN blk b ON a.k = b.k AND a.blk = b.blk
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT)
+       |  AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sim = simhashDf(spark, dir)
+    val blockStructs = (0 until 4).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("simhash"), k * 8).bitwiseAND(255).as("blk"))
+    }
+    val blk = sim
+      .select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.k").as("k"),
+        col("b.blk").as("blk"))
+    blk.alias("a")
+      .join(blk.alias("b"),
+        col("a.k") === col("b.k") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Max intra-label cosine in the synthetic fixture is ~0.47; 0.35 keeps a
+  // nonempty near-dup set at every SF so the oracle check is non-vacuous.
+  private val CosineThreshold = 0.35
+
+  /** Embedding-cosine near-dup: blocked self-join on `label`, exact
+    * fold-order cosine (bit-identical to the oracle), threshold filter. */
+  val q22DedupEmbedding = QueryDef(
+    "q22_dedup_embedding",
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  ${sqlCosineD("a.embedding", "b.embedding")} AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlCosineD("a.embedding", "b.embedding")} >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir, "embeddings")
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        cosineD(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= CosineThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
+    q21DedupSimhashPairs, q22DedupEmbedding)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Cross-engine deterministic primitives, each with a Spark `Column` form and
+  * a mirrored DuckDB SQL fragment, so oracle comparison is bit-exact.
+  *
+  * Determinism strategy:
+  *  - hashing goes through md5 (identical bytes→hex in every engine) and a
+  *    60-bit hex prefix (fits a signed int64 in both engines, no overflow);
+  *  - float reductions are sequential left folds in double over an explicit
+  *    element order (array index or a sort key), never engine-order
+  *    aggregation — IEEE ops on identical operand sequences are
+  *    bit-identical everywhere;
+  *  - no round() on compared doubles (half-boundary rounding modes differ).
+  *
+  * These folds stay per-row (inside higher-order functions), so they
+  * parallelize embarrassingly at cluster scale — determinism costs no
+  * shuffle and no ordering guarantee beyond what the query already has.
+  */
+object Mirror {
+
+  /** 60-bit hash of a string expression via md5 hex prefix. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB fragment mirroring [[hash60]]. */
+  def sqlHash60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Sequential left-fold sum (double) over an array column — order-exact. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB fragment mirroring [[foldSum]] (same left fold, same 0.0 init). */
+  def sqlFoldSum(arrExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $arrExpr), (acc, v) -> acc + v)"
+
+  /** Dot product of two float-array columns in double, order-exact. */
+  def dotD(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+
+  /** DuckDB fragment mirroring [[dotD]]. */
+  def sqlDotD(a: String, b: String): String =
+    sqlFoldSum(
+      s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+
+  /** Cosine similarity in double, bit-exact across engines (IEEE sqrt/div of
+    * identical fold results). */
+  def cosineD(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** DuckDB fragment mirroring [[cosineD]]. */
+  def sqlCosineD(a: String, b: String): String =
+    s"${sqlDotD(a, b)} / (sqrt(${sqlDotD(a, a)}) * sqrt(${sqlDotD(b, b)}))"
+
+  /** Whitespace tokens. Single-space split, trailing empties kept — matches
+    * DuckDB string_split semantics exactly. */
+  def words(text: Column): Column = split(text, " ")
+
+  val sqlWords: String = "string_split(text, ' ')"
+
+  /** Distinct 3-word shingles (docs shorter than 3 words shingle to the whole
+    * text). Same 1-based slicing as the DuckDB mirror. */
+  def shingles3(text: Column): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", slice(w, i, lit(3)))))
+        .otherwise(array(text)))
+  }
+
+  val sqlShingles3: String =
+    s"""list_distinct(CASE WHEN len($sqlWords) >= 3
+       | THEN list_transform(range(1, len($sqlWords) - 1),
+       |                     i -> array_to_string(($sqlWords)[i:i+2], ' '))
+       | ELSE [text] END)""".stripMargin.replace("\n", "")
+}

@@ -147,18 +147,23 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders, per nation. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value order, per
+    * nation. (Every customer in the fixture has *some* order, so the anti
+    * side is predicated to keep the result non-vacuous.) */
   val q06AntiJoin = QueryDef(
     "q06_anti_join",
     """SELECT c_nationkey, COUNT(*) AS n_customers
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_totalprice > 300000.0)
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
     val customer = Tables(spark, dir, "customer")
-    val orders = Tables(spark, dir, "orders")
+    val bigOrders = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
     customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"),
+      .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"),
         "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"))

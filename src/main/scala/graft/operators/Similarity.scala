@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding float[64], label).
+  *
+  * Scale design:
+  *  - Brute force: the query set is tiny and explicitly `broadcast()`, so
+  *    the corpus scan never shuffles — each task scores its own partition
+  *    and a TakeOrdered-style window keeps top-k per query. At 100 TB the
+  *    corpus side stays a single pass.
+  *  - LSH: 8 random-hyperplane sign bits (deterministic md5-derived
+  *    hyperplanes, inlined as literals in both engines) bucket the corpus;
+  *    only same-bucket candidates are scored. The bucket join is an
+  *    equi-join on an 8-bit key — broadcastable queries, no cross product.
+  *    More tables/probes = union of the same plan; an IVF variant swaps the
+  *    signature for an argmin-over-centroids bucket id.
+  *
+  * Cosine math follows [[Mirror]] fold order, so scores (and therefore
+  * ranks) are bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+  import Mirror._
+
+  private val NumQueries = 16
+  private val TopK = 10
+
+  /** Brute-force cosine top-k per query vector (the exactness baseline). */
+  val q23AnnBruteforce = QueryDef(
+    "q23_ann_bruteforce",
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${sqlCosineD("q.embedding", "c.embedding")} AS score
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineD(col("qv"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= TopK)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val Dim = 64
+  private val SigBits = 8
+
+  /** Deterministic ±1 hyperplane components from md5 parity — identical
+    * constants are inlined into the Spark plan and the oracle SQL. */
+  private def planeSign(j: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$j:$d".getBytes("UTF-8"))
+    if ((digest(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  private def planeArr(j: Int): Column =
+    array((0 until Dim).map(d => lit(planeSign(j, d))): _*)
+
+  private def sqlPlaneArr(j: Int): String =
+    (0 until Dim).map(d => planeSign(j, d).toString)
+      .mkString("[", ", ", "]")
+
+  /** 8-bit random-hyperplane signature of an embedding column. */
+  private def sigCol(v: Column): Column =
+    (0 until SigBits).map { j =>
+      when(foldSum(zip_with(v, planeArr(j),
+        (x, s) => x.cast(DoubleType) * s)) > 0.0, lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  private def sqlSigCol(v: String): String =
+    (0 until SigBits).map { j =>
+      val dot = sqlFoldSum(
+        s"list_transform(list_zip($v, ${sqlPlaneArr(j)}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+      s"(CASE WHEN $dot > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** LSH-bucketed ANN: score only candidates sharing the query's 8-bit
+    * hyperplane signature, top-5 per query among them. */
+  val q24AnnLsh = QueryDef(
+    "q24_ann_lsh",
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, ${sqlSigCol("embedding")} AS sig
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${sqlCosineD("q.embedding", "c.embedding")} AS score
+       |  FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir, "embeddings")
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      sigCol(col("embedding")).as("sig"))
+    val q = sig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("sig").as("qsig"))
+    val scored = sig
+      .join(broadcast(q),
+        col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineD(col("qv"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Per-label centroids with deterministic float aggregation: values are
+    * collected per (label, position), ordered by vec_id, and left-folded in
+    * double — the order-exact way to average floats across a cluster. */
+  val q25EmbeddingCentroid = QueryDef(
+    "q25_embedding_centroid",
+    s"""WITH e AS (
+       |  SELECT label, vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |g AS (SELECT label, pos, list(CAST(x AS DOUBLE) ORDER BY vec_id) AS xs,
+       |    COUNT(*) AS n
+       |  FROM e GROUP BY label, pos)
+       |SELECT label, pos,
+       |  ${sqlFoldSum("xs")} / CAST(n AS DOUBLE) AS centroid
+       |FROM g ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+    e.groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+      .agg(
+        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (foldSum(transform(col("vs"), v => v.getField("x").cast(DoubleType)))
+          / col("n").cast(DoubleType)).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid)
+}

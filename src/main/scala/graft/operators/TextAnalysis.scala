@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is a narrow projection over the scan — no shuffle except
+  * the verification ORDER BY — so it scales linearly with input splits: at
+  * 100 TB each task tokenizes its own partition and nothing else.
+  *
+  * All tokenization/scoring is built from [[Mirror]] primitives so every
+  * query has a bit-exact DuckDB oracle.
+  */
+object TextAnalysis {
+  import Mirror._
+
+  /** Stopword markers per language for the langid heuristic and quality
+    * scoring. Tiny on purpose: a real deployment broadcasts a bigger
+    * dictionary, the operator shape is identical. */
+  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val stopDe = Seq("der", "die", "das", "und", "ist")
+  val stopFr = Seq("le", "la", "et", "est", "les")
+  val stopEs = Seq("el", "los", "y", "es", "las")
+
+  private def sqlInList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def countIn(w: Column, ws: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(ws))).cast(LongType)
+
+  private def sqlCountIn(ws: Seq[String]): String =
+    s"CAST(len(list_filter($sqlWords, w -> w IN ${sqlInList(ws)})) AS BIGINT)"
+
+  /** Token counting (whitespace + a BPE-ish regex segmentation) + per-doc
+    * length stats. Reference has no text ops (SURVEY §2.8) — this is the
+    * training-pipeline extension surface. */
+  val q14TextStats = QueryDef(
+    "q14_text_stats",
+    s"""SELECT doc_id,
+       |  CAST(len($sqlWords) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($sqlWords)) AS BIGINT) AS n_distinct,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+       |    AS n_subtokens,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform($sqlWords, w -> CAST(strlen(w) AS BIGINT))),
+       |       (a, b) -> a + b) AS DOUBLE)
+       |    / CAST(len($sqlWords) AS DOUBLE) AS avg_token_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val w = words(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(w).cast(LongType).as("n_tokens"),
+        size(array_distinct(w)).cast(LongType).as("n_distinct"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+          .as("n_subtokens"),
+        (aggregate(transform(w, x => length(x).cast(LongType)), lit(0L),
+          (a, b) => a + b).cast(DoubleType) /
+          size(w).cast(DoubleType)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: stopword ratio, alphabetic-character ratio, and a
+    * bucketed quality label — the length/punct/stopword heuristics an LLM
+    * data pipeline runs before training. Ratios are int/int double divisions
+    * (exact in both engines). */
+  val q15TextQuality = QueryDef(
+    "q15_text_quality",
+    s"""SELECT doc_id, n_tokens, stop_ratio, alpha_ratio,
+       |  CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.5
+       |       THEN 'good'
+       |       WHEN n_tokens >= 5 THEN 'fair'
+       |       ELSE 'low' END AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len($sqlWords) AS BIGINT) AS n_tokens,
+       |    CAST(${sqlCountIn(stopEn)} AS DOUBLE)
+       |      / CAST(len($sqlWords) AS DOUBLE) AS stop_ratio,
+       |    CAST(strlen(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / CAST(strlen(text) AS DOUBLE) AS alpha_ratio
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val w = words(col("text"))
+    val nTokens = size(w).cast(LongType)
+    val stopRatio = countIn(w, stopEn).cast(DoubleType) /
+      size(w).cast(DoubleType)
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+        length(col("text")).cast(DoubleType)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 20 &&
+          col("stop_ratio") >= 0.05 && col("stop_ratio") <= 0.5, "good")
+          .when(col("n_tokens") >= 5, "fair")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: per-language marker-stopword counts with a fixed
+    * argmax precedence (en > de > fr > es). */
+  val q16TextLangid = QueryDef(
+    "q16_text_langid",
+    s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${sqlCountIn(stopEn)} AS s_en,
+       |    ${sqlCountIn(stopDe)} AS s_de,
+       |    ${sqlCountIn(stopFr)} AS s_fr,
+       |    ${sqlCountIn(stopEs)} AS s_es
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val w = words(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        countIn(w, stopEn).as("s_en"), countIn(w, stopDe).as("s_de"),
+        countIn(w, stopFr).as("s_fr"), countIn(w, stopEs).as("s_es"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: whole-text md5 over whitespace-normalized text
+    * plus a rolling polynomial hash over md5-derived word hashes (the
+    * incremental-dedup fingerprint shape). */
+  val q17TextFingerprint = QueryDef(
+    "q17_text_fingerprint",
+    s"""SELECT doc_id,
+       |  md5(trim(regexp_replace(text, '[ ]+', ' ', 'g'))) AS fp_md5,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($sqlWords, w -> ${sqlHash60("w")})),
+       |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_roll
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val w = words(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(col("text"), "[ ]+", " "))).as("fp_md5"),
+        aggregate(transform(w, x => hash60(x)), lit(0L),
+          (acc, h) => (acc * 31 + h) % 2147483647L).as("fp_roll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint)
+}
