@@ -10,13 +10,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * — the rest is the 100 TB extension surface).
   *
   * Scale design:
-  *  - MinHash-LSH: per-row signatures (narrow map), explode to (band, hash)
-  *    keys, shuffle ONLY the 16-byte band hashes + ids for the bucket
-  *    self-join, then join candidate id-pairs back to shingle sets for exact
-  *    Jaccard verification. The full text/shingle payload is never shuffled
-  *    with band fan-out.
+  *  - MinHash-LSH: per-row signatures (narrow map, two md5s per shingle +
+  *    integer Carter-Wegman combinations), explode to (band, hash) keys,
+  *    shuffle ONLY the band hashes + ids, generate candidate pairs inside
+  *    each bucket (groupBy + local pair expansion, not a self-join that
+  *    recomputes the signature pipeline), then join candidate id-pairs back
+  *    to shingle sets for exact Jaccard verification. The full text/shingle
+  *    payload is never shuffled with band fan-out.
   *  - SimHash: one explode + two hash aggregations (vectorized, codegen) to
-  *    build 32-bit signatures; candidate pairs via 4×8-bit block pigeonhole
+  *    build 60-bit signatures; candidate pairs via 4×15-bit block pigeonhole
   *    (exact for hamming ≤ 3) instead of an O(n²) self-join.
   *  - Embedding near-dup: blocked self-join (here on `label`; at 100 TB the
   *    block key comes from LSH, see [[Similarity]]) so the cross product
@@ -56,16 +58,23 @@ object Dedup {
   private val sqlShingleSets =
     s"SELECT doc_id, $sqlShingles3 AS sh FROM documents"
 
-  /** MinHash + LSH near-duplicate detection: 16 md5-derived min-hashes over
-    * 3-word shingles, banded 4×4; docs sharing a band bucket are candidates;
-    * candidates verified with exact Jaccard >= 0.5. */
+  /** Carter-Wegman modulus for deriving the 16 minhash functions from two
+    * base hashes: h1 + j*(h2 % P) stays under 2^63 for j<16, h<2^60. */
+  private val HashP = 562949953421311L // 2^49 - 1
+
+  /** MinHash + LSH near-duplicate detection: 16 min-hashes over 3-word
+    * shingles (two md5 base hashes per shingle + cheap integer combinations,
+    * not 16 md5 passes), banded 4×4; docs sharing a band bucket are
+    * candidates; candidates verified with exact Jaccard >= 0.5. */
   val q19DedupMinhashLsh = QueryDef(
     "q19_dedup_minhash_lsh",
     s"""WITH sh AS ($sqlShingleSets),
        |exp AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |mh AS (SELECT e.doc_id, j.range AS j,
-       |    MIN(${sqlHash60("concat(e.s, '#', j.range)")}) AS mh
-       |  FROM exp e CROSS JOIN range($NumHashes) j GROUP BY e.doc_id, j.range),
+       |hs AS (SELECT doc_id, ${sqlHash60("s")} AS h1,
+       |    ${sqlHash60("concat(s, '!')")} AS h2 FROM exp),
+       |mh AS (SELECT doc_id, j.range AS j,
+       |    MIN(h1 + j.range * (h2 % $HashP)) AS mh
+       |  FROM hs CROSS JOIN range($NumHashes) j GROUP BY doc_id, j.range),
        |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM mh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b.range AS band_idx,
        |    md5(array_to_string(
@@ -88,12 +97,18 @@ object Dedup {
        |WHERE inter / (tot - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val sh = shingleSets(spark, dir)
-    // 16 min-hashes in one narrow projection (no shuffle).
+    // Two md5 base hashes per distinct shingle, computed once; all 16
+    // minhash projections are integer arithmetic over them (no shuffle).
+    val hs = sh.select(col("doc_id"),
+      transform(col("sh"), s => struct(
+        hash60(s).as("h1"),
+        hash60(concat(s, lit("!"))).as("h2"))).as("hs"))
     val mhCols = (0 until NumHashes).map { j =>
-      array_min(transform(col("sh"), s => hash60(concat(s, lit(s"#$j")))))
+      array_min(transform(col("hs"), p =>
+        p.getField("h1") + lit(j.toLong) * (p.getField("h2") % HashP)))
         .as(s"mh_$j")
     }
-    val sig = sh.select(col("doc_id") +: mhCols: _*)
+    val sig = hs.select(col("doc_id") +: mhCols: _*)
     // Band hashes, exploded to (band_idx, band_hash) rows: only ids + 32-char
     // hashes go through the bucket shuffle.
     val bandStructs = (0 until Bands).map { b =>
@@ -106,12 +121,15 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bucket-local pair generation (groupBy + in-array pairs) instead of a
+    // bucket self-join: one pass over the signature pipeline, and only
+    // (band_hash, id-list) rows cross the shuffle.
+    val cand = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Join candidate id-pairs back to shingle sets for exact verification.
     val verified = cand
@@ -127,18 +145,20 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** doc_id → 32-bit SimHash over md5-derived word hashes (frequency
-    * weighted), built with two vectorized hash aggregations. */
+  /** doc_id → 60-bit SimHash over md5-derived word hashes (frequency
+    * weighted), built with two vectorized hash aggregations. 60 bits (the
+    * width of [[Mirror.hash60]]) keeps the per-block pigeonhole buckets fine
+    * enough that candidate volume stays near-linear in corpus size. */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), hash60(col("w")).as("h"))
-    val voteCols = (0 until 32).map { bit =>
+    val voteCols = (0 until 60).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v_$bit")
     }
     val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val sig = (0 until 32)
+    val sig = (0 until 60)
       .map(bit => when(col(s"v_$bit") > 0, lit(1L << bit)).otherwise(0L))
       .reduce(_ + _)
     votes.select(col("doc_id"), sig.as("simhash"))
@@ -151,7 +171,7 @@ object Dedup {
        |votes AS (SELECT doc_id, b.range AS bit,
        |    SUM(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
        |             THEN 1 ELSE -1 END) AS v
-       |  FROM h CROSS JOIN range(32) b GROUP BY doc_id, b.range),
+       |  FROM h CROSS JOIN range(60) b GROUP BY doc_id, b.range),
        |sim AS (SELECT doc_id,
        |    CAST(SUM(CASE WHEN v > 0
        |         THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
@@ -168,14 +188,14 @@ object Dedup {
       simhashDf(spark, dir).orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 8-bit blocks
+  /** SimHash near-dup pairs: candidates share one of four 15-bit blocks
     * (pigeonhole: exact for hamming distance <= 3), verified by bit_count of
     * xor. */
   val q21DedupSimhashPairs = QueryDef(
     "q21_dedup_simhash_pairs",
     s"""WITH $sqlSimhash,
        |blk AS (SELECT doc_id, simhash, k.range AS k,
-       |    (simhash >> CAST(k.range * 8 AS INTEGER)) & 255 AS blk
+       |    (simhash >> CAST(k.range * 15 AS INTEGER)) & 32767 AS blk
        |  FROM sim CROSS JOIN range(4) k),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sim_a, b.simhash AS sim_b
@@ -189,19 +209,22 @@ object Dedup {
     val sim = simhashDf(spark, dir)
     val blockStructs = (0 until 4).map { k =>
       struct(lit(k).as("k"),
-        shiftright(col("simhash"), k * 8).bitwiseAND(255).as("blk"))
+        shiftright(col("simhash"), k * 15).bitwiseAND(32767).as("blk"))
     }
     val blk = sim
       .select(col("doc_id"), col("simhash"),
         explode(array(blockStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.k").as("k"),
         col("b.blk").as("blk"))
-    blk.alias("a")
-      .join(blk.alias("b"),
-        col("a.k") === col("b.k") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+    // Same bucket-groupBy pair generation as q19: avoids recomputing the
+    // simhash pipeline for the second side of a self-join.
+    blk.groupBy(col("k"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairs(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.simhash").as("sim_a"), col("p.b.simhash").as("sim_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType)
@@ -214,25 +237,31 @@ object Dedup {
   // nonempty near-dup set at every SF so the oracle check is non-vacuous.
   private val CosineThreshold = 0.35
 
-  /** Embedding-cosine near-dup: blocked self-join on `label`, exact
-    * fold-order cosine (bit-identical to the oracle), threshold filter. */
+  /** Embedding-cosine near-dup: blocked self-join on `label` with per-row
+    * precomputed norms (one dot per pair instead of three), exact fold-order
+    * cosine (bit-identical to the oracle), threshold filter. */
   val q22DedupEmbedding = QueryDef(
     "q22_dedup_embedding",
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       |  ${sqlCosineD("a.embedding", "b.embedding")} AS cosine
-       |FROM embeddings a JOIN embeddings b
+    s"""WITH n AS (SELECT label, vec_id, embedding,
+       |    ${sqlNormD("embedding")} AS nrm FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  ${sqlDotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${sqlCosineD("a.embedding", "b.embedding")} >= $CosineThreshold
+       |WHERE ${sqlDotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |  >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
     val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"))
+      col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        cosineD(col("ea"), col("eb")).as("cosine"))
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= CosineThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

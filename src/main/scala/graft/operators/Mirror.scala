@@ -56,6 +56,24 @@ object Mirror {
   def sqlCosineD(a: String, b: String): String =
     s"${sqlDotD(a, b)} / (sqrt(${sqlDotD(a, a)}) * sqrt(${sqlDotD(b, b)}))"
 
+  /** Euclidean norm of a float-array column, for precomputing each side's
+    * denominator once per row before a pairwise join (cosine = dot/(na*nb) is
+    * the same IEEE ops as the inline form, so values stay bit-identical). */
+  def normD(v: Column): Column = sqrt(dotD(v, v))
+
+  /** DuckDB fragment mirroring [[normD]]. */
+  def sqlNormD(v: String): String = s"sqrt(${sqlDotD(v, v)})"
+
+  /** All unordered (a<b) pairs from a pre-sorted array column, as structs —
+    * the shuffle-free way to enumerate candidate pairs inside an LSH bucket
+    * (vs a bucket self-join, which re-executes the whole upstream plan for
+    * the second side). Bucket sizes are bounded by band width at scale, so
+    * the quadratic stays local and small. */
+  def pairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Whitespace tokens. Single-space split, trailing empties kept — matches
     * DuckDB string_split semantics exactly. */
   def words(text: Column): Column = split(text, " ")

@@ -30,13 +30,16 @@ object Similarity {
   private val NumQueries = 16
   private val TopK = 10
 
-  /** Brute-force cosine top-k per query vector (the exactness baseline). */
+  /** Brute-force cosine top-k per query vector (the exactness baseline).
+    * Norms are precomputed per row, so each candidate pair costs one dot. */
   val q23AnnBruteforce = QueryDef(
     "q23_ann_bruteforce",
-    s"""WITH scored AS (
+    s"""WITH n AS (SELECT vec_id, embedding, ${sqlNormD("embedding")} AS nrm
+       |  FROM embeddings),
+       |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-       |    ${sqlCosineD("q.embedding", "c.embedding")} AS score
-       |  FROM embeddings q, embeddings c
+       |    ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS score
+       |  FROM n q, n c
        |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
        |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -44,13 +47,17 @@ object Similarity {
        |WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
     val q = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val scored = emb.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = emb
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineD(col("qv"), col("embedding")).as("score"))
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored
@@ -97,11 +104,12 @@ object Similarity {
   val q24AnnLsh = QueryDef(
     "q24_ann_lsh",
     s"""WITH sig AS (
-       |  SELECT vec_id, embedding, ${sqlSigCol("embedding")} AS sig
+       |  SELECT vec_id, embedding, ${sqlNormD("embedding")} AS nrm,
+       |    ${sqlSigCol("embedding")} AS sig
        |  FROM embeddings),
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-       |    ${sqlCosineD("q.embedding", "c.embedding")} AS score
+       |    ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS score
        |  FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NumQueries)
        |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
@@ -111,15 +119,17 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir, "embeddings")
     val sig = emb.select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"),
       sigCol(col("embedding")).as("sig"))
     val q = sig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("sig").as("qsig"))
+        col("nrm").as("qn"), col("sig").as("qsig"))
     val scored = sig
       .join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineD(col("qv"), col("embedding")).as("score"))
+        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored
