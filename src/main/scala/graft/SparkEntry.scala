@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full declared query inventory, in module order. */
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
