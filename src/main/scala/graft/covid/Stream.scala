@@ -1,0 +1,129 @@
+package graft.covid
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Per-batch sink abstraction. The reference appends each branch to MySQL
+  * over JDBC (covid_streaming.py:51-61); this build environment has neither
+  * Kafka nor MySQL, so sinks are pluggable: JDBC in production, parquet in
+  * tests — the routing logic is identical (SURVEY §7 hard parts).
+  */
+trait BatchSink extends Serializable {
+
+  /** Append one branch's batch output to the named table. */
+  def write(df: DataFrame, table: String, epochId: Long): Unit
+}
+
+object BatchSink {
+
+  /** Production sink: JDBC append, mirroring write_to_mysql
+    * (covid_streaming.py:51-61) including its swallow-and-log error posture
+    * (a failed table write never fails the batch; SURVEY §3-E2). */
+  def jdbc(url: String, options: Map[String, String]): BatchSink =
+    (df, table, epochId) =>
+      try
+        df.write.mode(SaveMode.Append).format("jdbc")
+          .option("url", url).options(options).option("dbtable", table)
+          .save()
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[covid-stream] batch $epochId sink $table failed: $e")
+      }
+
+  /** Test/dev sink: per-table parquet append under a directory. */
+  def parquet(dir: String): BatchSink =
+    (df, table, _) =>
+      df.write.mode(SaveMode.Append).parquet(s"$dir/$table")
+}
+
+/** Streaming wiring (covid_streaming.py:200-226): source → JSON decode →
+  * foreachBatch(process) → sinks, with trigger + checkpoint. */
+object Stream {
+
+  /** Kafka streaming source declaration (covid_streaming.py:206-212).
+    * Plan-only: nothing connects until the query starts. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+      topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** JSON decode (S3, covid_streaming.py:214-217): value bytes → string →
+    * struct → 19 flat columns. Works on any DataFrame with a `value`
+    * column (Kafka binary or MemoryStream string alike). */
+  def decode(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), Schema.raw).as("data"))
+      .select(col("data.*"))
+
+  /** The per-batch DAG (process_batch, covid_streaming.py:111-198): clean →
+    * {realtime dedup, predictions, continent stats, hotspots} → sink.
+    *
+    * Differences from the reference, both deliberate (SURVEY §4):
+    *  - the cleaned batch is persisted once instead of recomputed for every
+    *    one of the ~10 downstream actions;
+    *  - emptiness guards use `df.isEmpty` (a lazy limit-1 probe), not
+    *    `df.rdd.isEmpty()` which forces an RDD job per call.
+    */
+  def processBatch(batch: DataFrame, epochId: Long, sink: BatchSink): Unit = {
+    if (batch.isEmpty) return
+    val cleaned = Clean.clean(batch).persist()
+    try {
+      val realtime = cleaned.dropDuplicates(Seq("location", "date"))
+      sink.write(realtime, "covid_realtime_stats", epochId)
+
+      val preds = Predict.predictFutureTrends(realtime)
+        .dropDuplicates(Seq("location", "prediction_date"))
+      if (!preds.isEmpty)
+        sink.write(preds, "covid_predictions", epochId)
+
+      val continent = Aggregates.continentStats(cleaned)
+      if (!continent.isEmpty)
+        sink.write(continent, "continent_covid_stats", epochId)
+
+      val hot = Aggregates.hotspots(cleaned)
+      if (!hot.isEmpty)
+        sink.write(hot, "covid_hotspots", epochId)
+    } finally cleaned.unpersist()
+  }
+
+  /** Start the full pipeline on a decoded (19-column) streaming DataFrame.
+    * Faithful trigger/checkpoint/outputMode wiring
+    * (covid_streaming.py:219-224); tests pass Trigger.AvailableNow. */
+  def run(parsed: DataFrame, sink: BatchSink, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    parsed.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id, sink))
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The idiomatic streaming upgrade of the continent aggregation (SURVEY
+    * §2.9-T4): a REAL watermark + windowed aggregation on the unbounded
+    * stream — cross-batch state in the state store, late data beyond 10
+    * minutes dropped — instead of the reference's per-batch no-op watermark.
+    * Caller writes it with outputMode("append") once windows close. */
+  def continentStatsStreaming(parsed: DataFrame): DataFrame =
+    Clean.clean(parsed)
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(window(col("timestamp"), "5 minutes"), col("continent"))
+      .agg(
+        sum(col("new_cases")).as("continent_new_cases"),
+        sum(col("new_deaths")).as("continent_new_deaths"),
+        avg(col("death_rate")).as("continent_avg_death_rate"),
+        approx_count_distinct(col("location")).as("countries_count"),
+        sum(col("total_cases")).as("continent_total_cases"))
+      .select(
+        col("window.start").as("continent_window_start"),
+        col("window.end").as("continent_window_end"),
+        col("continent"), col("continent_new_cases"),
+        col("continent_new_deaths"), col("continent_avg_death_rate"),
+        col("countries_count"), col("continent_total_cases"))
+}

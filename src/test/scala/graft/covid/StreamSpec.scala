@@ -1,0 +1,84 @@
+package graft.covid
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming replication of SURVEY §3-E1 without Kafka:
+  * MemoryStream[String] → decode → foreachBatch routing → parquet sinks. */
+class StreamSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("micro-batches route every branch to its sink table") {
+    val input = MemoryStream[String](spark)
+    val outDir = Files.createTempDirectory("covid-sink").toString
+    val ckpt = Files.createTempDirectory("covid-ckpt").toString
+    val query = Stream.run(Stream.decode(input.toDF()),
+      BatchSink.parquet(outDir), ckpt)
+    try {
+      // batch 1: two locations, one duplicated (location, date) pair, one
+      // hotspot
+      input.addData(
+        Fixture.record("uuid" -> "1", "location" -> "Egypt",
+          "new_cases" -> "20000"),
+        Fixture.record("uuid" -> "2", "location" -> "Egypt"), // dup key
+        Fixture.record("uuid" -> "3", "location" -> "Kenya",
+          "iso_code" -> "KEN"))
+      query.processAllAvailable()
+      // batch 2: next day for Egypt
+      input.addData(
+        Fixture.record("uuid" -> "4", "location" -> "Egypt",
+          "date" -> "2021-03-02", "timestamp" -> "2021-03-02 12:00:00"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val realtime = spark.read.parquet(s"$outDir/covid_realtime_stats")
+    // batch 1 dedups (Egypt, 2021-03-01); batch 2 appends the next day
+    assert(realtime.count() == 3)
+    val preds = spark.read.parquet(s"$outDir/covid_predictions")
+    assert(preds.count() == 3)
+    assert(preds.columns.contains("trend_direction"))
+    val hot = spark.read.parquet(s"$outDir/covid_hotspots")
+    assert(hot.count() == 1)
+    val cont = spark.read.parquet(s"$outDir/continent_covid_stats")
+    assert(cont.count() >= 1)
+  }
+
+  test("empty batches write nothing") {
+    val input = MemoryStream[String](spark)
+    val outDir = Files.createTempDirectory("covid-sink-empty").toString
+    val ckpt = Files.createTempDirectory("covid-ckpt-empty").toString
+    val query = Stream.run(Stream.decode(input.toDF()),
+      BatchSink.parquet(outDir), ckpt)
+    try query.processAllAvailable()
+    finally query.stop()
+    assert(!new java.io.File(s"$outDir/covid_realtime_stats").exists())
+  }
+
+  test("watermarked streaming continent aggregation emits closed windows") {
+    val input = MemoryStream[String](spark)
+    val agg = Stream.continentStatsStreaming(Stream.decode(input.toDF()))
+    val query = agg.writeStream.format("memory")
+      .queryName("continent_stream").outputMode("append").start()
+    try {
+      input.addData(
+        Fixture.record("uuid" -> "1", "timestamp" -> "2021-03-01 12:01:00"),
+        Fixture.record("uuid" -> "2", "timestamp" -> "2021-03-01 12:03:00"))
+      query.processAllAvailable()
+      // advance event time far beyond watermark so the 12:00 window closes
+      input.addData(
+        Fixture.record("uuid" -> "3", "timestamp" -> "2021-03-01 13:00:00"))
+      query.processAllAvailable()
+      input.addData(
+        Fixture.record("uuid" -> "4", "timestamp" -> "2021-03-01 14:00:00"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM continent_stream ORDER BY continent_window_start")
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.head.getAs[java.sql.Timestamp]("continent_window_start")
+        .toString.startsWith("2021-03-01 12:00:00"))
+      assert(rows.head.getAs[Double]("continent_new_cases") == 200.0)
+    } finally query.stop()
+  }
+}
