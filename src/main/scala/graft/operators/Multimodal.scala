@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing for a training-data pipeline: media as opaque
+  * `binary` columns with typed metadata, decode/feature-extract/frame-sample
+  * over them. The reference has no binary data (SURVEY §1 — strings/doubles
+  * only); this is the 100 TB extension surface.
+  *
+  * The container has no image/audio codecs, so [[Media.decodeStub]] is a
+  * clearly-marked deterministic fake — but the Spark-side plumbing is real:
+  * binary columns flow through parquet scans and shuffles untouched, the
+  * typed `mapPartitions` pipeline (the Scala analog of `mapInPandas`
+  * batching) has the production signature, and the per-partition batch
+  * shape is what a real codec would see.
+  *
+  * Oracle queries operate on a binary column derived deterministically from
+  * `documents.text` (UTF-8 bytes); chunking happens on the hex encoding
+  * because DuckDB 1.0 cannot substring BLOBs — Spark `hex` and DuckDB `hex`
+  * agree byte-for-byte (uppercase), so md5s of chunks match bit-exact.
+  */
+object Multimodal {
+
+  private val FrameBytes = 64
+  private val FrameStride = 2
+
+  /** Binary metadata extraction: byte length, content hash, head bytes —
+    * the catalog row a media pipeline keeps per object. */
+  val q31MediaMeta = QueryDef(
+    "q31_media_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  hex(encode(substr(text, 1, 8))) AS head_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val bin = col("text").cast("binary")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(bin).cast(LongType).as("n_bytes"),
+        md5(bin).as("content_md5"),
+        hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: split the payload into fixed-size frames, keep every
+    * FrameStride-th, fingerprint each — the shape of video keyframe
+    * extraction, as a pure columnar explode (no shuffle before the
+    * verification sort; at scale each task samples its own partition). */
+  val q32FrameSample = QueryDef(
+    "q32_frame_sample",
+    s"""SELECT doc_id, j AS frame_idx,
+       |  md5(substring(hx, CAST(j * ${2 * FrameBytes} + 1 AS BIGINT),
+       |      ${2 * FrameBytes})) AS frame_hash
+       |FROM (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    unnest(range(0,
+       |      (octet_length(encode(text)) + ${FrameBytes - 1}) // $FrameBytes))
+       |      AS j
+       |  FROM documents)
+       |WHERE j % $FrameStride = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val bin = col("text").cast("binary")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), hex(bin).as("hx"),
+        ((length(bin) + (FrameBytes - 1)) / FrameBytes).cast(LongType)
+          .as("n_frames"))
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("j"))
+      .filter(col("j") % FrameStride === 0)
+      .select(col("doc_id"), col("j").as("frame_idx"),
+        md5(substr(col("hx"), col("j") * (2 * FrameBytes) + 1,
+          lit(2 * FrameBytes))).as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q31MediaMeta, q32FrameSample)
+}
+
+/** Typed media pipeline: the production-shaped decode/resize path. */
+object Media {
+
+  /** An opaque media object: payload bytes + source metadata. */
+  final case class MediaFile(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded-image metadata + feature vector (what a codec would emit). */
+  final case class DecodedImage(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      meanLuma: Double)
+
+  /** STUB — deterministic fake image decode. A real deployment swaps this
+    * body for an actual codec (e.g. TwelveMonkeys/JavaCV) without touching
+    * any Spark plumbing: dimensions are derived from the payload hash and
+    * meanLuma from the byte stream, so results are stable for tests.
+    */
+  def decodeStub(bytes: Array[Byte]): DecodedImage = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    DecodedImage(
+      doc_id = -1L, // caller fills
+      width = 64 + (md(0) & 0x7f),
+      height = 64 + (md(1) & 0x7f),
+      channels = 3,
+      meanLuma =
+        if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0.0)((a, b) => a + (b & 0xff)) / bytes.length)
+  }
+
+  /** Decode a partition of media files. `mapPartitions` (not `map`) is the
+    * point: a real codec amortizes per-partition init (native lib load,
+    * scratch buffers) exactly like `mapInPandas` amortizes Arrow batches —
+    * and the iterator keeps memory bounded to one object at a time. */
+  def decodeImages(files: Dataset[MediaFile]): Dataset[DecodedImage] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      // per-partition init happens here (once per task, not per row)
+      it.map(f => decodeStub(f.media).copy(doc_id = f.doc_id))
+    }
+  }
+
+  /** "Resize": at stub level, downsample the byte stream by `factor` —
+    * preserves the mapPartitions batch shape of a real resampler. */
+  def resize(files: Dataset[MediaFile], factor: Int): Dataset[MediaFile] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.map { f =>
+        val sampled = f.media.zipWithIndex.collect {
+          case (b, i) if i % factor == 0 => b
+        }
+        f.copy(media = sampled)
+      }
+    }
+  }
+
+  /** Wrap the documents table as media objects (UTF-8 payloads) — the test
+    * corpus for the typed pipeline. */
+  def mediaFromDocuments(spark: SparkSession, dir: String)
+      : Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), lit("text/plain").as("kind"),
+        col("text").cast("binary").as("media"))
+      .as[MediaFile]
+  }
+}
