@@ -10,7 +10,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Pipeline.all ++ operators.Multimodal.all
+      operators.Pipeline.all ++ operators.Multimodal.all ++
+      operators.Extended.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

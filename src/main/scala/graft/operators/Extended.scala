@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Completeness surface beyond the reference's own operators (SURVEY §2.7
+  * notes none of these exist there): set operations, hierarchical rollup,
+  * blocked n-gram Jaccard, skew-aware two-phase aggregation, and sketch
+  * aggregates — the operators a user of a general engine reaches for next.
+  */
+object Extended {
+  import Exact._
+  import Mirror._
+
+  /** UNION ALL of two branch projections (bag semantics preserved). */
+  val q33UnionAll = QueryDef(
+    "q33_union_all",
+    """SELECT src, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS
+      |  DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'open' AS src, o_totalprice FROM orders
+      |    WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT 'done' AS src, o_totalprice FROM orders
+      |    WHERE o_orderstatus = 'F')
+      |GROUP BY src
+      |ORDER BY src""".stripMargin) { (spark, dir) =>
+    val orders = Tables(spark, dir, "orders")
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(lit("open").as("src"), col("o_totalprice"))
+    val done = orders.filter(col("o_orderstatus") === "F")
+      .select(lit("done").as("src"), col("o_totalprice"))
+    open.unionAll(done)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("src"))
+  }
+
+  /** INTERSECT (distinct set semantics): nations present on both the
+    * customer and supplier side. */
+  val q34Intersect = QueryDef(
+    "q34_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        Tables(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  /** EXCEPT (distinct): nations with customers but no well-capitalized
+    * supplier (every nation has *some* supplier in the fixture, so the
+    * right side is predicated to keep the result non-vacuous). */
+  val q35Except = QueryDef(
+    "q35_except",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+      |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(
+        Tables(spark, dir, "supplier")
+          .filter(col("s_acctbal") > 5000.0)
+          .select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Hierarchical ROLLUP region → nation with subtotal + grand-total rows
+    * (reference has no grouping sets; SURVEY §2.5). NULLS FIRST pinned in
+    * both engines so the verification sort agrees. */
+  val q36Rollup = QueryDef(
+    "q36_rollup",
+    s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+       |  ${sqlSum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) {
+    (spark, dir) =>
+      Tables(spark, dir, "customer")
+        .join(broadcast(Tables(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(spark, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private val NgramJaccardThreshold = 0.3
+
+  /** Blocked n-gram Jaccard near-dup: exact pairwise 3-gram Jaccard within a
+    * (lang, length-bucket) blocking key — the no-sketch baseline the MinHash
+    * path (q19) approximates. Blocking bounds the quadratic: pairs only form
+    * inside a block, and blocks shuffle as (key, shingle-set) rows. */
+  val q37NgramJaccard = QueryDef(
+    "q37_ngram_jaccard",
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+       |    $sqlShingles3 AS sh
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE)
+       |      AS inter,
+       |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
+       |FROM pairs
+       |WHERE inter / (tot - inter) >= $NgramJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast(LongType).as("len_bucket"),
+        shingles3(col("text")).as("sh"))
+    val a = sh.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast(DoubleType)
+    val tot = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType)
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter / (tot - inter)).as("jaccard"))
+      .filter(col("jaccard") >= NgramJaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val Salts = 8
+
+  /** Skew-aware two-phase aggregation: pre-aggregate on (key, salt) so one
+    * hot key spreads over `Salts` reducers before the final per-key merge.
+    * With exact decimal partials the result is identical to the direct
+    * groupBy (the oracle) — this is the salting pattern for keys too hot for
+    * AQE's skew handling, expressed as plain operators. */
+  val q38SaltedAgg = QueryDef(
+    "q38_salted_agg",
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    Tables(spark, dir, "events")
+      .withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("value").cast(DecimalType(30, 2))).as("sum_part"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_part")).as("n_events"),
+        sum(col("sum_part")).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HLL sketch distinct (no DuckDB oracle — approximate by nature; the
+    * ScalaTest suite bounds its error against the exact count). This is the
+    * at-scale replacement for q12/q13's exact countDistinct. */
+  val q39ApproxDistinct = QueryDef.noOracle("q39_approx_distinct") {
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
+    q38SaltedAgg, q39ApproxDistinct)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.covid.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Covers the operators the DuckDB gate can't: sketch accuracy and CSV
+  * source round-trip (SURVEY §2.1 S2). */
+class ExtendedSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val approx = Extended.q39ApproxDistinct.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("CSV source round-trips the events table with an explicit schema") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("csv-src").toString
+    events.write.mode("overwrite").option("header", true).csv(dir)
+    val back = spark.read
+      .option("header", true)
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .csv(dir)
+    assert(back.count() == events.count())
+    val a = events.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.sameElements(b))
+  }
+}
