@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen dot product over two float-array columns.
+  *
+  * Semantically identical to the declarative form
+  * `aggregate(zip_with(a, b, (x, y) => x.toDouble * y.toDouble), 0.0, _ + _)`
+  * ([[graft.operators.Mirror.dotD]]): elements are multiplied in index order
+  * and accumulated left-to-right in double, so results are bit-identical —
+  * including against the DuckDB oracle's list_reduce fold.
+  *
+  * Why a custom Expression (SURVEY §4 / builder preference ladder (b)): the
+  * higher-order-function form is interpreted per element — a lambda
+  * invocation and boxed row per array slot — and breaks whole-stage codegen
+  * at the Project that contains it. This compiles to a tight primitive
+  * `for` loop inside the generated stage: ~64 fused multiply-adds per row
+  * for the embeddings fixture, no allocation. On the ANN/near-dup queries
+  * that evaluate one dot per candidate pair, this is the hot path at scale.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are always array<float> columns from our own call sites; no
+  // ExpectsInputTypes (private[sql] in Spark 4) type widening needed
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API for the native vector ops. */
+object FloatVector {
+
+  /** dot(a, b) in double, index order — bit-compatible with
+    * [[graft.operators.Mirror.dotD]] and its DuckDB mirror. */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(FloatDotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** Euclidean norm via the native dot. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity via the native dot (same IEEE op sequence as
+    * [[graft.operators.Mirror.cosineD]]). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+}

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * — the rest is the 100 TB extension surface).
   *
   * Scale design:
-  *  - MinHash-LSH: per-row signatures (narrow map, two md5s per shingle +
+  *  - MinHash-LSH: per-row signatures (narrow map, one md5 per shingle +
   *    integer Carter-Wegman combinations), explode to (band, hash) keys,
   *    shuffle ONLY the band hashes + ids, generate candidate pairs inside
   *    each bucket (groupBy + local pair expansion, not a self-join that
@@ -63,15 +63,15 @@ object Dedup {
   private val HashP = 562949953421311L // 2^49 - 1
 
   /** MinHash + LSH near-duplicate detection: 16 min-hashes over 3-word
-    * shingles (two md5 base hashes per shingle + cheap integer combinations,
-    * not 16 md5 passes), banded 4×4; docs sharing a band bucket are
+    * shingles (one md5 per shingle yielding two 60-bit base hashes + cheap
+    * integer combinations, not 16 md5 passes), banded 4×4; docs sharing a band bucket are
     * candidates; candidates verified with exact Jaccard >= 0.5. */
   val q19DedupMinhashLsh = QueryDef(
     "q19_dedup_minhash_lsh",
     s"""WITH sh AS ($sqlShingleSets),
        |exp AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |hs AS (SELECT doc_id, ${sqlHash60("s")} AS h1,
-       |    ${sqlHash60("concat(s, '!')")} AS h2 FROM exp),
+       |    ${sqlHash60b("s")} AS h2 FROM exp),
        |mh AS (SELECT doc_id, j.range AS j,
        |    MIN(h1 + j.range * (h2 % $HashP)) AS mh
        |  FROM hs CROSS JOIN range($NumHashes) j GROUP BY doc_id, j.range),
@@ -96,13 +96,19 @@ object Dedup {
        |FROM jac
        |WHERE inter / (tot - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    // The shingle table feeds the signature pipeline AND both sides of the
+    // verification join — persist it once instead of recomputing the
+    // interpreted shingling three times (Spark dedupes the cache entry by
+    // logical plan, so repeated calls share it).
     val sh = shingleSets(spark, dir)
-    // Two md5 base hashes per distinct shingle, computed once; all 16
-    // minhash projections are integer arithmetic over them (no shuffle).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE md5 per distinct shingle yields both 60-bit base hashes (front
+    // and back halves of the digest); all 16 minhash projections are integer
+    // arithmetic over them (no shuffle, no further hashing).
     val hs = sh.select(col("doc_id"),
       transform(col("sh"), s => struct(
         hash60(s).as("h1"),
-        hash60(concat(s, lit("!"))).as("h2"))).as("hs"))
+        hash60b(s).as("h2"))).as("hs"))
     val mhCols = (0 until NumHashes).map { j =>
       array_min(transform(col("hs"), p =>
         p.getField("h1") + lit(j.toLong) * (p.getField("h2") % HashP)))
@@ -253,7 +259,7 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir, "embeddings")
       .select(col("label"), col("vec_id"), col("embedding"),
-        normD(col("embedding")).as("nrm"))
+        graft.functions.FloatVector.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("label"), col("vec_id").as("vec_b"),
@@ -261,7 +267,8 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+        (graft.functions.FloatVector.dot(col("ea"), col("eb"))
+          / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= CosineThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -96,8 +96,14 @@ object Extended {
 
   /** Blocked n-gram Jaccard near-dup: exact pairwise 3-gram Jaccard within a
     * (lang, length-bucket) blocking key — the no-sketch baseline the MinHash
-    * path (q19) approximates. Blocking bounds the quadratic: pairs only form
-    * inside a block, and blocks shuffle as (key, shingle-set) rows. */
+    * path (q19) approximates.
+    *
+    * Implemented as an inverted-index join, not an all-pairs block
+    * cross-product: explode shingles, equi-join on (block, shingle) so the
+    * per-pair intersection size falls out of a count aggregation, then
+    * attach set sizes. Pairs sharing zero shingles (jaccard 0, below any
+    * threshold) never materialize — at scale the work is proportional to
+    * the number of co-occurring shingles, not block-size². */
   val q37NgramJaccard = QueryDef(
     "q37_ngram_jaccard",
     s"""WITH sh AS (
@@ -120,17 +126,26 @@ object Extended {
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
         shingles3(col("text")).as("sh"))
-    val a = sh.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      .cast(DoubleType)
-    val tot = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType)
-    a.join(b, Seq("lang", "len_bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    // inverted index: one row per (block, shingle, doc); pair generation via
+    // groupBy + in-array expansion (single pass — a self-join would run the
+    // interpreted shingle pipeline once per side)
+    val ex = sh.select(col("lang"), col("len_bucket"), col("doc_id"),
+      size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val inter = ex
+      .groupBy(col("lang"), col("len_bucket"), col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairs(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("n_a"), col("p.b.n").as("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
       .select(col("doc_a"), col("doc_b"),
-        (inter / (tot - inter)).as("jaccard"))
+        (col("inter").cast(DoubleType) /
+          ((col("n_a") + col("n_b")).cast(DoubleType) -
+            col("inter").cast(DoubleType))).as("jaccard"))
       .filter(col("jaccard") >= NgramJaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -30,6 +30,16 @@ object Mirror {
   def sqlHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Second independent 60-bit hash from the SAME md5 digest (hex chars
+    * 16..30): one digest yields both Carter-Wegman base hashes — halves the
+    * md5 work of signature pipelines. */
+  def hash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast(LongType)
+
+  /** DuckDB fragment mirroring [[hash60b]]. */
+  def sqlHash60b(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 16, 15)) AS BIGINT)"
+
   /** Sequential left-fold sum (double) over an array column — order-exact. */
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)

@@ -48,7 +48,7 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        normD(col("embedding")).as("nrm"))
+        graft.functions.FloatVector.norm(col("embedding")).as("nrm"))
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
@@ -56,8 +56,8 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
-          .as("score"))
+        (graft.functions.FloatVector.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm"))).as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored
@@ -119,7 +119,7 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir, "embeddings")
     val sig = emb.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"),
+      graft.functions.FloatVector.norm(col("embedding")).as("nrm"),
       sigCol(col("embedding")).as("sig"))
     val q = sig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -128,8 +128,8 @@ object Similarity {
       .join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dotD(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
-          .as("score"))
+        (graft.functions.FloatVector.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm"))).as("score"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored

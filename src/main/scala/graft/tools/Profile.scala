@@ -54,6 +54,35 @@ object Profile {
     time("q19 full")(Dedup.q19DedupMinhashLsh.fn(spark, dir).count)
     time("q19 again")(Dedup.q19DedupMinhashLsh.fn(spark, dir).count)
     time("q21 full")(Dedup.q21DedupSimhashPairs.fn(spark, dir).count)
+    time("q37 full")(Extended.q37NgramJaccard.fn(spark, dir).count)
+    time("q37 again")(Extended.q37NgramJaccard.fn(spark, dir).count)
+    // alternative q37: persisted inverted-index self-join
+    locally {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val sh2 = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast(LongType).as("len_bucket"),
+          Mirror.shingles3(col("text")).as("sh"))
+      val ex = sh2.select(col("lang"), col("len_bucket"), col("doc_id"),
+        size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = ex.select(col("lang"), col("len_bucket"), col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      val b = ex.select(col("lang"), col("len_bucket"), col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+      val inter = a.join(b, Seq("lang", "len_bucket", "s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+      val res = inter.select(col("doc_a"), col("doc_b"),
+          (col("inter").cast(DoubleType) / ((col("n_a") + col("n_b")).cast(DoubleType) - col("inter").cast(DoubleType))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+      time("q37 join+persist")(res.count)
+      time("q37 join+persist warm")(res.count)
+      ex.unpersist()
+    }
+    val shp = Tables(spark, dir, "documents").select(col("doc_id"), Mirror.shingles3(col("text")).as("sh"))
+    time("shingles pass")(shp.select(max(size(col("sh")))).collect())
+    val exp2 = shp.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    time("explode+groupBy")(exp2.groupBy(col("s")).agg(count(lit(1))).select(max("count(1)")).collect())
     spark.stop()
   }
 }
