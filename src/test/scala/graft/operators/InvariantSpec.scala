@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized invariants (SURVEY §5.3) over seeded generated data — the
+  * properties the DuckDB gate can't express directly. */
+class InvariantSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randomEvents(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, s"t${rnd.nextInt(4)}",
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("event_id", "user_id", "event_type", "value")
+
+  test("first-row dedup is idempotent") {
+    val df = randomEvents(500)
+    def dedup(d: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val once = dedup(df)
+    val twice = dedup(once)
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).isEmpty)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation exactly") {
+    val df = randomEvents(1000)
+    val direct = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val salted = df
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("value").cast(DecimalType(30, 2))).as("sp"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("np")).as("n"), sum(col("sp")).cast(DoubleType).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(direct == salted)
+  }
+
+  test("windowed agg partition sums equal the ungrouped total") {
+    val df = randomEvents(800)
+    val total = df.select(
+      sum(col("value").cast(DecimalType(30, 2)))).collect()(0).getDecimal(0)
+    val grouped = df.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(30, 2))).as("s"))
+      .select(sum(col("s"))).collect()(0).getDecimal(0)
+    assert(total.compareTo(grouped) == 0)
+  }
+
+  test("pairs() enumerates exactly the ordered pairs of a sorted array") {
+    for (n <- Seq(0, 1, 2, 3, 7, 20)) {
+      val ids = (0 until n).map(_.toLong)
+      val out = Seq(Tuple1(ids)).toDF("ids")
+        .select(explode(Mirror.pairs(col("ids"))).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for {
+        i <- 0 until n; j <- i + 1 until n
+      } yield (i.toLong, j.toLong))
+      assert(out.sorted.toSeq == expected.sorted.toSeq, s"n=$n")
+    }
+  }
+
+  test("hash60/hash60b stay in [0, 2^60) and are independent") {
+    val words = (0 until 300).map(i => s"w$i").toDF("w")
+      .select(Mirror.hash60(col("w")).as("h1"),
+        Mirror.hash60b(col("w")).as("h2"))
+      .collect()
+    val lim = 1L << 60
+    words.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < lim)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < lim)
+    }
+    // front and back digest halves must not be correlated
+    assert(words.map(_.getLong(0)).distinct.length == 300)
+    assert(words.count(r => r.getLong(0) == r.getLong(1)) == 0)
+  }
+
+  test("shingles3 yields max(1, n-2)-bounded distinct shingles of width 3") {
+    val texts = Seq("", "one", "one two", "a b c", "a b c d",
+      "x x x x x", "the quick brown fox jumps")
+    val rows = texts.toDF("text")
+      .select(col("text"), Mirror.shingles3(col("text")).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ", -1)
+      val sh = r.getSeq[String](1)
+      if (words.length < 3) assert(sh == Seq(r.getString(0)))
+      else {
+        assert(sh.length <= words.length - 2)
+        assert(sh.distinct.length == sh.length)
+        sh.foreach(s => assert(s.split(" ", -1).length == 3))
+      }
+    }
+  }
+
+  test("covid ratio identity: recovery + death + active/total ~= 1") {
+    import graft.covid.{Clean, Stream, Fixture}
+    val js = (0 until 50).map { i =>
+      val total = 1000 + rnd.nextInt(100000)
+      val deaths = rnd.nextInt(total / 10)
+      val active = rnd.nextInt(total - deaths)
+      Fixture.record("uuid" -> s"r$i", "location" -> s"L$i",
+        "total_cases" -> total.toString, "total_deaths" -> deaths.toString,
+        "active_cases" -> active.toString)
+    }
+    val rows = Clean.clean(Stream.decode(js.toDF("value")))
+      .select(col("recovery_rate"), col("death_rate"),
+        (col("active_cases") / col("total_cases")).as("active_ratio"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getDouble(0) + r.getDouble(1) + r.getDouble(2)
+      assert(math.abs(s - 1.0) < 2e-6, s"sum $s") // two round(,6) calls
+    }
+  }
+}
