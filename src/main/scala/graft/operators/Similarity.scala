@@ -167,5 +167,111 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
-  val all: Seq[QueryDef] = Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid)
+  /** Squared-L2 distance between a float vector and a double centroid,
+    * order-exact in both engines. */
+  private def sqDist(v: Column, c: Column): Column =
+    foldSum(zip_with(v, c,
+      (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)))
+
+  private def sqlSqDist(v: String, c: String): String =
+    sqlFoldSum(s"list_transform(list_zip($v, $c), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))")
+
+  private val sqlCentroidVectors =
+    s"""e AS (
+       |  SELECT label, vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |g AS (SELECT label, pos, list(CAST(x AS DOUBLE) ORDER BY vec_id) AS xs,
+       |    COUNT(*) AS n
+       |  FROM e GROUP BY label, pos),
+       |cent AS (SELECT label, pos, ${sqlFoldSum("xs")} / CAST(n AS DOUBLE)
+       |    AS cx FROM g),
+       |cv AS (SELECT label AS cell, list(cx ORDER BY pos) AS cvec
+       |  FROM cent GROUP BY label)""".stripMargin
+
+  /** Centroid vectors as one array per cell (deterministic: q25's fold). */
+  private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+    e.groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+      .agg(
+        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("label"),col("pos"),
+        (foldSum(transform(col("vs"), v => v.getField("x").cast(DoubleType)))
+          / col("n").cast(DoubleType)).as("cx"))
+      .groupBy(col("label").as("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+      .select(col("cell"),
+        transform(col("cs"), s => s.getField("cx")).as("cvec"))
+  }
+
+  /** IVF ANN (the centroid-bucketed scale path next to LSH q24): a coarse
+    * quantizer of per-label centroids assigns every vector to its nearest
+    * cell (argmin of order-exact squared L2, label tiebreak); queries probe
+    * their own cell (nprobe=1) and score only co-resident candidates with
+    * the native codegen dot. The K-cell centroid table is tiny and
+    * broadcast; the corpus is scanned once for assignment — at 100 TB the
+    * assignment is a narrow map and search cost is corpus/K per probe. */
+  val q40AnnIvf = QueryDef(
+    "q40_ann_ivf",
+    s"""WITH $sqlCentroidVectors,
+       |dists AS (
+       |  SELECT m.vec_id, m.embedding, c.cell,
+       |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
+       |  FROM embeddings m CROSS JOIN cv c),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d, cell) AS rn FROM dists)
+       |  WHERE rn = 1),
+       |n AS (SELECT vec_id, embedding, cell, ${sqlNormD("embedding")} AS nrm
+       |  FROM assign),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c2.vec_id AS vec_id,
+       |    ${sqlDotD("q.embedding", "c2.embedding")} / (q.nrm * c2.nrm)
+       |      AS score
+       |  FROM n q JOIN n c2 ON q.cell = c2.cell AND c2.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    import graft.functions.FloatVector
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dists = emb.crossJoin(broadcast(centroidVectors(spark, dir)))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        sqDist(col("embedding"), col("cvec")).as("d"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cell"))
+    val assigned = dists
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        FloatVector.norm(col("embedding")).as("nrm"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = assigned
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (FloatVector.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm"))).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf)
 }
