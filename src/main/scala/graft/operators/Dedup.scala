@@ -96,25 +96,27 @@ object Dedup {
        |FROM jac
        |WHERE inter / (tot - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // The shingle table feeds the signature pipeline AND both sides of the
-    // verification join — persist it once instead of recomputing the
-    // interpreted shingling three times (Spark dedupes the cache entry by
-    // logical plan, so repeated calls share it).
+    // The distinct-shingle table feeds both sides of the verification join —
+    // persist it once (Spark dedupes the cache entry by logical plan).
     val sh = shingleSets(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE md5 per distinct shingle yields both 60-bit base hashes (front
-    // and back halves of the digest); all 16 minhash projections are integer
-    // arithmetic over them (no shuffle, no further hashing).
-    val hs = sh.select(col("doc_id"),
-      transform(col("sh"), s => struct(
-        hash60(s).as("h1"),
-        hash60b(s).as("h2"))).as("hs"))
-    val mhCols = (0 until NumHashes).map { j =>
-      array_min(transform(col("hs"), p =>
-        p.getField("h1") + lit(j.toLong) * (p.getField("h2") % HashP)))
-        .as(s"mh_$j")
-    }
-    val sig = hs.select(col("doc_id") +: mhCols: _*)
+    // Signature pipeline, fully codegen: explode shingles to rows, ONE md5
+    // per row yields both 60-bit base hashes (front and back digest halves),
+    // and the 16 minhash values come out of a single hash aggregation of
+    // min(h1 + j*(h2%P)). Map-side partial mins collapse each doc to one row
+    // before the shuffle, and no interpreted lambda touches the hot path.
+    // (MinHash of a multiset equals the set's — duplicates can't change a
+    // min — so the non-distinct explode is safe.)
+    val hs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingleGen(col("text"))).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("h1"),
+        hash60b(col("s")).as("h2"))
+    val sig = hs.groupBy(col("doc_id"))
+      .agg(
+        min(col("h1") + lit(0L) * (col("h2") % HashP)).as("mh_0"),
+        (1 until NumHashes).map { j =>
+          min(col("h1") + lit(j.toLong) * (col("h2") % HashP)).as(s"mh_$j")
+        }: _*)
     // Band hashes, exploded to (band_idx, band_hash) rows: only ids + 32-char
     // hashes go through the bucket shuffle.
     val bandStructs = (0 until Bands).map { b =>
@@ -156,9 +158,12 @@ object Dedup {
     * width of [[Mirror.hash60]]) keeps the per-block pigeonhole buckets fine
     * enough that candidate volume stays near-linear in corpus size. */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(spark, dir, "documents")
+    // hash the (tiny) distinct vocabulary once, broadcast it onto word rows
+    val wordRows = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"), hash60(col("w")).as("h"))
+    val dict = wordRows.select(col("w")).distinct()
+      .select(col("w"), hash60(col("w")).as("h"))
+    val tok = wordRows.join(broadcast(dict), "w")
     val voteCols = (0 until 60).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v_$bit")

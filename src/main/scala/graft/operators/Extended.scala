@@ -122,15 +122,16 @@ object Extended {
        |FROM pairs
        |WHERE inter / (tot - inter) >= $NgramJaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val sh = Tables(spark, dir, "documents")
+    // inverted index: one distinct row per (block, shingle, doc), built with
+    // codegen explode + hash-aggregate distinct (no per-array lambdas); set
+    // sizes rejoin from a tiny per-doc count
+    val rows = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
-        shingles3(col("text")).as("sh"))
-    // inverted index: one row per (block, shingle, doc); pair generation via
-    // groupBy + in-array expansion (single pass — a self-join would run the
-    // interpreted shingle pipeline once per side)
-    val ex = sh.select(col("lang"), col("len_bucket"), col("doc_id"),
-      size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        explode(shingleGen(col("text"))).as("s"))
+      .distinct()
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ex = rows.join(broadcast(sizes), "doc_id")
     val inter = ex
       .groupBy(col("lang"), col("len_bucket"), col("s"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))

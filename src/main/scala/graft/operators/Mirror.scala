@@ -90,16 +90,22 @@ object Mirror {
 
   val sqlWords: String = "string_split(text, ' ')"
 
-  /** Distinct 3-word shingles (docs shorter than 3 words shingle to the whole
-    * text). Same 1-based slicing as the DuckDB mirror. */
-  def shingles3(text: Column): Column = {
+  /** All 3-word shingles in order, duplicates kept (docs shorter than 3
+    * words shingle to the whole text). element_at concatenation keeps the
+    * construction codegen-friendly; pair with `explode` + a hash aggregation
+    * downstream (min/distinct) rather than per-array lambdas. */
+  def shingleGen(text: Column): Column = {
     val w = words(text)
-    array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", slice(w, i, lit(3)))))
-        .otherwise(array(text)))
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+      .otherwise(array(text))
   }
+
+  /** Distinct 3-word shingles as a set-valued column. Same 1-based slicing
+    * as the DuckDB mirror. */
+  def shingles3(text: Column): Column = array_distinct(shingleGen(text))
 
   val sqlShingles3: String =
     s"""list_distinct(CASE WHEN len($sqlWords) >= 3
