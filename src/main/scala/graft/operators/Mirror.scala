@@ -22,8 +22,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Mirror {
 
-  /** 60-bit hash of a string expression via md5 hex prefix. */
-  def hash60(c: Column): Column =
+  /** 60-bit hash of a string expression via md5 hex prefix — the native
+    * digest-to-long expression ([[graft.functions.Md5Hash60]]),
+    * value-identical to `conv(substring(md5(c), 1, 15), 16, 10)`. */
+  def hash60(c: Column): Column = graft.functions.Md5Hash60.front(c)
+
+  /** The declarative built-in form of [[hash60]] (kept as the executable
+    * specification the native expression is tested against). */
+  def hash60Spec(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** DuckDB fragment mirroring [[hash60]]. */
@@ -31,9 +37,11 @@ object Mirror {
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
   /** Second independent 60-bit hash from the SAME md5 digest (hex chars
-    * 16..30): one digest yields both Carter-Wegman base hashes — halves the
-    * md5 work of signature pipelines. */
-  def hash60b(c: Column): Column =
+    * 16..30). */
+  def hash60b(c: Column): Column = graft.functions.Md5Hash60.back(c)
+
+  /** Declarative specification of [[hash60b]]. */
+  def hash60bSpec(c: Column): Column =
     conv(substring(md5(c), 16, 15), 16, 10).cast(LongType)
 
   /** DuckDB fragment mirroring [[hash60b]]. */
