@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -189,7 +190,75 @@ object Extended {
         .orderBy(col("event_type"))
   }
 
+  /** Full CUBE over two dimensions (all four grouping sets). */
+  val q41Cube = QueryDef(
+    "q41_cube",
+    s"""SELECT p_brand, p_type, COUNT(*) AS n_parts,
+       |  ${sqlAvg("p_retailprice")} AS avg_price
+       |FROM part
+       |GROUP BY CUBE(p_brand, p_type)
+       |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin) {
+    (spark, dir) =>
+      Tables(spark, dir, "part")
+        .cube(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n_parts"),
+          davg(col("p_retailprice")).as("avg_price"))
+        .orderBy(col("p_brand").asc_nulls_first, col("p_type").asc_nulls_first)
+  }
+
+  /** Edit-distance self-join on a tiny dimension: levenshtein is the same
+    * integer DP in both engines, so thresholds compare exactly. Quadratic
+    * on a dimension table only — never on a fact table. */
+  val q42EditDistance = QueryDef(
+    "q42_edit_distance",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+      |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |WHERE levenshtein(a.n_name, b.n_name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin) { (spark, dir) =>
+    val n = Tables(spark, dir, "nation")
+    val a = n.select(col("n_nationkey").as("key_a"), col("n_name").as("name_a"))
+    val b = n.select(col("n_nationkey").as("key_b"), col("n_name").as("name_b"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Exact per-group median (lower element, no interpolation) via
+    * row_number — the deterministic form of percentile for the oracle;
+    * approx at scale is percentile_approx (sketch, q39's family). */
+  val q43ExactMedian = QueryDef(
+    "q43_exact_median",
+    """SELECT o_orderpriority,
+      |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN o_totalprice END) AS median_price,
+      |  MAX(cnt) AS n_orders
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wc = Window.partitionBy(col("o_orderpriority"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === ((col("cnt") + 1) / 2).cast(LongType),
+          col("o_totalprice"))).as("median_price"),
+        max(col("cnt")).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
-    q38SaltedAgg, q39ApproxDistinct)
+    q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
+    q43ExactMedian)
 }
