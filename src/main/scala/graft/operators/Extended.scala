@@ -257,8 +257,75 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** As-of join (an operator Spark lacks natively; DuckDB's native ASOF
+    * JOIN is the oracle): each event picks up the most recent hourly rate
+    * marker at-or-before its timestamp for its type. Composed Spark-first
+    * as union + last-ignoreNulls window: tag rate rows 0 / event rows 1,
+    * sort each key partition by (ts, tag), and carry the last seen rate
+    * forward — ONE shuffle on the key, no range-condition join explosion,
+    * and at 100 TB the pattern holds because state per key is a single
+    * carried value, not a buffered range. */
+  val q44AsofJoin = QueryDef(
+    "q44_asof_join",
+    """WITH rates AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS rate_ts,
+      |    MIN(value) AS rate
+      |  FROM events GROUP BY 1, 2)
+      |SELECT e.event_id, e.event_type, e.value, r.rate_ts, r.rate
+      |FROM events e ASOF JOIN rates r
+      |  ON e.event_type = r.event_type AND r.rate_ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+    val events = Tables(spark, dir, "events")
+    val rates = events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(min(col("value")).as("rate"))
+      .select(col("event_type"), col("window.start").as("ts"),
+        lit(0).as("tag"), col("rate"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(null).cast(DoubleType).as("value"))
+    val tagged = events.select(col("event_type"), col("ts"),
+      lit(1).as("tag"), lit(null).cast(DoubleType).as("rate"),
+      col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rates.unionAll(tagged)
+      .withColumn("carried_rate", last(col("rate"), ignoreNulls = true).over(w))
+      .withColumn("carried_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("carried_rate").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("carried_ts").as("rate_ts"), col("carried_rate").as("rate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Equi + range join (the at-scale interval-join shape): lineitems
+    * shipped within 60 days of their order's date. The equi key carries the
+    * shuffle; the range condition is a post-join residual filter — Catalyst
+    * plans a sort-merge join on the key with the band as `joinCondition`,
+    * never a cross product. */
+  val q45RangeJoin = QueryDef(
+    "q45_range_join",
+    """SELECT o_orderpriority, COUNT(*) AS n_shipped
+      |FROM orders JOIN lineitem
+      |  ON o_orderkey = l_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val orders = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    orders.join(li,
+      col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
     q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
-    q43ExactMedian)
+    q43ExactMedian, q44AsofJoin, q45RangeJoin)
 }
