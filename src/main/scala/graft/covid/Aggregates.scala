@@ -32,6 +32,8 @@ object Aggregates {
         col("continent_new_deaths"), col("continent_avg_death_rate"),
         col("countries_count"), col("continent_total_cases"),
         current_timestamp().as("processed_at"))
+      // faithful mirror of covid_streaming.py:179 — a no-op here (the
+      // groupBy keys already guarantee uniqueness), kept for 1:1 semantics
       .dropDuplicates(Seq("continent_window_start", "continent"))
 
   /** Hotspot rows (covid_streaming.py:185-191): OR-predicate, first per

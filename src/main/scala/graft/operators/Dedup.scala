@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * — the rest is the 100 TB extension surface).
   *
   * Scale design:
-  *  - MinHash-LSH: per-row signatures (narrow map, one md5 per shingle +
-  *    integer Carter-Wegman combinations), explode to (band, hash) keys,
+  *  - MinHash-LSH: per-row signatures (narrow map, two digest windows per
+  *    shingle + integer Carter-Wegman combinations), explode to (band, hash) keys,
   *    shuffle ONLY the band hashes + ids, generate candidate pairs inside
   *    each bucket (groupBy + local pair expansion, not a self-join that
   *    recomputes the signature pipeline), then join candidate id-pairs back
@@ -63,8 +63,8 @@ object Dedup {
   private val HashP = 562949953421311L // 2^49 - 1
 
   /** MinHash + LSH near-duplicate detection: 16 min-hashes over 3-word
-    * shingles (one md5 per shingle yielding two 60-bit base hashes + cheap
-    * integer combinations, not 16 md5 passes), banded 4×4; docs sharing a band bucket are
+    * shingles (two 60-bit digest windows per shingle + cheap integer
+    * combinations, not 16 md5 passes), banded 4×4; docs sharing a band bucket are
     * candidates; candidates verified with exact Jaccard >= 0.5. */
   val q19DedupMinhashLsh = QueryDef(
     "q19_dedup_minhash_lsh",
@@ -100,9 +100,9 @@ object Dedup {
     // persist it once (Spark dedupes the cache entry by logical plan).
     val sh = shingleSets(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Signature pipeline, fully codegen: explode shingles to rows, ONE md5
-    // per row yields both 60-bit base hashes (front and back digest halves),
-    // and the 16 minhash values come out of a single hash aggregation of
+    // Signature pipeline, fully codegen: explode shingles to rows, take the
+    // front/back 60-bit md5 digest windows as the two base hashes, and the
+    // 16 minhash values come out of a single hash aggregation of
     // min(h1 + j*(h2%P)). Map-side partial mins collapse each doc to one row
     // before the shuffle, and no interpreted lambda touches the hot path.
     // (MinHash of a multiset equals the set's — duplicates can't change a

@@ -68,6 +68,7 @@ object Multimodal {
       .select(col("doc_id"), hex(bin).as("hx"),
         ((length(bin) + (FrameBytes - 1)) / FrameBytes).cast(LongType)
           .as("n_frames"))
+      .filter(col("n_frames") > 0) // sequence(0, -1) would descend, not empty
       .select(col("doc_id"), col("hx"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("j"))
       .filter(col("j") % FrameStride === 0)

@@ -56,7 +56,10 @@ object Pipeline {
             org.apache.spark.sql.types.StructField("k", LongType))))
           .getField("k").as("k"))
       .select(col("event_id"), col("k"),
-        to_json(struct(col("event_id"), col("k"))).as("reencoded"))
+        // keep null fields: DuckDB's to_json emits "k":null, Spark's
+        // default ignoreNullFields would drop the key entirely
+        to_json(struct(col("event_id"), col("k")),
+          Map("ignoreNullFields" -> "false")).as("reencoded"))
       .orderBy(col("event_id"))
   }
 

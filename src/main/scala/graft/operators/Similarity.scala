@@ -154,6 +154,13 @@ object Similarity {
        |SELECT label, pos,
        |  ${sqlFoldSum("xs")} / CAST(n AS DOUBLE) AS centroid
        |FROM g ORDER BY label, pos""".stripMargin) { (spark, dir) =>
+    centroidByPos(spark, dir).orderBy(col("label"), col("pos"))
+  }
+
+  /** Per-(label, position) centroid with the deterministic ordered fold —
+    * the single source of the centroid math shared by q25's output and
+    * q40's coarse quantizer (they must stay bit-identical). */
+  private def centroidByPos(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -164,7 +171,6 @@ object Similarity {
       .select(col("label"), col("pos"),
         (foldSum(transform(col("vs"), v => v.getField("x").cast(DoubleType)))
           / col("n").cast(DoubleType)).as("centroid"))
-      .orderBy(col("label"), col("pos"))
   }
 
   /** Squared-L2 distance between a float vector and a double centroid,
@@ -192,23 +198,14 @@ object Similarity {
        |cv AS (SELECT label AS cell, list(cx ORDER BY pos) AS cvec
        |  FROM cent GROUP BY label)""".stripMargin
 
-  /** Centroid vectors as one array per cell (deterministic: q25's fold). */
-  private def centroidVectors(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("label"), col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-    e.groupBy(col("label"), col("pos").cast(LongType).as("pos"))
-      .agg(
-        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("vs"),
-        count(lit(1)).as("n"))
-      .select(col("label"),col("pos"),
-        (foldSum(transform(col("vs"), v => v.getField("x").cast(DoubleType)))
-          / col("n").cast(DoubleType)).as("cx"))
+  /** Centroid vectors as one array per cell, from [[centroidByPos]]. */
+  private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    centroidByPos(spark, dir)
       .groupBy(col("label").as("cell"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("centroid"))))
+        .as("cs"))
       .select(col("cell"),
-        transform(col("cs"), s => s.getField("cx")).as("cvec"))
-  }
+        transform(col("cs"), s => s.getField("centroid")).as("cvec"))
 
   /** IVF ANN (the centroid-bucketed scale path next to LSH q24): a coarse
     * quantizer of per-label centroids assigns every vector to its nearest

@@ -82,17 +82,20 @@ object TextAnalysis {
        |    CAST(len($sqlWords) AS BIGINT) AS n_tokens,
        |    CAST(${sqlCountIn(stopEn)} AS DOUBLE)
        |      / CAST(len($sqlWords) AS DOUBLE) AS stop_ratio,
-       |    CAST(strlen(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-       |      / CAST(strlen(text) AS DOUBLE) AS alpha_ratio
+       |    CASE WHEN strlen(text) > 0
+       |      THEN CAST(strlen(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |        / CAST(strlen(text) AS DOUBLE)
+       |      ELSE 0.0 END AS alpha_ratio
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val w = words(col("text"))
     val nTokens = size(w).cast(LongType)
     val stopRatio = countIn(w, stopEn).cast(DoubleType) /
       size(w).cast(DoubleType)
-    val alphaRatio =
+    // guarded: on empty text Spark's 0/0 is NULL but DuckDB's is NaN
+    val alphaRatio = when(length(col("text")) > 0,
       length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
-        length(col("text")).cast(DoubleType)
+        length(col("text")).cast(DoubleType)).otherwise(0.0)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), nTokens.as("n_tokens"),
         stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"))

@@ -62,11 +62,20 @@ object Sessions {
               val t = c.ts.getTime
               open match {
                 case Some(s) if t - s.lastMs > gapMs =>
+                  // gap after the open session: close it, start fresh
                   closed += close(user, s)
                   open = Some(SessionState(t, t, 1L, c.value))
+                case Some(s) if s.startMs - t > gapMs =>
+                  // late event more than a gap BEFORE the open session: it
+                  // can only belong to an earlier, already-gapped session —
+                  // emit it as its own closed session, keep the open one
+                  closed += Session(user, new Timestamp(t), new Timestamp(t),
+                    1L, c.value)
                 case Some(s) =>
-                  open = Some(SessionState(s.startMs, math.max(s.lastMs, t),
-                    s.nEvents + 1, s.sumValue + c.value))
+                  // within a gap of the session (possibly before its start:
+                  // extend both edges)
+                  open = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.nEvents + 1, s.sumValue + c.value))
                 case None =>
                   open = Some(SessionState(t, t, 1L, c.value))
               }

@@ -49,13 +49,15 @@ class FloatVectorSpec extends AnyFunSuite with SparkTestSession {
     val df = Seq(
       (1L, Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
       (2L, None, Some(Seq(3f, 4f))),
-      (3L, Some(Seq.empty[Float]), Some(Seq.empty[Float])))
+      (3L, Some(Seq.empty[Float]), Some(Seq.empty[Float])),
+      (4L, Some(Seq(1f, 2f, 3f)), Some(Seq(1f))))
       .toDF("id", "a", "b")
       .select(col("id"), FloatVector.dot(col("a"), col("b")).as("d"))
       .orderBy("id").collect()
     assert(df(0).getDouble(1) == 11.0)
     assert(df(1).isNullAt(1))
     assert(df(2).getDouble(1) == 0.0)
+    assert(df(3).isNullAt(1)) // ragged arrays are null, like the zip_with spec
   }
 
   test("expression participates in whole-stage codegen") {
