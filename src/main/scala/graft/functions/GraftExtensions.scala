@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the native expressions as SQL functions:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *   // or .withExtensions(new GraftExtensions)
+  * spark.sql("SELECT float_dot(a, b), md5_hash60(s) FROM t")
+  * }}}
+  *
+  * The Column API ([[FloatVector]], [[Md5Hash60]]) needs no registration;
+  * this makes the same expressions reachable from pure SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      info("float_dot",
+        "float_dot(a, b) - dot product of two float arrays in double, " +
+          "index order; null for ragged inputs"),
+      (children: Seq[Expression]) =>
+        FloatDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash60"),
+      info("md5_hash60",
+        "md5_hash60(s) - first 15 md5 hex chars of s as a 60-bit bigint"),
+      (children: Seq[Expression]) => Md5Hash60(children.head, front = true)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash60b"),
+      info("md5_hash60b",
+        "md5_hash60b(s) - md5 hex chars 16..30 of s as a 60-bit bigint"),
+      (children: Seq[Expression]) => Md5Hash60(children.head, front = false)))
+  }
+}
