@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -17,28 +17,39 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * this makes the same expressions reachable from pure SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "4.0.0", "", "built-in")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("float_dot"),
+  /** The registration triples, shared by the extension (session build time)
+    * and [[registerInto]] (existing session). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_dot"),
       info("float_dot",
         "float_dot(a, b) - dot product of two float arrays in double, " +
           "index order; null for ragged inputs"),
       (children: Seq[Expression]) =>
-        FloatDotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("md5_hash60"),
+        FloatDotProduct(children(0), children(1))),
+    (FunctionIdentifier("md5_hash60"),
       info("md5_hash60",
         "md5_hash60(s) - first 15 md5 hex chars of s as a 60-bit bigint"),
-      (children: Seq[Expression]) => Md5Hash60(children.head, front = true)))
-    ext.injectFunction((
-      FunctionIdentifier("md5_hash60b"),
+      (children: Seq[Expression]) => Md5Hash60(children.head, front = true)),
+    (FunctionIdentifier("md5_hash60b"),
       info("md5_hash60b",
         "md5_hash60b(s) - md5 hex chars 16..30 of s as a 60-bit bigint"),
       (children: Seq[Expression]) => Md5Hash60(children.head, front = false)))
-  }
+
+  /** Register into an already-built session (the extension path only runs
+    * at session construction). */
+  def registerInto(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 }

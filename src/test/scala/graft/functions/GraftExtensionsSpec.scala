@@ -1,22 +1,16 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import graft.covid.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The injected SQL functions must resolve and agree with the Column API.
-  * Needs its own session (extensions bind at session build). */
-class GraftExtensionsSpec extends AnyFunSuite {
-
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+/** The registered SQL functions must resolve and agree with the declarative
+  * specs. Uses registerInto on the shared session — the extension class
+  * itself only runs at session build, and the suite-wide session may
+  * already exist. */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
 
   test("float_dot and md5_hash60 are callable from SQL") {
+    GraftExtensions.registerInto(spark)
     val rows = spark.sql(
       """SELECT
         |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
