@@ -123,27 +123,30 @@ object Extended {
        |FROM pairs
        |WHERE inter / (tot - inter) >= $NgramJaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // inverted index: one distinct row per (block, shingle, doc), built with
-    // codegen explode + hash-aggregate distinct (no per-array lambdas); set
-    // sizes rejoin from a tiny per-doc count
-    val rows = Tables(spark, dir, "documents")
+    // ONE string shuffle total: groupBy (block, shingle) with collect_set
+    // both dedups repeated (doc, shingle) pairs and builds the posting list
+    // in a single hash aggregation; per-pair intersection counts fall out of
+    // a second (tiny, all-longs) aggregation; distinct-set sizes come from a
+    // narrow projection over documents — no shuffle at all.
+    val buckets = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
         explode(shingleGen(col("text"))).as("s"))
-      .distinct()
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ex = rows.join(broadcast(sizes), "doc_id")
-    val inter = ex
       .groupBy(col("lang"), col("len_bucket"), col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
-        .as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(pairs(col("ds"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.n").as("n_a"), col("p.b.n").as("n_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val interCounts = buckets
+      .select(explode(pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val sizes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(shingles3(col("text"))).as("n"))
+    interCounts
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           ((col("n_a") + col("n_b")).cast(DoubleType) -
