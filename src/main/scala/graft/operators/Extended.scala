@@ -327,8 +327,34 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Explicit GROUPING SETS with grouping_id, via the engine's SQL entry
+    * point (the Dataset API only exposes rollup/cube; arbitrary grouping
+    * sets are SQL-native in both engines). Also demonstrates temp-view
+    * registration — the spark.sql path a BI tool would take. */
+  val q46GroupingSets = QueryDef(
+    "q46_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+      |    AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
     q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
-    q43ExactMedian, q44AsofJoin, q45RangeJoin)
+    q43ExactMedian, q44AsofJoin, q45RangeJoin, q46GroupingSets)
 }
