@@ -353,8 +353,32 @@ object Extended {
         |  o_orderpriority NULLS FIRST""".stripMargin)
   }
 
+  /** Native per-key top-k ([[graft.plans.TopK]]): the custom LogicalPlan +
+    * Strategy + SparkPlan operator replacing the window-sort form of q10 —
+    * bounded per-key heaps after one shuffle, no sort of the input. The
+    * oracle is the row_number formulation (they are definitionally
+    * equivalent given the deterministic tie-break). */
+  val q47TopkNative = QueryDef(
+    "q47_topk_native",
+    """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rank
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin) { (spark, dir) =>
+    graft.plans.TopK.perKey(
+      Tables(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+      3, Seq("c_nationkey"),
+      Seq(("c_acctbal", false), ("c_custkey", true)))
+      .orderBy(col("c_nationkey"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
     q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
-    q43ExactMedian, q44AsofJoin, q45RangeJoin, q46GroupingSets)
+    q43ExactMedian, q44AsofJoin, q45RangeJoin, q46GroupingSets,
+    q47TopkNative)
 }

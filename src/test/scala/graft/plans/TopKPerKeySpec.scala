@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native top-k operator must return exactly what the window form
+  * returns (same rows, same ranks) while planning without a Sort of the
+  * input. */
+class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def randomRows(n: Int) = {
+    val rnd = new scala.util.Random(11)
+    (0 until n).map(i =>
+      (i.toLong, rnd.nextInt(10), math.round(rnd.nextDouble() * 1e6) / 100.0))
+      .toDF("id", "grp", "score")
+  }
+
+  test("matches the row_number window form exactly") {
+    val df = randomRows(5000).repartition(7)
+    val native = TopK.perKey(df, 3, Seq("grp"),
+      Seq(("score", false), ("id", true)))
+      .select(col("grp"), col("id"), col("score"), col("rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id"))
+    val windowed = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("grp"), col("id"), col("score"), col("rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(native == windowed)
+  }
+
+  test("keys with fewer than k rows keep all rows") {
+    val df = Seq((1L, 1, 5.0), (2L, 1, 3.0), (3L, 2, 1.0))
+      .toDF("id", "grp", "score")
+    val out = TopK.perKey(df, 10, Seq("grp"), Seq(("score", false)))
+      .collect()
+    assert(out.length == 3)
+  }
+
+  test("plans without sorting the input") {
+    val df = randomRows(1000)
+    val native = TopK.perKey(df, 3, Seq("grp"),
+      Seq(("score", false), ("id", true)))
+    native.collect()
+    val plan = native.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort "), plan) // no Sort operator anywhere
+  }
+}
