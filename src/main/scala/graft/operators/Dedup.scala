@@ -96,10 +96,10 @@ object Dedup {
        |FROM jac
        |WHERE inter / (tot - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // The distinct-shingle table feeds both sides of the verification join —
-    // persist it once (Spark dedupes the cache entry by logical plan).
+    // The distinct-shingle table feeds both sides of the verification join;
+    // it is cheap to recompute (one narrow projection), so no persist — a
+    // cache materialization would cost more than the recompute.
     val sh = shingleSets(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signature pipeline, fully codegen: explode shingles to rows, take the
     // front/back 60-bit md5 digest windows as the two base hashes, and the
     // 16 minhash values come out of a single hash aggregation of
@@ -139,7 +139,8 @@ object Dedup {
       .select(explode(pairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Join candidate id-pairs back to shingle sets for exact verification.
+    // Join candidate id-pairs back to shingle sets for exact verification
+    // (AQE broadcasts the tiny pair side at runtime).
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
