@@ -108,7 +108,9 @@ final case class TopKPerKeyExec(
 object TopK {
 
   /** Top `k` rows per key by `orderBy` (`(column, ascending)` pairs, later
-    * entries as tie-breaks), with a 1-based `rank` column appended.
+    * entries as tie-breaks), with a 1-based `rank` column appended. For a
+    * deterministic result the ordering should be total (include a unique
+    * tie-break column) — same caveat as the row_number window form.
     * Columns are resolved by name against the input's analyzed plan (a
     * custom logical node's expressions are not visited by the analyzer's
     * column resolution, so they must enter pre-resolved). Registers
