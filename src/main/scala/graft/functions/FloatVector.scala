@@ -32,20 +32,25 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // ragged arrays and null elements yield null even when both inputs are
+  // non-null columns
+  override def nullable: Boolean = true
+
   override def prettyName: String = "float_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    // ragged arrays yield null, exactly like the zip_with spec (whose
-    // null-padding poisons the fold) — a partial dot must never pass
-    // silently for a corrupt vector
+    // ragged arrays / null elements yield null, exactly like the zip_with
+    // spec (whose null-padding poisons the fold) — a partial or corrupted
+    // dot must never pass silently
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -66,9 +71,15 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

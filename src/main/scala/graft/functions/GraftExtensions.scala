@@ -26,6 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def checkArity(name: String, expected: Int,
+      children: Seq[Expression]): Unit =
+    if (children.size != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.size.toString,
+          "docroot" -> ""))
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "4.0.0", "", "built-in")
@@ -38,16 +49,24 @@ object GraftExtensions {
       info("float_dot",
         "float_dot(a, b) - dot product of two float arrays in double, " +
           "index order; null for ragged inputs"),
-      (children: Seq[Expression]) =>
-        FloatDotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        checkArity("float_dot", 2, children)
+        FloatDotProduct(children(0), children(1))
+      }),
     (FunctionIdentifier("md5_hash60"),
       info("md5_hash60",
         "md5_hash60(s) - first 15 md5 hex chars of s as a 60-bit bigint"),
-      (children: Seq[Expression]) => Md5Hash60(children.head, front = true)),
+      (children: Seq[Expression]) => {
+        checkArity("md5_hash60", 1, children)
+        Md5Hash60(children.head, front = true)
+      }),
     (FunctionIdentifier("md5_hash60b"),
       info("md5_hash60b",
         "md5_hash60b(s) - md5 hex chars 16..30 of s as a 60-bit bigint"),
-      (children: Seq[Expression]) => Md5Hash60(children.head, front = false)))
+      (children: Seq[Expression]) => {
+        checkArity("md5_hash60b", 1, children)
+        Md5Hash60(children.head, front = false)
+      }))
 
   /** Register into an already-built session (the extension path only runs
     * at session construction). */

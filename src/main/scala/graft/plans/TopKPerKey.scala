@@ -79,9 +79,15 @@ final case class TopKPerKeyExec(
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        val key = keyProj(row) // reused buffer: only copy on first sight
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue
+              .empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()
@@ -117,6 +123,9 @@ object TopK {
     * [[TopKStrategy]] on the session (idempotent). */
   def perKey(df: DataFrame, k: Int, partCols: Seq[String],
       orderBy: Seq[(String, Boolean)]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(partCols.nonEmpty, "at least one partition column required")
+    require(orderBy.nonEmpty, "at least one ordering column required")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

@@ -35,8 +35,10 @@ class RunningTotalsProcessor
       if (totals.exists()) totals.get()
       else UserTotals(key, 0L, 0.0, new java.sql.Timestamp(0L))
     val updated = rows.foldLeft(prev) { (acc, c) =>
+      // a malformed record with a null timestamp must not kill the query
+      val newer = c.ts != null && c.ts.after(acc.last_ts)
       UserTotals(key, acc.n_events + 1, acc.sum_value + c.value,
-        if (c.ts.after(acc.last_ts)) c.ts else acc.last_ts)
+        if (newer) c.ts else acc.last_ts)
     }
     totals.update(updated)
     Iterator.single(updated)

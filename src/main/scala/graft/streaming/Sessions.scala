@@ -55,36 +55,32 @@ object Sessions {
             state.remove()
             Iterator(close(user, s))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { c =>
-              val t = c.ts.getTime
-              open match {
-                case Some(s) if t - s.lastMs > gapMs =>
-                  // gap after the open session: close it, start fresh
-                  closed += close(user, s)
-                  open = Some(SessionState(t, t, 1L, c.value))
-                case Some(s) if s.startMs - t > gapMs =>
-                  // late event more than a gap BEFORE the open session: it
-                  // can only belong to an earlier, already-gapped session —
-                  // emit it as its own closed session, keep the open one
-                  closed += Session(user, new Timestamp(t), new Timestamp(t),
-                    1L, c.value)
-                case Some(s) =>
-                  // within a gap of the session (possibly before its start:
-                  // extend both edges)
-                  open = Some(SessionState(math.min(s.startMs, t),
-                    math.max(s.lastMs, t), s.nEvents + 1, s.sumValue + c.value))
-                case None =>
-                  open = Some(SessionState(t, t, 1L, c.value))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.result().iterator
+            // Interval merge: treat the carried-over open session and every
+            // incoming event as intervals sorted by start, merging neighbors
+            // within the gap — correct for any interleaving of late and
+            // in-order events. The last merged interval stays open; earlier
+            // ones can never grow again (anything nearer than a gap would
+            // have merged) and are emitted closed.
+            val items = (state.getOption.toSeq ++
+              it.map(c => SessionState(c.ts.getTime, c.ts.getTime, 1L,
+                c.value)))
+              .sortBy(_.startMs)
+            val merged = items.foldLeft(List.empty[SessionState]) {
+              case (h :: tl, s) if s.startMs - h.lastMs <= gapMs =>
+                SessionState(h.startMs, math.max(h.lastMs, s.lastMs),
+                  h.nEvents + s.nEvents, h.sumValue + s.sumValue) :: tl
+              case (acc, s) => s :: acc
+            }.reverse
+            val open = merged.last
+            state.update(open)
+            // The eviction watermark may already sit past lastMs + gap when
+            // a late-but-accepted event arrives (the late filter uses the
+            // PREVIOUS batch's watermark) — an unclamped timestamp would
+            // throw and kill the query; the clamped timer fires on the next
+            // watermark advance, closing the session as intended.
+            state.setTimeoutTimestamp(
+              math.max(open.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+            merged.init.map(close(user, _)).iterator
           }
       }
   }

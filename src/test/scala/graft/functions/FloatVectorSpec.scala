@@ -58,6 +58,14 @@ class FloatVectorSpec extends AnyFunSuite with SparkTestSession {
     assert(df(1).isNullAt(1))
     assert(df(2).getDouble(1) == 0.0)
     assert(df(3).isNullAt(1)) // ragged arrays are null, like the zip_with spec
+    // a null ELEMENT also nulls the result (poisoned fold), even though the
+    // array columns themselves are non-null
+    val withNullElem = Seq(
+      (1L, Seq(Some(1f), None, Some(3f)), Seq(Some(1f), Some(2f), Some(3f))))
+      .toDF("id", "a", "b")
+      .select(FloatVector.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(withNullElem.isNullAt(0))
   }
 
   test("expression participates in whole-stage codegen") {
