@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Headline benchmark: times every `SparkEntry.queries` entry at the SF
+  * pointed to by SPARK_GRAFT_SF_DIR and emits ONE machine-readable JSON
+  * line. Per-query numbers are the MIN over `SPARK_GRAFT_BENCH_ITERS`
+  * timed iterations (default 3) — run-to-run swing on a busy host is
+  * ±50%, so a single-shot number is noise, not signal. The same JSON is
+  * also written to `bench_result.json` (or SPARK_GRAFT_BENCH_OUT) so the
+  * perf gate never depends on stdout scraping surviving sbt's logger.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,22 +34,32 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query reports -1, not its elapsed time — a crashing query
-      // must never read as a fast one
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Exception =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+      // min-of-N: each iteration re-executes the full plan (count() is
+      // never cached); the min strips GC/JIT/compaction noise. A failed
+      // query reports -1, not its elapsed time — a crashing query must
+      // never read as a fast one. Catch Throwable, not Exception: an OOM
+      // or codegen LinkageError in one query must not lose the whole run.
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name failed: ${t.getMessage}")
+            -1.0
+        }
       }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(outPath)
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () } // file write is best-effort; stdout is canonical
+    println(json)
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.covid
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DoubleType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, TimestampType}
 
 /** Cleansing + derived-metric stage (covid_streaming.py:120-150), as one
   * declarative projection.
@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType}
   */
 object Clean {
 
-  /** Sentinel-aware string→double cast (covid_streaming.py:121-132). */
+  /** Sentinel-aware string→double cast (covid_streaming.py:121-132).
+    *
+    * `try_cast`, not `cast`: Spark 4 defaults `spark.sql.ansi.enabled=true`,
+    * under which a plain cast of a malformed non-sentinel string ("N/A",
+    * "abc") THROWS and kills the whole batch. The Spark 3.5 reference runs
+    * non-ANSI where the same cast yields NULL — try_cast restores exactly
+    * that never-fail-the-batch posture without turning ANSI off globally. */
   def sentinelDouble(c: Column): Column =
     when(trim(c).isin("", "null", "NULL"), lit(0.0))
-      .otherwise(trim(c).cast(DoubleType))
+      .otherwise(trim(c).try_cast(DoubleType))
 
   /** Guarded rounded ratio (covid_streaming.py:133-145): num/den (optionally
     * scaled) rounded to `scale` decimals when den > 0, else 0.0. */
@@ -42,8 +48,9 @@ object Clean {
     val population = sentinelDouble(col("population"))
     df.select(
       col("uuid"), col("continent"), col("location"), col("iso_code"),
-      to_date(col("date")).as("date"),
-      to_timestamp(col("timestamp")).as("timestamp"),
+      // try_cast ≡ non-ANSI to_date/to_timestamp: malformed → NULL, never throw
+      col("date").try_cast(DateType).as("date"),
+      col("timestamp").try_cast(TimestampType).as("timestamp"),
       totalCases.as("total_cases"),
       newCases.as("new_cases"),
       totalDeaths.as("total_deaths"),
@@ -62,7 +69,7 @@ object Clean {
       guardedRatio(newCases, totalCases, 6).as("new_cases_ratio"),
       guardedRatio(totalCases, population, 6)
         .as("cases_to_population_ratio"),
-      col("is_hotspot").cast(BooleanType).as("is_hotspot"),
+      col("is_hotspot").try_cast(BooleanType).as("is_hotspot"),
       current_timestamp().as("processing_time"))
   }
 

@@ -43,15 +43,33 @@ object BatchSink {
 object Stream {
 
   /** Kafka streaming source declaration (covid_streaming.py:206-212).
-    * Plan-only: nothing connects until the query starts. */
+    * Plan-only: nothing connects until the query starts.
+    *
+    * @param maxOffsetsPerTrigger rate limit (SURVEY §2.9-T7): caps records
+    *   per micro-batch so a backlogged topic can't produce an unboundedly
+    *   large first batch after downtime. The file-source twin is
+    *   `maxFilesPerTrigger` (exercised in StreamSpec — no broker in env). */
   def kafkaSource(spark: SparkSession, bootstrapServers: String,
-      topic: String): DataFrame =
-    spark.readStream.format("kafka")
+      topic: String, maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .option("failOnDataLoss", "false")
-      .load()
+    maxOffsetsPerTrigger.fold(base)(n =>
+      base.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
+
+  /** CSV file source with the reference's ingestion schema (S2,
+    * covid_producer.py:26-31): header-skipping, all-string schema-on-read —
+    * the batch twin of what the reference's producer reads before pushing
+    * rows to Kafka. Use `spark.readStream.schema(Schema.raw).csv(dir)` for
+    * the streaming variant (same schema object). */
+  def csvSource(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schema.raw)
+      .csv(path)
 
   /** JSON decode (S3, covid_streaming.py:214-217): value bytes → string →
     * struct → 19 flat columns. Works on any DataFrame with a `value`
@@ -72,24 +90,34 @@ object Stream {
     */
   def processBatch(batch: DataFrame, epochId: Long, sink: BatchSink): Unit = {
     if (batch.isEmpty) return
-    val cleaned = Clean.clean(batch).persist()
+    // Batch-level swallow mirroring the reference's try/except around all of
+    // process_batch (covid_streaming.py:111-198): one poisoned batch logs
+    // and is skipped; the streaming query never dies. Per-table sink errors
+    // are additionally swallowed inside BatchSink.jdbc. NonFatal only — an
+    // OOM or ControlThrowable still propagates.
     try {
-      val realtime = cleaned.dropDuplicates(Seq("location", "date"))
-      sink.write(realtime, "covid_realtime_stats", epochId)
+      val cleaned = Clean.clean(batch).persist()
+      try {
+        val realtime = cleaned.dropDuplicates(Seq("location", "date"))
+        sink.write(realtime, "covid_realtime_stats", epochId)
 
-      val preds = Predict.predictFutureTrends(realtime)
-        .dropDuplicates(Seq("location", "prediction_date"))
-      if (!preds.isEmpty)
-        sink.write(preds, "covid_predictions", epochId)
+        val preds = Predict.predictFutureTrends(realtime)
+          .dropDuplicates(Seq("location", "prediction_date"))
+        if (!preds.isEmpty)
+          sink.write(preds, "covid_predictions", epochId)
 
-      val continent = Aggregates.continentStats(cleaned)
-      if (!continent.isEmpty)
-        sink.write(continent, "continent_covid_stats", epochId)
+        val continent = Aggregates.continentStats(cleaned)
+        if (!continent.isEmpty)
+          sink.write(continent, "continent_covid_stats", epochId)
 
-      val hot = Aggregates.hotspots(cleaned)
-      if (!hot.isEmpty)
-        sink.write(hot, "covid_hotspots", epochId)
-    } finally cleaned.unpersist()
+        val hot = Aggregates.hotspots(cleaned)
+        if (!hot.isEmpty)
+          sink.write(hot, "covid_hotspots", epochId)
+      } finally cleaned.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[covid-stream] batch $epochId failed: $e")
+    }
   }
 
   /** Start the full pipeline on a decoded (19-column) streaming DataFrame.

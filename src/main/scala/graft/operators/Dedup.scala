@@ -81,10 +81,15 @@ object Dedup {
        |      sig[(CAST(b.range AS INTEGER)*$Rows+1):(CAST(b.range AS INTEGER)*$Rows+$Rows)],
        |      ',')) AS band_hash
        |  FROM sig CROSS JOIN range($Bands) b),
+       |ranked AS (SELECT doc_id, band_idx, band_hash,
+       |    row_number() OVER (PARTITION BY band_idx, band_hash
+       |                       ORDER BY doc_id) AS rn
+       |  FROM bands),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM ranked a JOIN ranked b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |   AND a.doc_id < b.doc_id),
+       |   AND a.doc_id < b.doc_id
+       |   AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket}),
        |jac AS (SELECT c.doc_a, c.doc_b,
        |    CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE)
        |      AS inter,
@@ -131,12 +136,11 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
     // Bucket-local pair generation (groupBy + in-array pairs) instead of a
     // bucket self-join: one pass over the signature pipeline, and only
-    // (band_hash, id-list) rows cross the shuffle.
-    val cand = banded
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairs(col("ids"))).as("p"))
+    // (band_hash, id-list) rows cross the shuffle. Bucket width is capped at
+    // Buckets.MaxBucket so a degenerate hot band (boilerplate docs) can't
+    // turn one task into an O(b²) pair explosion.
+    val cand = Buckets.cappedPairs(banded, Seq("band_idx", "band_hash"),
+        "doc_id", "q19_bucket_cap")
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Join candidate id-pairs back to shingle sets for exact verification
@@ -209,10 +213,14 @@ object Dedup {
        |blk AS (SELECT doc_id, simhash, k.range AS k,
        |    (simhash >> CAST(k.range * 15 AS INTEGER)) & 32767 AS blk
        |  FROM sim CROSS JOIN range(4) k),
+       |ranked AS (SELECT doc_id, simhash, k, blk,
+       |    row_number() OVER (PARTITION BY k, blk ORDER BY doc_id) AS rn
+       |  FROM blk),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM blk a JOIN blk b ON a.k = b.k AND a.blk = b.blk
-       |    AND a.doc_id < b.doc_id)
+       |  FROM ranked a JOIN ranked b ON a.k = b.k AND a.blk = b.blk
+       |    AND a.doc_id < b.doc_id
+       |    AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket})
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT)
        |  AS hamming
        |FROM cand
@@ -226,15 +234,14 @@ object Dedup {
     val blk = sim
       .select(col("doc_id"), col("simhash"),
         explode(array(blockStructs: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.k").as("k"),
-        col("b.blk").as("blk"))
-    // Same bucket-groupBy pair generation as q19: avoids recomputing the
-    // simhash pipeline for the second side of a self-join.
-    blk.groupBy(col("k"), col("blk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(pairs(col("ms"))).as("p"))
+      .select(col("b.k").as("k"), col("b.blk").as("blk"),
+        // unique doc_id leads the struct → sort_array orders by it, so the
+        // cap keeps the same ids the oracle's row_number() <= MaxBucket does
+        struct(col("doc_id"), col("simhash")).as("m"))
+    // Same capped bucket-groupBy pair generation as q19: avoids recomputing
+    // the simhash pipeline for the second side of a self-join, and bounds a
+    // degenerate block bucket at O(MaxBucket²) pairs.
+    Buckets.cappedPairs(blk, Seq("k", "blk"), "m", "q21_block_cap")
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.simhash").as("sim_a"), col("p.b.simhash").as("sim_b"))
       .dropDuplicates("doc_a", "doc_b")

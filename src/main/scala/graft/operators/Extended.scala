@@ -100,53 +100,68 @@ object Extended {
     * path (q19) approximates.
     *
     * Implemented as an inverted-index join, not an all-pairs block
-    * cross-product: explode shingles, equi-join on (block, shingle) so the
+    * cross-product: explode shingles, group on (block, shingle) so the
     * per-pair intersection size falls out of a count aggregation, then
     * attach set sizes. Pairs sharing zero shingles (jaccard 0, below any
     * threshold) never materialize — at scale the work is proportional to
-    * the number of co-occurring shingles, not block-size². */
+    * the number of co-occurring shingles, not block-size². Posting lists
+    * are capped at [[Buckets.MaxBucket]] docs (a shingle shared by more is
+    * stopword-like noise; see Buckets for the drop-count observation), and
+    * the oracle applies the identical row_number cut. */
   val q37NgramJaccard = QueryDef(
     "q37_ngram_jaccard",
     s"""WITH sh AS (
        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
        |    $sqlShingles3 AS sh
        |  FROM documents),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE)
-       |      AS inter,
-       |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
-       |  FROM sh a JOIN sh b
-       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-       |   AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
-       |FROM pairs
-       |WHERE inter / (tot - inter) >= $NgramJaccardThreshold
+       |exp AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM sh),
+       |ranked AS (SELECT doc_id, lang, len_bucket, s,
+       |    row_number() OVER (PARTITION BY lang, len_bucket, s
+       |                       ORDER BY doc_id) AS rn
+       |  FROM exp),
+       |ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ranked a JOIN ranked b
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.s = b.s
+       |   AND a.doc_id < b.doc_id
+       |   AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket}
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.inter AS DOUBLE) /
+       |    (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.inter AS DOUBLE)) AS jaccard
+       |FROM ic i
+       |JOIN sz sa ON sa.doc_id = i.doc_a
+       |JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) /
+       |    (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.inter AS DOUBLE))
+       |  >= $NgramJaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // ONE string shuffle total: groupBy (block, shingle) with collect_set
-    // both dedups repeated (doc, shingle) pairs and builds the posting list
-    // in a single hash aggregation; per-pair intersection counts fall out of
-    // a second (tiny, all-longs) aggregation; distinct-set sizes come from a
-    // narrow projection over documents — no shuffle at all.
-    val buckets = Tables(spark, dir, "documents")
+    // ONE string shuffle total: the capped groupBy (block, shingle) with
+    // collect_set both dedups repeated (doc, shingle) pairs and builds the
+    // posting list in a single hash aggregation; per-pair intersection
+    // counts fall out of a second (tiny, all-longs) aggregation;
+    // distinct-set sizes come from a narrow projection over documents — no
+    // shuffle at all. No broadcast hints on the size joins: the pair side is
+    // the small one, and AQE picks the build side at runtime (a hinted
+    // broadcast of the per-document size table would be a driver-side
+    // collect of a corpus-sized relation at 100 TB).
+    val shingleRows = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
         explode(shingleGen(col("text"))).as("s"))
-      .groupBy(col("lang"), col("len_bucket"), col("s"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val interCounts = buckets
-      .select(explode(pairs(col("ids"))).as("p"))
+    val interCounts = Buckets.cappedPairs(shingleRows,
+        Seq("lang", "len_bucket", "s"), "doc_id", "q37_posting_cap",
+        distinctItems = true)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = Tables(spark, dir, "documents")
       .select(col("doc_id"), size(shingles3(col("text"))).as("n"))
     interCounts
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
-        col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
-        col("n").as("n_b"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           ((col("n_a") + col("n_b")).cast(DoubleType) -

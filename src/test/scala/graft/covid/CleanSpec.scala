@@ -29,6 +29,24 @@ class CleanSpec extends AnyFunSuite with SparkTestSession {
     assert(r.isNullAt(r.fieldIndex("total_cases")))
   }
 
+  test("malformed non-sentinel strings yield NULL, not an ANSI throw") {
+    // Spark 4 defaults ansi.enabled=true; the reference (3.5, non-ANSI)
+    // nulls these. try_cast must keep the never-fail-the-batch posture for
+    // every typed column: numerics, boolean, date, timestamp.
+    val r = cleanOf(Fixture.record(
+      "total_cases" -> "N/A", "new_cases" -> "abc",
+      "is_hotspot" -> "maybe", "date" -> "not-a-date",
+      "timestamp" -> "13 o'clock")).head
+    assert(r.isNullAt(r.fieldIndex("total_cases")))
+    assert(r.isNullAt(r.fieldIndex("new_cases")))
+    assert(r.isNullAt(r.fieldIndex("is_hotspot")))
+    assert(r.isNullAt(r.fieldIndex("date")))
+    assert(r.isNullAt(r.fieldIndex("timestamp")))
+    // derived ratios guard on the nulled numerator/denominator: NULL > 0 is
+    // NULL → otherwise branch → 0.0 stays the reference's fallback
+    assert(r.getAs[Double]("death_rate") == 0.0)
+  }
+
   test("derived ratios recompute with divide-by-zero guards") {
     val r = cleanOf(Fixture.record(
       "total_cases" -> "2000", "total_deaths" -> "40",

@@ -55,6 +55,68 @@ class StreamSpec extends AnyFunSuite with SparkTestSession {
     assert(!new java.io.File(s"$outDir/covid_realtime_stats").exists())
   }
 
+  test("K3 producer payload is decode's exact inverse") {
+    val src = Seq(Fixture.record("uuid" -> "1", "location" -> "Egypt"),
+      Fixture.record("uuid" -> "2", "location" -> "Kenya",
+        "total_cases" -> null))
+    val df = Stream.decode(src.toDF("value"))
+    val back = Stream.decode(Produce.kafkaPayload(df))
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
+
+  test("a poisoned batch is swallowed and the query survives") {
+    val input = MemoryStream[String](spark)
+    val ckpt = Files.createTempDirectory("covid-ckpt-bomb").toString
+    @volatile var attempts = 0
+    val bomb: BatchSink = (_, _, _) => {
+      attempts += 1; throw new RuntimeException("sink down")
+    }
+    val query = Stream.run(Stream.decode(input.toDF()), bomb, ckpt)
+    try {
+      input.addData(Fixture.record("uuid" -> "1"))
+      query.processAllAvailable()
+      input.addData(Fixture.record("uuid" -> "2", "date" -> "2021-03-02"))
+      query.processAllAvailable()
+      // both batches were attempted; neither error killed the query
+      assert(attempts >= 2)
+      assert(query.isActive)
+    } finally query.stop()
+  }
+
+  test("rate limiting (T7): maxFilesPerTrigger=1 yields one file per batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("csv-rate").toString
+    val ckpt = Files.createTempDirectory("csv-rate-ckpt").toString
+    val header = Schema.rawFieldNames.mkString(",")
+    def row(u: String) = Seq(u, "Asia", "Egypt", "EGY", "2021-03-01",
+      "2021-03-01 12:00:00", "1000", "100", "10", "1", "500", "1000000",
+      "x", "x", "x", "x", "x", "x", "false").mkString(",")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, s"f$i.csv"), s"$header\n${row(s"u$i")}\n")
+    }
+    // batch twin reads all rows at once
+    assert(Stream.csvSource(spark, dir).count() == 3)
+    @volatile var batchSizes = List.empty[Long]
+    val stream = spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1") // the file-source twin of Kafka's maxOffsetsPerTrigger
+      .schema(Schema.raw)
+      .csv(dir)
+    val q = stream.writeStream
+      .foreachBatch((df: DataFrame, _: Long) => {
+        batchSizes = df.count() :: batchSizes; ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batchSizes.length == 3, s"expected 3 rate-limited batches, got $batchSizes")
+    assert(batchSizes.forall(_ == 1L))
+  }
+
   test("watermarked streaming continent aggregation emits closed windows") {
     val input = MemoryStream[String](spark)
     val agg = Stream.continentStatsStreaming(Stream.decode(input.toDF()))
