@@ -159,7 +159,14 @@ object Similarity {
 
   /** Per-(label, position) centroid with the deterministic ordered fold —
     * the single source of the centroid math shared by q25's output and
-    * q40's coarse quantizer (they must stay bit-identical). */
+    * q40's coarse quantizer (they must stay bit-identical).
+    *
+    * ORACLE FORM ONLY: the per-group `collect_list` buffers every member
+    * value to make the float fold order-exact against DuckDB — group state
+    * grows with corpus size, which does not survive a 100× scale-up. The
+    * production path is [[centroidByPosApprox]] (plain partial-aggregated
+    * `avg`, O(1) state); [[SimilaritySpec]] bounds the difference at 1e-9
+    * on the fixture. */
   private def centroidByPos(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .select(col("label"), col("vec_id"),
@@ -172,6 +179,18 @@ object Similarity {
         (foldSum(transform(col("vs"), v => v.getField("x").cast(DoubleType)))
           / col("n").cast(DoubleType)).as("centroid"))
   }
+
+  /** Production centroid: plain `avg` in double — constant aggregation
+    * state, map-side partials, full codegen; summation order varies with
+    * partitioning so results are ~1e-12-reproducible rather than bit-exact
+    * (the reason the oracle keeps the fold form above). This is the path a
+    * 100 TB pipeline runs. */
+  def centroidByPosApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+      .agg(avg(col("x").cast(DoubleType)).as("centroid"))
 
   /** Squared-L2 distance between a float vector and a double centroid,
     * order-exact in both engines. */
@@ -269,6 +288,162 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------------
+  // q48: IVF with a TRAINED coarse quantizer (k-means) and nprobe > 1 —
+  // q40's label-as-cell quantizer upgraded to the real thing.
+  // ---------------------------------------------------------------------
+
+  private val KmeansK = 8
+  private val KmeansIters = 2
+  private val NProbe = 2
+
+  /** Centroids as one literal array-of-structs column: `(cell, cvec)` per
+    * cell, inlined into the plan. K × Dim doubles ≈ 4 KB — the
+    * model-as-literal pattern that makes assignment a narrow, shuffle-free
+    * map (the MLlib-style alternative to joining a centroid table). */
+  private def centroidLit(cents: Array[(Long, Array[Double])]): Column =
+    array(cents.sortBy(_._1).map { case (cell, v) =>
+      struct(lit(cell).as("cell"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+
+  /** Per-row `(d, cell)` distance structs to every centroid — lexicographic
+    * struct ordering makes `array_min`/`array_sort` the argmin with the
+    * same (d, cell) tiebreak as the oracle's `ORDER BY d, cell`. */
+  private def distStructs(v: Column, centsArr: Column): Column =
+    transform(centsArr, c =>
+      struct(sqDist(v, c.getField("cvec")).as("d"),
+        c.getField("cell").as("cell")))
+
+  /** Lloyd's algorithm with driver-side centroid state (how distributed
+    * k-means actually runs: MLlib keeps centroids on the driver too).
+    * Per iteration: one narrow assignment pass over broadcast centroid
+    * literals (no join, no shuffle of the corpus), one grouped mean.
+    * Deterministic end to end — md5-seeded init, (d, cell) argmin
+    * tiebreak, ordered-fold means — so DuckDB reproduces every iteration
+    * bit-exactly as chained CTEs. The K×Dim collect per iteration is the
+    * model, not the data. Means use the oracle fold form; production would
+    * swap in [[centroidByPosApprox]]-style plain `avg` (1e-9-equivalent,
+    * see SimilaritySpec). */
+  private def lloydCentroids(emb: DataFrame, iters: Int)
+      : Array[(Long, Array[Double])] = {
+    import org.apache.spark.sql.types.StringType
+    val init: Array[(Long, Array[Double])] = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast(StringType)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(KmeansK) // TakeOrdered, no global sort
+      .collect()
+      .zipWithIndex.map { case (r, i) =>
+        ((i + 1).toLong,
+          r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      }
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val assigned = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")),
+        array_min(distStructs(col("embedding"), centroidLit(cents)))
+          .getField("cell").as("cell"))
+      assigned
+        .groupBy(col("cell"), col("pos").cast(LongType).as("pos"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
+          .as("vs"))
+        .select(col("cell"), col("pos"),
+          (foldSum(transform(col("vs"),
+            v => v.getField("x").cast(DoubleType)))
+            / size(col("vs")).cast(DoubleType)).as("cx"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cx"))))
+          .as("cs"))
+        .select(col("cell"),
+          transform(col("cs"), s => s.getField("cx")).as("cvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Seq[Double]]("cvec").toArray))
+        .sortBy(_._1)
+    }
+  }
+
+  /** One DuckDB Lloyd iteration: cells `c$i` → assignment `a$i` → ordered
+    * fold means → cells `c${i+1}`. Mirrors [[lloydCentroids]] exactly. */
+  private def sqlLloydIter(i: Int): String =
+    s"""d$i AS (SELECT m.vec_id, m.embedding, c.cell,
+       |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
+       |  FROM embeddings m CROSS JOIN c$i c),
+       |a$i AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, cell) AS rn FROM d$i) WHERE rn = 1),
+       |e$i AS (SELECT cell, vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       |    unnest(embedding) AS x FROM a$i),
+       |g$i AS (SELECT cell, pos, list(CAST(x AS DOUBLE) ORDER BY vec_id)
+       |    AS xs FROM e$i GROUP BY cell, pos),
+       |cc$i AS (SELECT cell, pos,
+       |    ${sqlFoldSum("xs")} / CAST(len(xs) AS DOUBLE) AS cx FROM g$i),
+       |c${i + 1} AS (SELECT cell, list(cx ORDER BY pos) AS cvec
+       |  FROM cc$i GROUP BY cell)""".stripMargin
+
+  /** IVF ANN with a trained quantizer: md5-seeded K=8 init, 2 Lloyd
+    * iterations, nprobe=2. Assignment and probing are narrow maps over the
+    * centroid literals; only the per-cell candidate scoring joins — at
+    * 100 TB, cost per query is nprobe/K of the corpus, and the training
+    * passes are linear scans. */
+  val q48AnnKmeansIvf = QueryDef(
+    "q48_ann_kmeans_ivf",
+    s"""WITH seeded AS (SELECT vec_id, embedding,
+       |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+       |c0 AS (SELECT CAST(rn AS BIGINT) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn
+       |        FROM seeded)
+       |  WHERE rn <= $KmeansK),
+       |${(0 until KmeansIters).map(sqlLloydIter).mkString(",\n")},
+       |dfin AS (SELECT m.vec_id, m.embedding, c.cell,
+       |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
+       |  FROM embeddings m CROSS JOIN c$KmeansIters c),
+       |rfin AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cell) AS rn FROM dfin),
+       |afin AS (SELECT vec_id, embedding, cell,
+       |    ${sqlNormD("embedding")} AS nrm FROM rfin WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, embedding AS qv,
+       |    ${sqlNormD("embedding")} AS qn, cell
+       |  FROM rfin WHERE rn <= $NProbe AND vec_id < $NumQueries),
+       |scored AS (SELECT p.q_id, a.vec_id,
+       |    ${sqlDotD("p.qv", "a.embedding")} / (p.qn * a.nrm) AS score
+       |  FROM probes p JOIN afin a
+       |    ON a.cell = p.cell AND a.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    import graft.functions.FloatVector
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centsArr = centroidLit(lloydCentroids(emb, KmeansIters))
+    // final assignment: narrow map, zero shuffle
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      array_min(distStructs(col("embedding"), centsArr))
+        .getField("cell").as("cell"),
+      FloatVector.norm(col("embedding")).as("nrm"))
+    // nprobe nearest cells per query = prefix of the sorted (d, cell) array
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        FloatVector.norm(col("embedding")).as("qn"),
+        explode(slice(array_sort(distStructs(col("embedding"), centsArr)),
+          1, NProbe)).as("pc"))
+      .select(col("q_id"), col("qv"), col("qn"), col("pc.cell").as("cell"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (FloatVector.dot(col("qv"), col("embedding"))
+          / (col("qn") * col("nrm"))).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf)
+    Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
+      q48AnnKmeansIvf)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("production avg centroid matches the oracle fold within 1e-9") {
+    // the fold form buffers per-group lists (oracle-only); the avg form is
+    // the scale path — they must agree to float-noise tolerance
+    val exact = Similarity.all.find(_.name == "q25_embedding_centroid").get
+      .fn(spark, sfDir)
+      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val approx = Similarity.centroidByPosApprox(spark, sfDir)
+      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - approx(k)) < 1e-9, s"$k: fold $v vs avg ${approx(k)}")
+    }
+  }
+
+  test("trained k-means IVF (q48) probes multiple populated cells") {
+    val out = Similarity.q48AnnKmeansIvf.fn(spark, sfDir)
+      .collect()
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.nonEmpty)
+    // every query with any candidates returns at most 5, ranked 1..n
+    assert(perQuery.values.forall(_ <= 5))
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq ==
+        (1L to rows.length.toLong))
+    }
+  }
+
+  test("q48 recall vs brute force is non-trivial at nprobe=2 of K=8") {
+    val bf = Similarity.q23AnnBruteforce.fn(spark, sfDir)
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q48AnnKmeansIvf.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // approximate by design; the quantizer must still beat random bucketing
+    assert(recall >= 0.3, s"recall $recall")
+  }
+}
