@@ -1,7 +1,6 @@
 package graft.covid
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped aggregations and serving views over cleaned observations:
@@ -73,16 +72,19 @@ object Aggregates {
       .limit(k)
 
   /** country_rankings (init.sql:81-90): the schema exists in the reference
-    * but nothing populates ranking_position — here it is, with a proper
-    * rank() over the aggregated metric. */
-  def countryRankings(realtime: DataFrame): DataFrame = {
-    val agg = realtime
-      .groupBy(col("location"), col("iso_code"), col("continent"))
-      .agg(
-        max(col("total_cases")).as("max_cases_country"),
-        sum(col("new_cases")).as("total_new_cases_country"),
-        avg(col("death_rate")).as("avg_death_rate_country"))
-    agg.withColumn("ranking_position",
-      rank().over(Window.orderBy(col("max_cases_country").desc)))
-  }
+    * but nothing populates ranking_position — here it is, with SQL rank()
+    * semantics computed by [[graft.operators.Ranking.globalRankDesc]]
+    * (distributed sort + zipWithIndex + tie-group min) instead of
+    * `rank().over(Window.orderBy(...))`, whose single-partition window is
+    * the pattern users copy into unbounded inputs. Input here is one row
+    * per country (~200), but the operator holds at any cardinality. */
+  def countryRankings(realtime: DataFrame): DataFrame =
+    graft.operators.Ranking.globalRankDesc(
+      realtime
+        .groupBy(col("location"), col("iso_code"), col("continent"))
+        .agg(
+          max(col("total_cases")).as("max_cases_country"),
+          sum(col("new_cases")).as("total_new_cases_country"),
+          avg(col("death_rate")).as("avg_death_rate_country")),
+      "max_cases_country", "ranking_position")
 }

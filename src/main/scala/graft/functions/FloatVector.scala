@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen dot product over two float-array columns.
   *
@@ -27,8 +28,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are always array<float> columns from our own call sites; no
-  // ExpectsInputTypes (private[sql] in Spark 4) type widening needed
+  // Registered session-wide by GraftExtensions, so inputs are NOT only our
+  // own array<float> columns: an analysis-time check is required. Without
+  // it, float_dot over array<double> would getFloat() on 8-byte-packed
+  // UnsafeArrayData and return silently wrong numbers.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>) arguments, " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
 
   override def dataType: DataType = DoubleType
 

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Digest helpers shared by interpreted eval and generated code. */
@@ -53,6 +54,15 @@ object HashUtil {
   * the pipelines' floor. */
 case class Md5Hash60(child: Expression, front: Boolean)
     extends UnaryExpression {
+
+  // SQL-exposed via GraftExtensions: reject non-string inputs at analysis
+  // time instead of a raw ClassCastException at execution
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.catalogString}")
+    }
 
   override def dataType: DataType = LongType
 

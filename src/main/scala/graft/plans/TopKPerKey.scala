@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.IntegerType
   * n-row input. At 100 TB with small k the eliminated per-partition sort
   * is the dominant cost of the window form.
   *
+  * NO-SPILL CAVEAT: the per-task heap map is plain JVM memory, not
+  * task-memory-manager accounted, and never spills — unlike the window-sort
+  * form it replaces, whose ExternalSorter spills to disk. It is the right
+  * operator when `keys-per-partition × k × rowSize` fits the executor heap
+  * (e.g. ≤ ~10M distinct keys/partition at k=3 with small rows). Above
+  * that bound, or when key cardinality is unknown, fall back to the
+  * row_number window form (q10) — correctness is identical, it just sorts.
+  *
   * Pieces: [[TopKPerKey]] (logical node), [[TopKStrategy]] (planner rule),
   * [[TopKPerKeyExec]] (physical operator), [[TopK.perKey]] (user API that
   * registers the strategy and wraps the plan as a DataFrame).

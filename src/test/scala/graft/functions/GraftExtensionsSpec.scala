@@ -27,4 +27,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.head.getLong(1) == spec.getLong(0))
     assert(rows.head.getLong(2) == spec.getLong(1))
   }
+
+  test("wrong argument types fail at analysis, not execution") {
+    GraftExtensions.registerInto(spark)
+    // array<double> would silently getFloat() 8-byte-packed data — must be
+    // an analysis error now that the functions are SQL-exposed
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .collect()
+    }
+    assert(e1.getMessage.contains("float_dot"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_hash60(42)").collect()
+    }
+    assert(e2.getMessage.contains("md5_hash60"))
+  }
 }

@@ -9,7 +9,7 @@ class ExtendedSpec extends AnyFunSuite with SparkTestSession {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact per group") {
+  test("q39 is no_oracle BY DESIGN: HLL approx_count_distinct error-bounded within 5% of exact here") {
     import org.apache.spark.sql.functions._
     val approx = Extended.q39ApproxDistinct.fn(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

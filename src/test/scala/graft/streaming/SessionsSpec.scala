@@ -43,6 +43,41 @@ class SessionsSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("late-but-accepted event merges an interval a naive close would have emitted") {
+    // gap 30 min, watermark delay 10 min. Batch 1: events at 12:00 and
+    // 12:31 — an in-batch gap of 31 min. An eager close would emit
+    // [12:00,12:00] now; but a 12:25 event is still admissible (watermark
+    // after batch 1 is 12:21) and by gap semantics all three events are ONE
+    // session. The watermark-guarded close must hold the interval open.
+    val input = MemoryStream[Click](spark)
+    val query = Sessions.sessionize(input.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Click(1L, ts("2024-01-01 12:00:00"), "view", 1.0),
+        Click(1L, ts("2024-01-01 12:31:00"), "view", 2.0))
+      query.processAllAvailable()
+      // nothing is sealable yet: 12:00+30m = 12:30 > watermark 12:21
+      assert(spark.table("sessions_late").isEmpty)
+      // late event inside the would-be-closed interval's gap window
+      input.addData(Click(1L, ts("2024-01-01 12:25:00"), "view", 4.0))
+      query.processAllAvailable()
+      // advance watermark far past 12:31 + gap
+      input.addData(Click(2L, ts("2024-01-01 20:00:00"), "view", 0.0))
+      query.processAllAvailable()
+      input.addData(Click(2L, ts("2024-01-01 23:00:00"), "view", 0.0))
+      query.processAllAvailable()
+      val u1 = spark.table("sessions_late").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length == 1, s"expected one merged session, got ${u1.toSeq}")
+      assert(u1.head.session_start == ts("2024-01-01 12:00:00"))
+      assert(u1.head.session_end == ts("2024-01-01 12:31:00"))
+      assert(u1.head.n_events == 3L)
+      assert(u1.head.sum_value == 7.0)
+    } finally query.stop()
+  }
+
   test("sessions are independent per user") {
     val input = MemoryStream[Click](spark)
     val query = Sessions.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
