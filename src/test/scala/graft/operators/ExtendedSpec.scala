@@ -40,4 +40,33 @@ class ExtendedSpec extends AnyFunSuite with SparkTestSession {
     val b = back.orderBy("event_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("ORC source round-trips the events table") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("orc-src").toString
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == events.schema) // ORC is self-describing incl. timestamps
+    assert(back.orderBy("event_id").collect()
+      .sameElements(events.orderBy("event_id").collect()))
+  }
+
+  test("JSON-lines source reads with an explicit schema (no inference scan)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("json-src").toString
+    events.write.mode("overwrite").json(dir)
+    // explicit schema: a schema-less read would cost a full inference pass
+    // over the data before the real scan — never acceptable at 100 TB
+    val back = spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(dir)
+    assert(back.orderBy("event_id").collect()
+      .sameElements(events.orderBy("event_id").collect()))
+  }
 }
