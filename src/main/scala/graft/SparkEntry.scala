@@ -11,7 +11,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Pipeline.all ++ operators.Multimodal.all ++
-      operators.Extended.all ++ operators.Reshape.all
+      operators.Extended.all ++ operators.Reshape.all ++
+      operators.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+
+/** Statistics and dataset-management operators for a training-data
+  * pipeline: deterministic sampling / train-valid-test splits, histogram
+  * binning, and exact-moment correlation. None exist in the reference; all
+  * are oracle-verified bit-exact.
+  */
+object Stats {
+  import Mirror._
+
+  /** Deterministic hash-based sampling + split assignment: bucket =
+    * md5-hash(doc_id) mod 100 → 80/10/10 train/valid/test. The property a
+    * training pipeline needs — membership is a pure function of the row
+    * key — means the split survives reruns, repartitioning, and engine
+    * changes (the oracle computes the identical assignment), unlike
+    * `df.sample`/TABLESAMPLE whose seeds are engine-private. A narrow map:
+    * no shuffle, embarrassingly parallel at any scale. */
+  val q53HashSplit = QueryDef(
+    "q53_hash_split",
+    s"""SELECT doc_id, lang, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-width histogram per group: bin = floor(value / width). The
+    * binning expression is one IEEE divide + floor — identical in both
+    * engines — and the aggregation is an ordinary partial-pushed count:
+    * the constant-memory way to profile a 100 TB column (vs collecting
+    * quantiles exactly). */
+  val q54Histogram = QueryDef(
+    "q54_histogram",
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Pearson correlation from EXACT decimal moments. Built-in
+    * `corr(x, y)` accumulates running co-moments in double — results vary
+    * with merge order, so it can't be oracle-compared (and isn't
+    * reproducible run to run at cluster scale). Summing the five moments
+    * through exact decimals instead makes the aggregation
+    * order-independent; the final formula is then one deterministic double
+    * expression over identical inputs in both engines. Same single-pass,
+    * partial-pushed shape as the built-in. */
+  val q55ExactCorr = QueryDef(
+    "q55_exact_corr",
+    """SELECT event_type, n,
+      |  (nd * sxy - sx * sy)
+      |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr_vu
+      |FROM (
+      |  SELECT event_type, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(user_id) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,0)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(SUM(user_id * user_id) AS DOUBLE) AS syy
+      |  FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val x = col("value").cast(DecimalType(18, 2))
+    val y = col("user_id")
+    val moments = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(lit(1)).cast(DoubleType).as("nd"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(x * y.cast(DecimalType(18, 0))).cast(DoubleType).as("sxy"),
+        sum(y * y).cast(DoubleType).as("syy"))
+    moments
+      .select(col("event_type"), col("n"),
+        ((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("nd") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("nd") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_vu"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr)
+}
