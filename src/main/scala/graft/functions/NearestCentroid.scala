@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native argmin-cell assignment for the k-means IVF quantizer (q48):
+  * nearest centroid by squared L2 with (distance, cell) tiebreak.
+  *
+  * Why a custom Expression and not the declarative form: expanding K×Dim
+  * squared-diff terms as literal column arithmetic builds a ~3600-node
+  * expression tree; whole-stage codegen of any AGGREGATE stage containing
+  * it takes ~7 s to Janino-compile — per Lloyd iteration, dwarfing the
+  * actual work (measured: the same step is 2 s interpreted, 0.3 s with
+  * this expression). The centroid matrix rides along as a reference
+  * object; the generated code is one small nested loop that the codegen
+  * cache actually reuses.
+  *
+  * Bit-compatibility contract (oracle): per cell, the distance is the
+  * left-to-right index-order fold of (x_i − c_i)² in double — the same
+  * IEEE op sequence as `Mirror.foldSum(zip_with(...))` and DuckDB's
+  * list_reduce mirror; cells are scanned in ascending id order with
+  * strict `<`, so equal distances keep the smallest cell — identical to
+  * `ORDER BY d, cell LIMIT 1`. Dimension count is the min of vector and
+  * centroid length, matching list_zip truncation.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+    cells: Array[Long]) extends UnaryExpression {
+
+  require(cents.length == cells.length && cents.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${t.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var best = Double.PositiveInfinity
+    var bestCell = -1L
+    var k = 0
+    while (k < cents.length) {
+      val cv = cents(k)
+      val n = math.min(cv.length, a.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bestCell = cells(k) }
+      k += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cellsRef = ctx.addReferenceObj("cells", cells, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best")
+      val bc = ctx.freshName("bc")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cv = ctx.freshName("cv")
+      s"""
+         |double $best = Double.POSITIVE_INFINITY;
+         |long $bc = -1L;
+         |for (int $k = 0; $k < $centsRef.length; $k++) {
+         |  double[] $cv = $centsRef[$k];
+         |  int $n = Math.min($cv.length, $a.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ((double) $a.getFloat($i)) - $cv[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $best) { $best = $acc; $bc = $cellsRef[$k]; }
+         |}
+         |${ev.value} = $bc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Column API: cell id of the nearest centroid (ascending-cell scan,
+    * strict-less keeps the smallest cell on distance ties). */
+  def apply(v: Column, cents: Array[(Long, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    Bridge.column(NearestCentroid(Bridge.expression(v),
+      sorted.map(_._2), sorted.map(_._1)))
+  }
+}

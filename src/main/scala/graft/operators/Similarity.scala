@@ -308,11 +308,38 @@ object Similarity {
 
   /** Per-row `(d, cell)` distance structs to every centroid — lexicographic
     * struct ordering makes `array_min`/`array_sort` the argmin with the
-    * same (d, cell) tiebreak as the oracle's `ORDER BY d, cell`. */
+    * same (d, cell) tiebreak as the oracle's `ORDER BY d, cell`. HOF form:
+    * interpreted lambdas per row×cell — fine for the 16-row probe side,
+    * too slow for corpus-wide assignment (use [[nearestCellLit]] there). */
   private def distStructs(v: Column, centsArr: Column): Column =
     transform(centsArr, c =>
       struct(sqDist(v, c.getField("cvec")).as("d"),
         c.getField("cell").as("cell")))
+
+  /** Codegen'd squared L2 to a LITERAL centroid: the 64 squared-diff terms
+    * summed left-to-right — the identical IEEE op sequence as
+    * `foldSum(zip_with(...))`/the oracle's list_reduce fold (bit-equal),
+    * but fully inside whole-stage codegen instead of an interpreted lambda
+    * per element. */
+  private def sqDistLit(v: Column, cvec: Array[Double]): Column =
+    cvec.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (c, i)) =>
+      val d = element_at(v, i + 1).cast(DoubleType) - lit(c)
+      acc + d * d
+    }
+
+  /** Corpus-side argmin cell: `least` over K codegen'd (d, cell) structs —
+    * lexicographic struct comparison gives the same (d, cell) tiebreak as
+    * the oracle's `ORDER BY d, cell`. Kept as the executable SPECIFICATION
+    * of [[graft.functions.NearestCentroid]] (SimilaritySpec asserts
+    * equality): the expanded tree is ~3600 nodes, and whole-stage codegen
+    * of an aggregate stage containing it costs ~7 s of Janino compile per
+    * Lloyd iteration — the native expression generates a small loop
+    * instead. */
+  private[graft] def nearestCellLit(v: Column,
+      cents: Array[(Long, Array[Double])]): Column =
+    least(cents.sortBy(_._1).map { case (cell, cv) =>
+      struct(sqDistLit(v, cv).as("d"), lit(cell).as("cell"))
+    }: _*).getField("cell")
 
   /** Lloyd's algorithm with driver-side centroid state (how distributed
     * k-means actually runs: MLlib keeps centroids on the driver too).
@@ -324,7 +351,7 @@ object Similarity {
     * model, not the data. Means use the oracle fold form; production would
     * swap in [[centroidByPosApprox]]-style plain `avg` (1e-9-equivalent,
     * see SimilaritySpec). */
-  private def lloydCentroids(emb: DataFrame, iters: Int)
+  private[graft] def lloydCentroids(emb: DataFrame, iters: Int)
       : Array[(Long, Array[Double])] = {
     import org.apache.spark.sql.types.StringType
     val init: Array[(Long, Array[Double])] = emb
@@ -337,10 +364,11 @@ object Similarity {
           r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
       }
     (1 to iters).foldLeft(init) { (cents, _) =>
-      val assigned = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "x")),
-        array_min(distStructs(col("embedding"), centroidLit(cents)))
-          .getField("cell").as("cell"))
+      // cell assigned BEFORE the explode (once per vector, not per element)
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.NearestCentroid(col("embedding"), cents).as("cell"))
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
       assigned
         .groupBy(col("cell"), col("pos").cast(LongType).as("pos"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
@@ -416,11 +444,11 @@ object Similarity {
     import graft.functions.FloatVector
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val centsArr = centroidLit(lloydCentroids(emb, KmeansIters))
-    // final assignment: narrow map, zero shuffle
+    val cents = lloydCentroids(emb, KmeansIters)
+    val centsArr = centroidLit(cents)
+    // final assignment: narrow map, zero shuffle, whole-stage codegen
     val assigned = emb.select(col("vec_id"), col("embedding"),
-      array_min(distStructs(col("embedding"), centsArr))
-        .getField("cell").as("cell"),
+      graft.functions.NearestCentroid(col("embedding"), cents).as("cell"),
       FloatVector.norm(col("embedding")).as("nrm"))
     // nprobe nearest cells per query = prefix of the sorted (d, cell) array
     val probes = emb.filter(col("vec_id") < NumQueries)

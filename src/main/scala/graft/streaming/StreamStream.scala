@@ -25,15 +25,22 @@ object StreamStream {
     * both sides arrive, late rows beyond `lateness` are dropped, and
     * buffered impressions are evicted `attributionWindow` past the
     * watermark. */
+  /** @param joinType "inner" (matches emit immediately) or "left_outer"
+    *   (additionally, an impression that attracted no click emits once with
+    *   null click columns — but only after the watermark proves no
+    *   in-window click can still arrive; outer results are necessarily
+    *   watermark-delayed). */
   def attribute(impressions: Dataset[Impression], clicks: Dataset[Click],
       attributionWindow: String = "30 minutes",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
     impressions.withWatermark("imp_ts", lateness)
       .join(clicks.withWatermark("ts", lateness),
         col("imp_user") === col("user_id") &&
           col("ts") >= col("imp_ts") &&
-          col("ts") <= col("imp_ts") + expr(s"INTERVAL $attributionWindow"))
-      .select(col("imp_id"), col("user_id"), col("imp_ts"),
+          col("ts") <= col("imp_ts") + expr(s"INTERVAL $attributionWindow"),
+        joinType)
+      .select(col("imp_id"), col("imp_user"), col("imp_ts"),
         col("ts").as("click_ts"), col("event_type"), col("value"))
 
   /** At-most-once per (user, event_type) within the watermark horizon:

@@ -51,6 +51,48 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q53 hash split is a narrow map: no hash exchange before the sort") {
+    val df = Stats.q53HashSplit.fn(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // only the verification ORDER BY may repartition (range); the split
+    // assignment itself must not shuffle at any scale
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q49 explicit-values pivot compiles to one aggregation, no distinct scan") {
+    val df = Reshape.q49Pivot.fn(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // an implicit pivot would first run a separate distinct+collect JOB over
+    // the pivot column before planning; explicit values plan in one pass —
+    // inner (key, status) sum then pivotfirst, two pipelined aggregations
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges (sum + pivotfirst), got:\n$plan")
+    assert(plan.contains("pivotfirst"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+  }
+
+  test("q51 window uses a RANGE frame, not a row frame") {
+    val df = Reshape.q51TimeRangeWindow.fn(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeFrame"), plan)
+  }
+
+  test("q54 histogram aggregation pushes partial aggregates map-side") {
+    val df = Stats.q54Histogram.fn(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // partial_count before the exchange = map-side combine: the property
+    // that keeps a 100 TB histogram's shuffle proportional to bins, not rows
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("date-partitioned writes prune to the queried partition") {
     val dir = Files.createTempDirectory("graft-part").toString
     graft.Tables(spark, sfDir, "events")

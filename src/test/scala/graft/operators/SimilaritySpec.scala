@@ -24,6 +24,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("native NearestCentroid equals the declarative least-of-structs spec") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // arbitrary deterministic centroids, including an exact-tie candidate
+    val rnd = new scala.util.Random(7)
+    val cents = Array.tabulate(8)(k =>
+      ((k + 1).toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val both = emb.select(col("vec_id"),
+      graft.functions.NearestCentroid(col("embedding"), cents).as("native"),
+      Similarity.nearestCellLit(col("embedding"), cents).as("spec"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
   test("trained k-means IVF (q48) probes multiple populated cells") {
     val out = Similarity.q48AnnKmeansIvf.fn(spark, sfDir)
       .collect()

@@ -39,6 +39,37 @@ class StreamStreamSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("left-outer attribution emits unmatched impressions after the watermark") {
+    val imps = MemoryStream[Impression](spark)
+    val clicks = MemoryStream[Click](spark)
+    val out = StreamStream.attribute(imps.toDS(), clicks.toDS(),
+      joinType = "left_outer")
+    val query = out.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // u1's impression gets a click; u3's never does
+      imps.addData(
+        Impression(200L, 1L, ts("2024-01-01 12:00:00")),
+        Impression(201L, 3L, ts("2024-01-01 12:00:00")))
+      clicks.addData(Click(1L, ts("2024-01-01 12:10:00"), "click", 1.0))
+      query.processAllAvailable()
+      // push both watermarks far past imp_ts + window + lateness so the
+      // unmatched impression's null row can be finalized
+      imps.addData(Impression(999L, 9L, ts("2024-01-01 20:00:00")))
+      clicks.addData(Click(9L, ts("2024-01-01 20:00:01"), "click", 0.0))
+      query.processAllAvailable()
+      imps.addData(Impression(998L, 9L, ts("2024-01-01 23:00:00")))
+      clicks.addData(Click(9L, ts("2024-01-01 23:00:01"), "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("attr_outer").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+      assert(rows.contains((200L, Some(ts("2024-01-01 12:10:00")))))
+      // the unmatched impression surfaced exactly once, with a null click
+      assert(rows.count(r => r._1 == 201L) == 1)
+      assert(rows.find(_._1 == 201L).get._2.isEmpty)
+    } finally query.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivery across batches") {
     val input = MemoryStream[Click](spark)
     val query = StreamStream.dedupWithinWatermark(input.toDS())
