@@ -103,5 +103,69 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr)
+  /** Gap-based session windows with the BUILT-IN `session_window` function
+    * — the declarative batch twin of [[graft.streaming.Sessions]] (which
+    * needs flatMapGroupsWithState only because streaming emission must be
+    * watermark-aware). One shuffle on the user key; Spark merges
+    * overlapping [ts, ts+gap) intervals per key. The oracle replays the
+    * same semantics as gaps-and-islands: a new session starts when the gap
+    * to the previous event is >= 30 min (Spark's intervals are half-open,
+    * so a gap of exactly 30 min does NOT merge), session end = last event
+    * + gap. */
+  val q56SessionWindow = QueryDef(
+    "q56_session_window",
+    s"""WITH d AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |           IS NULL
+       |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+       |              ORDER BY ts, event_id)) >= 1800
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events),
+       |g AS (SELECT user_id, ts, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM d)
+       |SELECT user_id,
+       |  MIN(ts) AS session_start,
+       |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  COUNT(*) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM g
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Scalar JSON-path extraction (`get_json_object`) — the schemaless
+    * sibling of q26's full from_json decode: pull one field out of a JSON
+    * props column without declaring its schema. Narrow map; the JSON parse
+    * is the per-row cost, so at scale prefer q26's typed decode when the
+    * schema is known. */
+  val q57JsonPath = QueryDef(
+    "q57_json_path",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(k).as("sum_k"), count(k).as("n_with_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
+    q56SessionWindow, q57JsonPath)
 }
