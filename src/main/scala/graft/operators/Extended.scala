@@ -114,14 +114,15 @@ object Extended {
        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
        |    $sqlShingles3 AS sh
        |  FROM documents),
-       |exp AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM sh),
-       |ranked AS (SELECT doc_id, lang, len_bucket, s,
-       |    row_number() OVER (PARTITION BY lang, len_bucket, s
+       |exp AS (SELECT doc_id, lang, len_bucket,
+       |    ${sqlHash60("unnest(sh)")} AS h FROM sh),
+       |ranked AS (SELECT doc_id, lang, len_bucket, h,
+       |    row_number() OVER (PARTITION BY lang, len_bucket, h
        |                       ORDER BY doc_id) AS rn
        |  FROM exp),
        |ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM ranked a JOIN ranked b
-       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.s = b.s
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.h = b.h
        |   AND a.doc_id < b.doc_id
        |   AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket}
        |  GROUP BY 1, 2),
@@ -145,12 +146,20 @@ object Extended {
     // the small one, and AQE picks the build side at runtime (a hinted
     // broadcast of the per-document size table would be a driver-side
     // collect of a corpus-sized relation at 100 TB).
+    // shingles are hashed to 60-bit longs BEFORE the shuffle: the posting
+    // shuffle then carries 8-byte keys instead of ~25-char strings (the
+    // md5 is ~1 µs/row, the string shuffle is the bigger cost at scale).
+    // The oracle applies the identical hash, so a (negligible, ~2^-61)
+    // collision would merge the same postings in both engines — results
+    // stay bit-identical regardless.
     val shingleRows = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
         explode(shingleGen(col("text"))).as("s"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"),
+        hash60(col("s")).as("h"))
     val interCounts = Buckets.cappedPairs(shingleRows,
-        Seq("lang", "len_bucket", "s"), "doc_id", "q37_posting_cap",
+        Seq("lang", "len_bucket", "h"), "doc_id", "q37_posting_cap",
         distinctItems = true)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
