@@ -109,6 +109,44 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("cappedPairs on random data = pairs of the min(b, MaxBucket) smallest ids") {
+    val df = randomEvents(2000)
+      .select(col("event_type").as("b"), col("event_id").as("id"))
+    val got = Buckets.cappedPairs(df, Seq("b"), "id", "inv_cap")
+      .select(col("p.a"), col("p.b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { rows =>
+        val ids = rows.map(_._2).distinct.sorted.take(Buckets.MaxBucket)
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    assert(got == expected)
+  }
+
+  test("DecimalSum UDAF equals built-in decimal sum on random 2-dp data") {
+    val df = randomEvents(1500)
+    val ds = udaf(graft.functions.DecimalSum,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val a = df.groupBy(col("event_type")).agg(ds(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = df.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b) // bit-equal, not approximately
+  }
+
+  test("globalRankDesc equals the window rank on random data with ties") {
+    val df = randomEvents(300)
+      .select(col("event_id"), (col("value") - pmod(col("value"), lit(25.0)))
+        .as("m")) // coarse values force tie groups
+    val got = Ranking.globalRankDesc(df, "m", "r")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val want = df.withColumn("r", rank().over(Window.orderBy(col("m").desc)))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
+
   test("covid ratio identity: recovery + death + active/total ~= 1") {
     import graft.covid.{Clean, Stream, Fixture}
     val js = (0 until 50).map { i =>
