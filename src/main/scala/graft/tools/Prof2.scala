@@ -98,6 +98,27 @@ object Prof2 {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     time("full_step_nocodegen") { step(cents(6)).count() }
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
+
+    // q19 stage decomposition
+    import graft.operators.Mirror.{hash60, hash60b, shingleGen}
+    val docs = Tables(spark, dir, "documents")
+    docs.count()
+    def min3(label: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROF2 $label: min=${ts.min}%.2f")
+    }
+    val hs = docs
+      .select(col("doc_id"), explode(shingleGen(col("text"))).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("h1"), hash60b(col("s")).as("h2"))
+    min3("q19_hashes_only")(hs.count())
+    val P = 562949953421311L
+    val sig = hs.groupBy(col("doc_id"))
+      .agg(min(col("h1") + lit(0L) * (col("h2") % P)).as("mh_0"),
+        (1 until 16).map(j => min(col("h1") + lit(j.toLong) * (col("h2") % P)).as(s"mh_$j")): _*)
+    min3("q19_sig_agg")(sig.count())
+    min3("q19_full")(graft.operators.Dedup.q19DedupMinhashLsh.fn(spark, dir).count())
     spark.stop()
   }
 }

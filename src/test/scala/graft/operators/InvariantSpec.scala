@@ -147,6 +147,22 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want)
   }
 
+  test("native ShingleGen equals the declarative spec, edge cases included") {
+    val edge = Seq("", " ", "a", "a b", "a b c", "a b c d",
+      "a  b c", "a b c ", " a b c", "x".*(5) + " y z w")
+      .toDF("text")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    Seq(edge, docs).foreach { df =>
+      val rows = df.select(
+        Mirror.shingleGen(col("text")).as("native"),
+        Mirror.shingleGenSpec(col("text")).as("spec")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+      }
+    }
+  }
+
   test("covid ratio identity: recovery + death + active/total ~= 1") {
     import graft.covid.{Clean, Stream, Fixture}
     val js = (0 until 50).map { i =>
