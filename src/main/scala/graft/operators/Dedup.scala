@@ -159,10 +159,21 @@ object Dedup {
   }
 
   /** doc_id → 60-bit SimHash over md5-derived word hashes (frequency
-    * weighted), built with two vectorized hash aggregations. 60 bits (the
-    * width of [[Mirror.hash60]]) keeps the per-block pigeonhole buckets fine
-    * enough that candidate volume stays near-linear in corpus size. */
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    * weighted), as a single native scalar expression
+    * ([[graft.functions.SimHash60]]) — a narrow map with NO explode, word
+    * shuffle, or 60-aggregate groupBy (the previous pipeline's cost; see
+    * [[simhashDfSpec]] kept as its executable spec). 60 bits (the width of
+    * [[Mirror.hash60]]) keeps the per-block pigeonhole buckets fine enough
+    * that candidate volume stays near-linear in corpus size. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash60(col("text")).as("simhash"))
+
+  /** Declarative specification of [[simhashDf]] (explode → hash → vote
+    * aggregation), tested equal to the native expression. */
+  private[operators] def simhashDfSpec(spark: SparkSession,
+      dir: String): DataFrame = {
     // hash the (tiny) distinct vocabulary once, broadcast it onto word rows
     val wordRows = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))

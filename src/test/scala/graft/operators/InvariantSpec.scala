@@ -163,6 +163,15 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("native SimHash60 equals the exploded vote-aggregation spec") {
+    val sfDir = "/root/testdata/sf0.001"
+    val native = Dedup.q20SimhashSignature.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spec = Dedup.simhashDfSpec(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == spec)
+  }
+
   test("covid ratio identity: recovery + death + active/total ~= 1") {
     import graft.covid.{Clean, Stream, Fixture}
     val js = (0 until 50).map { i =>
