@@ -66,6 +66,22 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("md5_hash60b", 1, children)
         Md5Hash60(children.head, front = false)
+      }),
+    (FunctionIdentifier("shingles3_gen"),
+      info("shingles3_gen",
+        "shingles3_gen(text) - all 3-word shingles of text in order, " +
+          "duplicates kept; shorter texts yield [text]"),
+      (children: Seq[Expression]) => {
+        checkArity("shingles3_gen", 1, children)
+        ShingleGen(children.head)
+      }),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60",
+        "simhash60(text) - 60-bit frequency-weighted simhash over " +
+          "whitespace words (md5-derived word hashes)"),
+      (children: Seq[Expression]) => {
+        checkArity("simhash60", 1, children)
+        SimHash60(children.head)
       }))
 
   /** Register into an already-built session (the extension path only runs

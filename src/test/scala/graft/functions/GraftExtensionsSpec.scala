@@ -28,6 +28,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.head.getLong(2) == spec.getLong(1))
   }
 
+  test("shingles3_gen and simhash60 are callable from SQL") {
+    GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      "SELECT shingles3_gen('a b c d') AS sh, simhash60('a b c d') AS sim")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // signature equals the Column-API expression on the same input
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1)
+      .select(SimHash60(lit("a b c d"))).collect().head.getLong(0)
+    assert(r.getLong(1) == viaCol)
+  }
+
   test("wrong argument types fail at analysis, not execution") {
     GraftExtensions.registerInto(spark)
     // array<double> would silently getFloat() 8-byte-packed data — must be
