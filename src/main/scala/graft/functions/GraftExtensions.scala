@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // whole-operator extension: the native per-key top-k planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // optimizer rule: auto-rewrite row_number<=k window filters into it
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 
