@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector (the source-extension tier, §2.1 beyond the
+  * built-ins): a deterministic synthetic `documents`-shaped table generated
+  * on the executors — the pattern for any custom source (a proprietary
+  * format, a service API, a synthetic load generator) done Spark-natively:
+  *
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): the reader
+  *    materializes ONLY requested fields — `select(lang)` never builds a
+  *    text string;
+  *  - **filter pushdown** (`SupportsPushDownFilters`): `doc_id` range
+  *    predicates prune entire input partitions at PLANNING time (the
+  *    in-memory analogue of parquet row-group/partition pruning); pushed
+  *    filters are also returned as post-scan filters so Spark re-applies
+  *    them row-level — pruning is an optimization, never a correctness
+  *    dependency;
+  *  - **partitioned parallel read**: `rows` split over `partitions`
+  *    independent generators, no driver materialization at any size.
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticDocs")
+  * .option("rows", 10000).option("partitions", 8).load()`.
+  */
+class SyntheticDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SyntheticDocs {
+  val schema: StructType = new StructType()
+    .add("doc_id", LongType, nullable = false)
+    .add("lang", StringType, nullable = false)
+    .add("n_chars", IntegerType, nullable = false)
+    .add("text", StringType, nullable = false)
+
+  private val langs = Array("en", "de", "fr", "es")
+
+  /** Pure function of doc_id — same row on every executor, every retry. */
+  def row(id: Long, fields: Array[String]): InternalRow = {
+    lazy val text = {
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      val n = 5 + (id % 11).toInt
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append("w").append((id + w * 7) % 97)
+        w += 1
+      }
+      sb.toString
+    }
+    InternalRow.fromSeq(fields.toSeq.map {
+      case "doc_id" => id
+      case "lang" => UTF8String.fromString(langs((id % langs.length).toInt))
+      case "n_chars" => text.length
+      case "text" => UTF8String.fromString(text)
+    })
+  }
+}
+
+private[sources] class DocsTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"synthetic_docs($rows)"
+  override def schema(): StructType = SyntheticDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsScanBuilder(rows, partitions)
+}
+
+private[sources] class DocsScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = SyntheticDocs.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThan("doc_id", v: Long) =>
+        lo = math.max(lo, v + 1); accepted += f
+      case f @ GreaterThanOrEqual("doc_id", v: Long) =>
+        lo = math.max(lo, v); accepted += f
+      case f @ LessThan("doc_id", v: Long) =>
+        hi = math.min(hi, v); accepted += f
+      case f @ LessThanOrEqual("doc_id", v: Long) =>
+        hi = math.min(hi, v + 1); accepted += f
+      case f @ EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
+      case _ => ()
+    }
+    pushed = accepted.toArray
+    // return EVERYTHING as post-scan filters: pruning is best-effort, Spark
+    // re-applies the predicates row-level
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DocsScan(rows, partitions, required, lo, hi)
+}
+
+private[sources] class DocsScan(rows: Long, partitions: Int,
+    required: StructType, lo: Long, hi: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs rows=$rows bounds=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per).map { start =>
+      (start, math.min(start + per, rows))
+    }.collect {
+      // planning-time pruning: drop ranges fully outside the pushed bounds
+      case (s, e) if e > lo && s < hi =>
+        DocsPartition(math.max(s, lo), math.min(e, hi))
+          .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory(required.fieldNames)
+}
+
+private[sources] case class DocsPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class DocsReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[DocsPartition]
+    new PartitionReader[InternalRow] {
+      private var id = dp.start - 1
+      override def next(): Boolean = { id += 1; id < dp.end }
+      override def get(): InternalRow = SyntheticDocs.row(id, fields)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SyntheticDocsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docs(rows: Int = 1000, parts: Int = 10) =
+    spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("reads the declared row count with deterministic content") {
+    val df = docs()
+    assert(df.count() == 1000)
+    val r = df.filter(col("doc_id") === 42L).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("lang") == "fr") // 42 % 4 = 2 -> fr
+    assert(r.head.getAs[Int]("n_chars") == r.head.getAs[String]("text").length)
+    // re-read yields the identical row (pure function of doc_id)
+    assert(docs().filter(col("doc_id") === 42L).collect().head == r.head)
+  }
+
+  test("doc_id range filter prunes input partitions at planning time") {
+    val df = docs(rows = 1000, parts = 10).filter(col("doc_id") < 100L)
+    // 10 partitions of 100 ids; bound [0,100) intersects exactly one
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 100)
+    val both = docs(rows = 1000, parts = 10)
+      .filter(col("doc_id") >= 150L && col("doc_id") <= 249L)
+    assert(both.rdd.getNumPartitions == 2) // spans [100,200) and [200,300)
+    assert(both.count() == 100)
+    // pushed bounds surface in the scan description
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters")
+      || df.queryExecution.executedPlan.toString.contains("SyntheticDocs"))
+  }
+
+  test("column pruning reaches the reader") {
+    val df = docs().select(col("lang"))
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves()
+      .head.schema.fieldNames.toSeq
+    assert(scanSchema == Seq("lang"), scanSchema)
+    assert(df.distinct().count() == 4)
+  }
+
+  test("plays with the rest of the engine: shingles + dedup over the source") {
+    val df = docs(rows = 200, parts = 4)
+    val shingled = df.select(col("doc_id"),
+      graft.operators.Mirror.shingles3(col("text")).as("sh"))
+    assert(shingled.filter(size(col("sh")) > 0).count() == 200)
+  }
+}
