@@ -160,6 +160,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF-style salient terms: top-3 terms per document by
+    * rarity-weighted frequency. The weight is the RATIONAL form
+    * `tf · (N+1)/(df+1)` rather than `tf · ln(N/df)`: the ranking it
+    * induces per document is identical (x ↦ ln is monotone in N/df), and
+    * integer-exact division keeps the gate bit-exact where `ln` would ride
+    * on libm rounding differences between engines. Shape at scale: one
+    * narrow tokenize, a (doc, term) count aggregation, a term-level df
+    * aggregation joined back on the term key, and a per-doc top-k window —
+    * the canonical two-aggregation TF-IDF dataflow. */
+  val q58TfSalient = QueryDef(
+    "q58_tf_salient_terms",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (SELECT t.doc_id, t.w AS term, t.tf, d.df,
+      |    CAST(t.tf * (n.n + 1) AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)
+      |      AS score
+      |  FROM tf t JOIN dfreq d ON t.w = d.w CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, term) AS rn FROM s)
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        ((col("tf") * (col("n") + 1)).cast(DoubleType)
+          / (col("df") + 1).cast(DoubleType)).as("score"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(win).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint)
+    Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
+      q58TfSalient)
 }
