@@ -36,6 +36,20 @@ object BatchSink {
   def parquet(dir: String): BatchSink =
     (df, table, _) =>
       df.write.mode(SaveMode.Append).parquet(s"$dir/$table")
+
+  /** Exactly-once sink: per-(table, epoch) directory OVERWRITE. foreachBatch
+    * is at-least-once — after a failure between the write and the offset
+    * commit, the same epochId is replayed. Plain append then duplicates the
+    * batch (the reference's posture, K1); writing each epoch to its own
+    * partition directory with overwrite makes the replay idempotent —
+    * effective exactly-once end to end without any sink-side transaction.
+    * Readers take `parquet(dir/table)` and see epoch as a partition column.
+    * The same pattern works for any overwrite-capable store (JDBC:
+    * DELETE WHERE epoch = ? + insert, in one transaction). */
+  def idempotentParquet(dir: String): BatchSink =
+    (df, table, epochId) =>
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/$table/epoch=$epochId")
 }
 
 /** Streaming wiring (covid_streaming.py:200-226): source → JSON decode →

@@ -117,6 +117,38 @@ class StreamSpec extends AnyFunSuite with SparkTestSession {
     assert(batchSizes.forall(_ == 1L))
   }
 
+  test("idempotent sink: replaying an epoch does not duplicate rows") {
+    val outDir = Files.createTempDirectory("covid-sink-idem").toString
+    val sink = BatchSink.idempotentParquet(outDir)
+    val batch = Stream.decode(Seq(
+      Fixture.record("uuid" -> "1", "location" -> "Egypt"),
+      Fixture.record("uuid" -> "2", "location" -> "Kenya", "iso_code" -> "KEN"))
+      .toDF("value"))
+    // epoch 7 delivered twice (foreachBatch replay after a crash between
+    // sink write and offset commit), then epoch 8 once
+    Stream.processBatch(batch, 7L, sink)
+    Stream.processBatch(batch, 7L, sink)
+    Stream.processBatch(batch, 8L, sink)
+    val rt = spark.read.parquet(s"$outDir/covid_realtime_stats")
+    assert(rt.count() == 4) // 2 rows x 2 DISTINCT epochs, not x3 deliveries
+    assert(rt.select("epoch").distinct().count() == 2)
+  }
+
+  test("corrupt JSON records survive decode as all-null rows, not failures") {
+    // from_json is PERMISSIVE by default: a malformed payload yields a null
+    // struct -> all-null columns after the flatten; the batch keeps flowing
+    // (the reference's never-fail posture), and downstream dedup/cleaning
+    // treats the row as empty rather than poisoning the query.
+    val decoded = Stream.decode(Seq(
+      Fixture.record("uuid" -> "ok"),
+      """{"uuid": "half", "continent": }""", // malformed
+      "not json at all").toDF("value"))
+    val rows = decoded.collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => r.getAs[String]("uuid") == null) == 2)
+    assert(rows.exists(r => r.getAs[String]("uuid") == "ok"))
+  }
+
   test("watermarked streaming continent aggregation emits closed windows") {
     val input = MemoryStream[String](spark)
     val agg = Stream.continentStatsStreaming(Stream.decode(input.toDF()))

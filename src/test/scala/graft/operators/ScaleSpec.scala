@@ -93,6 +93,47 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // lower the skew thresholds so test-sized data triggers the split
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // one hot key (90% of rows) against a uniform dimension
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, 1L).otherwise(col("id") % 1000)
+          .as("k"), col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      // no groupBy on the join key downstream: AQE declines to split a
+      // skewed partition when the join output must stay hash-partitioned
+      // for a following aggregation (the split would break the required
+      // distribution) — a real tuning fact worth encoding here
+      val joined = left.join(right, "k")
+        // references BOTH sides → cannot push below the join, so the full
+        // skewed shuffle feeds the SMJ and only a handful of rows collect
+        .filter((col("v") + col("w")) % 99991L === 0)
+      assert(joined.collect().nonEmpty) // execute THIS queryExecution (AQE finalizes it)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // AQE's runtime re-plan marks the split join — the mechanism that
+      // saves a 100 TB join from one straggler task on a hot key
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned writes prune to the queried partition") {
     val dir = Files.createTempDirectory("graft-part").toString
     graft.Tables(spark, sfDir, "events")
