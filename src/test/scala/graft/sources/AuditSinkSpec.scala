@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class AuditSinkSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("batch write publishes rows on driver commit") {
+    AuditSinkStore.clear("b1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .repartition(3)
+      .write.format("graft.sources.AuditSink").option("name", "b1")
+      .mode("append").save()
+    val rows = AuditSinkStore.rows("b1").map(r => (r(0), r(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(AuditSinkStore.epochs("b1") == Seq(-1L))
+  }
+
+  test("streaming write commits one idempotent slot per epoch") {
+    AuditSinkStore.clear("s1")
+    val input = MemoryStream[Long](spark)
+    val ckpt = Files.createTempDirectory("audit-ckpt").toString
+    val q = input.toDS().toDF("id")
+      .writeStream.format("graft.sources.AuditSink").option("name", "s1")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+      val epochs = AuditSinkStore.epochs("s1")
+      assert(epochs.size == 2, s"epochs $epochs")
+      assert(AuditSinkStore.rows("s1").map(_.head).toSet ==
+        Set(1L, 2L, 3L))
+      // idempotence: re-publishing an epoch replaces, never appends
+      AuditSinkStore.publish("s1", epochs.head,
+        AuditSinkStore.rows("s1").take(2))
+      assert(AuditSinkStore.epochs("s1").size == 2)
+    } finally q.stop()
+  }
+}
