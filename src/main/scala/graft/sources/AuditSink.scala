@@ -59,6 +59,11 @@ object AuditSinkStore {
     store.keys.toSeq.filter(_._1 == table).map(_._2).sorted
   }
 
+  def byEpoch(table: String): Seq[(Long, Seq[Seq[Any]])] = synchronized {
+    store.toSeq.filter(_._1._1 == table).map { case ((_, e), r) => (e, r) }
+      .sortBy(_._1)
+  }
+
   def clear(table: String): Unit = synchronized {
     store.keys.filter(_._1 == table).toSeq.foreach(store.remove)
   }
@@ -101,8 +106,12 @@ private[sources] class AuditWrite(table: String, schema: StructType)
         : StreamingDataWriterFactory = new AuditWriterFactory(schema)
     // idempotent by construction: a replayed epoch overwrites its slot
     override def commit(epochId: Long,
-        messages: Array[WriterCommitMessage]): Unit =
+        messages: Array[WriterCommitMessage]): Unit = {
+      if (sys.env.contains("GRAFT_DEBUG_STREAM"))
+        System.err.println(
+          s"[audit-sink] commit epoch=$epochId n=${gather(messages).size}")
       AuditSinkStore.publish(table, epochId, gather(messages))
+    }
     override def abort(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit = ()
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,7 +79,8 @@ private[sources] class DocsTable(rows: Long, partitions: Int)
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocsScanBuilder(rows, partitions)
 }
@@ -143,6 +145,70 @@ private[sources] class DocsScan(rows: Long, partitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocsReaderFactory(required.fieldNames)
+
+  /** Micro-batch streaming read: the offset is simply the next unread
+    * doc_id, advancing by `rows` per trigger up to... the source is
+    * unbounded in streaming mode — ids keep growing — so `rows` doubles as
+    * the per-trigger rate limit (the `maxOffsetsPerTrigger` role). Offsets
+    * are committed through the checkpoint: a restarted query resumes at
+    * the committed id with no duplicates and no gaps (the test proves
+    * it). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = new DocsMicroBatchStream(rows, partitions, required)
+}
+
+private[sources] case class DocsOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+private[sources] class DocsMicroBatchStream(ratePerBatch: Long,
+    partitions: Int, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = DocsOffset(0L)
+
+  /** NEVER use the zero-argument form for an unbounded source: a fresh
+    * instance after restart has no idea where the checkpoint stands, and
+    * the engine trusts whatever it returns — a stale answer moves the end
+    * offset BACKWARDS and the next batch re-reads committed ranges under
+    * new epoch ids (observed as duplicated ids before this was ported to
+    * SupportsAdmissionControl). With admission control the engine hands us
+    * the start offset, so advancement is monotone by construction — the
+    * same API Kafka's maxOffsetsPerTrigger rides on. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the only supported form")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    DocsOffset(start.asInstanceOf[DocsOffset].next + ratePerBatch)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(ratePerBatch)
+
+  override def deserializeOffset(json: String): Offset =
+    DocsOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocsOffset].next
+    val e = end.asInstanceOf[DocsOffset].next
+    if (sys.env.contains("GRAFT_DEBUG_STREAM"))
+      System.err.println(s"[docs-stream] plan [$s,$e)")
+    if (e <= s) Array.empty
+    else {
+      val per = math.max(1L, (e - s + partitions - 1) / partitions)
+      (s until e by per).map(lo =>
+        DocsPartition(lo, math.min(lo + per, e))
+          .asInstanceOf[InputPartition]).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = () // checkpoint holds the state
+
+  override def stop(): Unit = ()
 }
 
 private[sources] case class DocsPartition(start: Long, end: Long)

@@ -43,6 +43,46 @@ class SyntheticDocsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.distinct().count() == 4)
   }
 
+  test("micro-batch streaming read resumes from the checkpoint without dups") {
+    // end-to-end over both custom connectors: SyntheticDocs micro-batch
+    // source -> AuditSink epoch-committed sink (the memory sink cannot
+    // recover from a checkpoint; ours can). Exactly-once across a restart
+    // means the union of all published ids stays contiguous and unique.
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("docs-stream").toString
+    AuditSinkStore.clear("docs_rt")
+    def start() = spark.readStream
+      .format("graft.sources.SyntheticDocs")
+      .option("rows", 50).option("partitions", 4).load()
+      .writeStream.format("graft.sources.AuditSink")
+      .option("name", "docs_rt")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode("append").start()
+    def ids = AuditSinkStore.rows("docs_rt")
+      .map(_.head.asInstanceOf[Long]).sorted
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (ids.length < 100 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally q1.stop()
+    val n1 = ids.length
+    assert(n1 >= 100)
+    assert(ids == (0L until n1).toSeq, "phase 1 not contiguous")
+    // restart from the same checkpoint: continues AFTER the committed ids
+    val q2 = start()
+    try {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (ids.length <= n1 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally q2.stop()
+    val all = ids
+    assert(all.length > n1)
+    assert(all == (0L until all.length).toSeq,
+      s"restart produced dup/gap: ${all.take(5)}..${all.takeRight(5)}")
+  }
+
   test("plays with the rest of the engine: shingles + dedup over the source") {
     val df = docs(rows = 200, parts = 4)
     val shingled = df.select(col("doc_id"),
