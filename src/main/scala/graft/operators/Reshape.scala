@@ -73,14 +73,17 @@ object Reshape {
 
   /** Event-time sliding aggregate via a RANGE frame (value-based, not
     * row-count-based): per event, the trailing 1 hour of its type. Frame
-    * membership is a set over epoch seconds — identical in both engines —
-    * and the frame sum goes through exact decimal, so results are
-    * bit-stable. One shuffle on the partition key; at scale this is the
-    * standard sorted-window pass. */
+    * membership is a set over epoch seconds — identical in both engines
+    * because both floor EXACT integer microseconds (`epoch_us // 1e6` ≡
+    * Spark's timestamp→long floorDiv; DuckDB's `epoch()` returns DOUBLE
+    * seconds whose rounding near micro boundaries can disagree) — and the
+    * frame sum goes through exact decimal, so results are bit-stable. One
+    * shuffle on the partition key; at scale this is the standard
+    * sorted-window pass. */
   val q51TimeRangeWindow = QueryDef(
     "q51_time_range_window",
     """WITH s AS (SELECT event_id, event_type, value,
-      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+      |    epoch_us(ts) // 1000000 AS sec FROM events)
       |SELECT event_id, event_type,
       |  CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_1h,
       |  COUNT(*) OVER w AS n_1h

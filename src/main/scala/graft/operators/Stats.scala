@@ -111,15 +111,17 @@ object Stats {
     * same semantics as gaps-and-islands: a new session starts when the gap
     * to the previous event is >= 30 min (Spark's intervals are half-open,
     * so a gap of exactly 30 min does NOT merge), session end = last event
-    * + gap. */
+    * + gap. The gap compares exact integer `epoch_us`, never DuckDB's
+    * DOUBLE-typed `epoch()`, whose rounding near microsecond boundaries
+    * could disagree with Spark's integer micros on exact-gap ties. */
   val q56SessionWindow = QueryDef(
     "q56_session_window",
     s"""WITH d AS (
        |  SELECT user_id, ts, value,
        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |           IS NULL
-       |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-       |              ORDER BY ts, event_id)) >= 1800
+       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+       |              ORDER BY ts, event_id)) >= 1800000000
        |         THEN 1 ELSE 0 END AS new_s
        |  FROM events),
        |g AS (SELECT user_id, ts, value,
