@@ -21,6 +21,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * `finish` rounds the exact decimal to double once (half-even), matching
   * `CAST(DECIMAL AS DOUBLE)` in both Spark and DuckDB — so the oracle
   * mirror is `CAST(SUM(CAST(x AS DECIMAL(30,2))) AS DOUBLE)`.
+  *
+  * Input column must be NON-NULL: the primitive Double encoder surfaces a
+  * null as 0.0 (counted into the sum), whereas built-in `sum` skips nulls.
+  * For nullable data, pre-filter or coalesce explicitly — silent 0.0
+  * would be a correctness trap, so make the choice visible in the query.
   */
 object DecimalSum extends Aggregator[Double, JBigDecimal, Double] {
 
