@@ -62,13 +62,11 @@ object Dedup {
     * base hashes: h1 + j*(h2 % P) stays under 2^63 for j<16, h<2^60. */
   private val HashP = 562949953421311L // 2^49 - 1
 
-  /** MinHash + LSH near-duplicate detection: 16 min-hashes over 3-word
-    * shingles (two 60-bit digest windows per shingle + cheap integer
-    * combinations, not 16 md5 passes), banded 4×4; docs sharing a band bucket are
-    * candidates; candidates verified with exact Jaccard >= 0.5. */
-  val q19DedupMinhashLsh = QueryDef(
-    "q19_dedup_minhash_lsh",
-    s"""WITH sh AS ($sqlShingleSets),
+  /** DuckDB WITH-body (no leading `WITH`) computing the verified near-dup
+    * candidate CTE chain: `sh` → … → `jac`. Shared by q19's oracle and the
+    * connected-components clustering oracle (q59). */
+  private[operators] val sqlNearDupBody: String =
+    s"""sh AS ($sqlShingleSets),
        |exp AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |hs AS (SELECT doc_id, ${sqlHash60("s")} AS h1,
        |    ${sqlHash60b("s")} AS h2 FROM exp),
@@ -96,11 +94,21 @@ object Dedup {
        |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b)
-       |SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** DuckDB SELECT over [[sqlNearDupBody]]'s `jac` yielding the verified
+    * pair set (doc_a, doc_b, jaccard), unordered. */
+  private[operators] val sqlNearDupPairs: String =
+    s"""SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
        |FROM jac
-       |WHERE inter / (tot - inter) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+       |WHERE inter / (tot - inter) >= $JaccardThreshold""".stripMargin
+
+  /** The verified MinHash-LSH near-dup pair set (doc_a < doc_b, jaccard),
+    * unordered — q19's result before presentation ordering, reused as the
+    * edge set of the duplicate-cluster graph ([[Corpus.q59DedupComponents]]).
+    */
+  private[operators] def nearDupPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     // The distinct-shingle table feeds both sides of the verification join;
     // it is cheap to recompute (one narrow projection), so no persist — a
     // cache materialization would cost more than the recompute.
@@ -155,7 +163,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (inter / (tot - inter)).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH near-duplicate detection: 16 min-hashes over 3-word
+    * shingles (two 60-bit digest windows per shingle + cheap integer
+    * combinations, not 16 md5 passes), banded 4×4; docs sharing a band
+    * bucket are candidates; candidates verified with exact Jaccard >= 0.5. */
+  val q19DedupMinhashLsh = QueryDef(
+    "q19_dedup_minhash_lsh",
+    s"""WITH $sqlNearDupBody
+       |$sqlNearDupPairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    nearDupPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** doc_id → 60-bit SimHash over md5-derived word hashes (frequency
