@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Corpus-management operators for a training-data pipeline: duplicate
   * clustering (connected components over the near-dup pair graph),
@@ -112,5 +112,169 @@ object Corpus {
       .orderBy(col("component"), col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q59DedupComponents)
+  /** Token budget per packed training sequence. */
+  private val SeqTokens = 256L
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences by running token count, shard-local (partitioned by
+    * `source`, ordered by doc_id). A doc lands in the sequence its
+    * exclusive prefix sum falls in — contiguous-fill packing, the
+    * deterministic streaming-friendly scheme (first-fit needs a sequential
+    * scan; this is one window per shard). At 100 TB each source shard packs
+    * independently in parallel; the window never sees more than one
+    * shard's rows, so there is no global sort or single-partition window.
+    * `seq_offset` = where the doc starts inside its sequence (sequences
+    * can overflow the budget by at most one document's tail — the
+    * convention that never splits a document). */
+  val q60PackSequences = QueryDef(
+    "q60_pack_sequences",
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens) // $SeqTokens AS seq_id,
+       |  cum_tokens - n_tokens
+       |    - ((cum_tokens - n_tokens) // $SeqTokens) * $SeqTokens AS seq_offset
+       |FROM c
+       |ORDER BY source, doc_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // SeqTokens is a power of two, so the double division is exact and
+      // the long cast is a true floor — bit-identical to DuckDB's `//`
+      .withColumn("seq_id",
+        ((col("cum_tokens") - col("n_tokens")) / SeqTokens).cast(LongType))
+      .withColumn("seq_offset",
+        col("cum_tokens") - col("n_tokens") - col("seq_id") * SeqTokens)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val TopWordMax = 0.12
+  private val DupShingleMax = 0.05
+
+  /** Repetition / quality metrics per document (the Gopher-style filter
+    * family): distinct-word fraction, most-frequent-word fraction,
+    * duplicate-shingle fraction, plus the keep decision. Set-size metrics
+    * are narrow array ops (`array_distinct` is codegen, no lambda); only
+    * the word-multiplicity max needs an explode + two hash aggregations
+    * (map-side partials, same shape as q58's TF pass) — per-doc state is
+    * O(1), so the pass survives any corpus size. All fractions are
+    * int/int divides in double: bit-identical across engines. */
+  val q61RepetitionMetrics = QueryDef(
+    "q61_repetition_metrics",
+    s"""WITH ws AS (SELECT doc_id, $sqlWords AS w,
+       |    $sqlShingleGen AS sg FROM documents),
+       |base AS (SELECT doc_id,
+       |    len(w) AS n_words,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_word_frac,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w)
+       |      AS top_word_frac,
+       |    (CAST(len(sg) AS DOUBLE) - len(list_distinct(sg))) / len(sg)
+       |      AS dup_shingle_frac
+       |  FROM ws)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, distinct_word_frac,
+       |  top_word_frac, dup_shingle_frac,
+       |  (top_word_frac <= $TopWordMax AND dup_shingle_frac <= $DupShingleMax)
+       |    AS keep
+       |FROM base
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), words(col("text")).as("w"),
+        shingleGen(col("text")).as("sg"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        size(col("sg")).as("n_sh"),
+        size(array_distinct(col("sg"))).as("n_sh_uniq"))
+    val top = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("wd"))
+      .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+    val nw = col("n_words").cast(DoubleType)
+    base.join(top, "doc_id")
+      .select(col("doc_id"),
+        col("n_words").cast(LongType).as("n_words"),
+        (col("n_uniq").cast(DoubleType) / nw).as("distinct_word_frac"),
+        (col("top_cnt").cast(DoubleType) / nw).as("top_word_frac"),
+        ((col("n_sh").cast(DoubleType) - col("n_sh_uniq")) /
+          col("n_sh").cast(DoubleType)).as("dup_shingle_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= TopWordMax &&
+          col("dup_shingle_frac") <= DupShingleMax)
+      .orderBy(col("doc_id"))
+  }
+
+  private val ContamFracMin = 0.5
+
+  /** Benchmark-contamination detection: flag training-split documents whose
+    * distinct 3-shingle overlap with the held-out split (q53's
+    * deterministic hash split: train = bucket < 80, held-out = bucket >=
+    * 90) reaches [[ContamFracMin]] of their shingles — the n-gram-overlap
+    * decontamination check an LLM pipeline runs before training.
+    *
+    * Shape: inverted-index equi-join on 60-bit HASHED shingles — only
+    * (doc_id, hash) longs cross the shuffle, never shingle strings (q37's
+    * lesson), and never a doc×doc comparison. The held-out side is
+    * deduplicated to distinct hashes first, so the join output is bounded
+    * by the training shingle volume; in production the eval set is small
+    * and AQE broadcasts it at runtime — no explicit hint, per the
+    * no-broadcast-of-corpus rule. */
+  val q62Contamination = QueryDef(
+    "q62_contamination",
+    s"""WITH sh AS (SELECT doc_id, $sqlShingles3 AS s,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents),
+       |train AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sg
+       |  FROM sh WHERE bucket < 80),
+       |test AS (SELECT DISTINCT ${sqlHash60("sg")} AS h
+       |  FROM (SELECT unnest(s) AS sg FROM sh WHERE bucket >= 90)),
+       |hits AS (SELECT t.doc_id, COUNT(*) AS n_shared
+       |  FROM (SELECT doc_id, ${sqlHash60("sg")} AS h FROM train) t
+       |  JOIN test USING (h) GROUP BY t.doc_id),
+       |tot AS (SELECT doc_id, CAST(any_value(n_sh) AS BIGINT) AS n_sh
+       |  FROM train GROUP BY doc_id)
+       |SELECT tot.doc_id AS doc_id, n_sh,
+       |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       |  COALESCE(n_shared, 0) / CAST(n_sh AS DOUBLE) AS contamination_frac
+       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+       |WHERE COALESCE(n_shared, 0) / CAST(n_sh AS DOUBLE) >= $ContamFracMin
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("s"),
+        (hash60(col("doc_id").cast(org.apache.spark.sql.types.StringType))
+          % 100).as("bucket"))
+    val train = sh.filter(col("bucket") < 80)
+      .select(col("doc_id"), size(col("s")).as("n_sh"),
+        explode(col("s")).as("sg"))
+      .select(col("doc_id"), col("n_sh"), hash60(col("sg")).as("h"))
+    val test = sh.filter(col("bucket") >= 90)
+      .select(explode(col("s")).as("sg"))
+      .select(hash60(col("sg")).as("h"))
+      .distinct()
+    val hits = train.join(test, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val tot = sh.filter(col("bucket") < 80)
+      .select(col("doc_id"), size(col("s")).cast(LongType).as("n_sh"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
+          col("n_sh").cast(DoubleType)).as("contamination_frac"))
+      .filter(col("contamination_frac") >= ContamFracMin)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
+      q62Contamination)
 }

@@ -122,9 +122,13 @@ object Mirror {
     * as the DuckDB mirror. */
   def shingles3(text: Column): Column = array_distinct(shingleGen(text))
 
-  val sqlShingles3: String =
-    s"""list_distinct(CASE WHEN len($sqlWords) >= 3
+  /** DuckDB fragment mirroring [[shingleGen]] (all shingles, duplicates
+    * kept — the multiset the repetition metrics need). */
+  val sqlShingleGen: String =
+    s"""CASE WHEN len($sqlWords) >= 3
        | THEN list_transform(range(1, len($sqlWords) - 1),
        |                     i -> array_to_string(($sqlWords)[i:i+2], ' '))
-       | ELSE [text] END)""".stripMargin.replace("\n", "")
+       | ELSE [text] END""".stripMargin.replace("\n", "")
+
+  val sqlShingles3: String = s"list_distinct($sqlShingleGen)"
 }
