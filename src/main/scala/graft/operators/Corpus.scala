@@ -274,7 +274,76 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  private val SampleK = 20
+
+  /** Stratified exact-k sampling: k docs per stratum (`lang`), chosen by
+    * md5-hash order — deterministic (reruns, repartitioning, and the
+    * oracle all pick the same rows, unlike seed-based `sample`) and
+    * uniform (the hash is effectively a random permutation of each
+    * stratum). The textbook row_number-over-hash window is written here
+    * EXACTLY in the shape [[graft.plans.TopKRewrite]] fires on: with
+    * `GraftExtensions` injected, the optimizer replaces the per-stratum
+    * sort with [[graft.plans.TopKPerKey]]'s bounded heaps — k rows of
+    * state per stratum instead of a full sort of every stratum
+    * (ScaleSpec asserts the rewritten plan). */
+  val q63StratifiedSample = QueryDef(
+    "q63_stratified_sample",
+    s"""SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${sqlHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $SampleK
+       |ORDER BY lang, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hash60(col("doc_id").cast(StringType)), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SampleK)
+      .select(col("doc_id"), col("lang"), col("rnk").cast(LongType).as("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  // PII patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+  // interpret identically: ASCII classes, bounded repetition, \b word
+  // boundaries — no lookaround (RE2 has none).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val NumRe = "[0-9]+"
+
+  /** PII / identifier scrubbing over the raw `props` payload: count then
+    * redact emails, IPv4s, and digit runs (applied in that order, so the
+    * digit rule can't eat an address's octets first). A pure narrow map —
+    * regex per row, no shuffle — the cheapest possible shape at 100 TB.
+    * Counts come from the PRE-redaction text; `events.props` carries digit
+    * runs (JSON numbers), so the digit rule is exercised non-vacuously
+    * while the email/IP rules prove out the machinery. */
+  val q65PiiScrub = QueryDef(
+    "q65_pii_scrub",
+    s"""SELECT event_id,
+       |  CAST(len(regexp_extract_all(props, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(props, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(props, '$NumRe')) AS BIGINT) AS n_num,
+       |  regexp_replace(regexp_replace(regexp_replace(props,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$NumRe', '<NUM>', 'g') AS scrubbed
+       |FROM events
+       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val p = col("props")
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        regexp_count(p, lit(EmailRe)).cast(LongType).as("n_email"),
+        regexp_count(p, lit(Ipv4Re)).cast(LongType).as("n_ip"),
+        regexp_count(p, lit(NumRe)).cast(LongType).as("n_num"),
+        regexp_replace(
+          regexp_replace(regexp_replace(p, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          NumRe, "<NUM>").as("scrubbed"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
-      q62Contamination)
+      q62Contamination, q63StratifiedSample, q65PiiScrub)
 }

@@ -471,7 +471,118 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------------
+  // q64: scalar-quantized (int8-style) ANN — the compression scale path:
+  // at 100 TB the win is 4× fewer bytes scanned per candidate, traded for
+  // approximate scores.
+  // ---------------------------------------------------------------------
+
+  /** Scalar-quantized brute-force ANN. Per-dimension min/max over the
+    * corpus (one explode + min/max agg — exact, order-independent) form
+    * the quantization grid; each vector is encoded as 64 codes in 0..255
+    * (`floor((x-mn)*255/range)`, clamped) and reconstructed at search time
+    * as `mn + (c+0.5)*range/255` cast to float. Queries keep full
+    * precision (asymmetric distance, the SQ/PQ convention). Scoring then
+    * reuses the native codegen dot on the reconstructed float arrays —
+    * same single corpus pass as q23, no shuffle of the corpus.
+    *
+    * The min/max table is the MODEL (one row of 2×64 doubles), broadcast
+    * like q48's centroids. Every arithmetic step (IEEE sub/mul/div, floor,
+    * double→float rounding) is order-fixed and mirrored in the oracle, so
+    * the approximate scores — and therefore the ranks — are bit-exact
+    * across engines. Recall vs exact q23 is asserted in SimilaritySpec. */
+  val q64AnnInt8 = QueryDef(
+    "q64_ann_int8",
+    s"""WITH e AS (SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |s AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos),
+       |mm AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mn_arr,
+       |    list(CAST(mx AS DOUBLE) ORDER BY pos) AS mx_arr FROM s),
+       |mr AS (SELECT mn_arr,
+       |    list_transform(list_zip(mx_arr, mn_arr), p -> p[1] - p[2])
+       |      AS rng_arr FROM mm),
+       |enc AS (SELECT m.vec_id, mr.mn_arr, mr.rng_arr,
+       |    list_transform(list_zip(m.embedding, mr.mn_arr, mr.rng_arr),
+       |      p -> CASE WHEN p[3] = 0.0 THEN 0.0
+       |           ELSE least(greatest(floor(
+       |             ((CAST(p[1] AS DOUBLE) - p[2]) * 255.0) / p[3]),
+       |             0.0), 255.0) END) AS codes
+       |  FROM embeddings m CROSS JOIN mr),
+       |deq AS (SELECT vec_id,
+       |    list_transform(list_transform(list_zip(codes, rng_arr, mn_arr),
+       |      p -> p[3] + ((p[1] + 0.5) * p[2]) / 255.0),
+       |      v -> CAST(v AS REAL)) AS dv
+       |  FROM enc),
+       |n AS (SELECT vec_id, dv, ${sqlNormD("dv")} AS nrm FROM deq),
+       |qn AS (SELECT vec_id AS q_id, embedding AS qv,
+       |    ${sqlNormD("embedding")} AS qnm
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.q_id, c.vec_id,
+       |    ${sqlDotD("q.qv", "c.dv")} / (q.qnm * c.nrm) AS score
+       |  FROM qn q, n c WHERE c.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    import graft.functions.FloatVector
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // model: per-dimension [min, max] as one broadcast row of two arrays
+    val mm = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("sm"))
+      .select(
+        transform(col("sm"), s => s.getField("mn").cast(DoubleType))
+          .as("mn_arr"),
+        transform(col("sm"), s => s.getField("mx").cast(DoubleType))
+          .as("mx_arr"))
+      .select(col("mn_arr"),
+        zip_with(col("mx_arr"), col("mn_arr"), (a, b) => a - b).as("rng_arr"))
+    // encode: codes in 0..255 (two zips = the oracle's one 3-way zip)
+    val enc = emb.crossJoin(broadcast(mm))
+      .withColumn("d",
+        zip_with(col("embedding"), col("mn_arr"),
+          (x, m) => x.cast(DoubleType) - m))
+      .withColumn("codes",
+        zip_with(col("d"), col("rng_arr"), (d, r) =>
+          when(r === 0.0, lit(0.0))
+            .otherwise(least(greatest(floor((d * 255.0) / r), lit(0.0)),
+              lit(255.0)))))
+    // reconstruct as float — scoring then runs the native codegen dot
+    val deq = enc
+      .withColumn("u",
+        zip_with(col("codes"), col("rng_arr"),
+          (c, r) => ((c + 0.5) * r) / 255.0))
+      .select(col("vec_id"),
+        zip_with(col("u"), col("mn_arr"), (u, m) => m + u)
+          .cast(ArrayType(FloatType)).as("dv"))
+      .select(col("vec_id"), col("dv"),
+        FloatVector.norm(col("dv")).as("nrm"))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        FloatVector.norm(col("embedding")).as("qnm"))
+    val scored = deq.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (FloatVector.dot(col("qv"), col("dv")) / (col("qnm") * col("nrm")))
+          .as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
-      q48AnnKmeansIvf)
+      q48AnnKmeansIvf, q64AnnInt8)
 }
