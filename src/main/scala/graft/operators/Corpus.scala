@@ -343,7 +343,94 @@ object Corpus {
       .orderBy(col("event_id"))
   }
 
+  /** Mixture resampling: up/down-weight sources by replicating documents
+    * `n_copies` times (the epoch-mixing scheme LLM pipelines use to hit a
+    * target data mix). Weights live in integer MILLI-units and the
+    * fractional part becomes a copy with probability frac via hash
+    * threshold — all integer arithmetic, so membership and copy counts are
+    * a pure function of (source, doc_id): reproducible across engines,
+    * reruns, and repartitioning. Here the per-source weight is derived
+    * from a hash (0.5×–2.5×) to stand in for a config map; production
+    * would join a literal weights table. Narrow map + explode of a
+    * ≤3-element sequence: no shuffle at any corpus size. */
+  val q66MixtureResample = QueryDef(
+    "q66_mixture_resample",
+    s"""WITH w AS (SELECT doc_id, source,
+       |    500 + ${sqlHash60("source")} % 2000 AS w_milli,
+       |    ${sqlHash60("concat('rep:', CAST(doc_id AS VARCHAR))")} % 1000
+       |      AS frac_roll
+       |  FROM documents),
+       |n AS (SELECT doc_id, source,
+       |    w_milli // 1000
+       |      + CASE WHEN frac_roll < w_milli % 1000 THEN 1 ELSE 0 END
+       |      AS n_copies
+       |  FROM w)
+       |SELECT doc_id, source, n_copies,
+       |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_id
+       |FROM n
+       |ORDER BY doc_id, copy_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val w = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (lit(500L) + hash60(col("source")) % 2000L).as("w_milli"),
+        (hash60(concat(lit("rep:"), col("doc_id").cast(StringType))) % 1000L)
+          .as("frac_roll"))
+      .select(col("doc_id"), col("source"),
+        ((col("w_milli") / 1000L).cast(LongType) +
+          when(col("frac_roll") < col("w_milli") % 1000L, 1L).otherwise(0L))
+          .as("n_copies"))
+    // sequence(1, 0) would COUNT DOWN in Spark (negative-step inference);
+    // guard with an empty array so n_copies = 0 really drops the doc
+    w.select(col("doc_id"), col("source"), col("n_copies"),
+        explode(when(col("n_copies") >= 1,
+          sequence(lit(1L), col("n_copies"))).otherwise(array()))
+          .as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  /** Exact per-group percentiles (p50/p90/p99 of event value) by explicit
+    * order-statistic selection: rank every row in its group, pick the
+    * value at index ceil(p·n) computed in INTEGER arithmetic
+    * ((p_num·n + p_den − 1) div p_den) — no float index math, no
+    * interpolation, so the engines cannot disagree at boundaries (the
+    * reason built-in continuous `percentile` isn't oracle-safe). One
+    * shuffle + per-group sort, parallel across groups; for a 100 TB
+    * single group you'd switch to the q43-style median machinery or an
+    * approx sketch — this is the exact profiling tool for
+    * many-moderate-groups data. Ties broken by event_id so the selected
+    * row is unique. */
+  val q67ExactPercentiles = QueryDef(
+    "q67_exact_percentiles",
+    """WITH r AS (SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, n,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+      |FROM r
+      |GROUP BY event_type, n
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val byType = Window.partitionBy(col("event_type"))
+    val r = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("value"), col("event_id")))
+          .cast(LongType))
+      .withColumn("n", count(lit(1)).over(byType))
+    def at(num: Long, den: Long) =
+      max(when(
+        col("rn") === ((col("n") * num + (den - 1L)) / den).cast(LongType),
+        col("value")))
+    r.groupBy(col("event_type"), col("n"))
+      .agg(at(1, 2).as("p50"), at(9, 10).as("p90"), at(99, 100).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
-      q62Contamination, q63StratifiedSample, q65PiiScrub)
+      q62Contamination, q63StratifiedSample, q65PiiScrub,
+      q66MixtureResample, q67ExactPercentiles)
 }

@@ -103,6 +103,40 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.getLong(3)).sum > 0) // digit runs were found+counted
   }
 
+  test("q66: copy counts bounded by the weight range, both tails occur") {
+    val rows = Corpus.q66MixtureResample.fn(spark, sf01Dir).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (_, copies) =>
+      val n = copies.head.getLong(2)
+      assert(n >= 1 && n <= 3) // weights are 0.5x-2.5x => 0..3 copies
+      assert(copies.map(_.getLong(3)).sorted.toSeq == (1L to n)) // 1..n ids
+    }
+    val nDocs = graft.Tables(spark, sf01Dir, "documents").count()
+    assert(perDoc.size < nDocs, "some docs must be dropped (weight < 1)")
+    assert(rows.length > nDocs.toInt / 2, "resample keeps a real fraction")
+    assert(perDoc.values.exists(_.length >= 2), "some docs must replicate")
+  }
+
+  test("q67: order statistics match a brute-force sort per group") {
+    val got = Corpus.q67ExactPercentiles.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val vals = graft.Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    vals.foreach { case (et, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length.toLong
+      def pick(num: Long, den: Long) =
+        sorted(((n * num + den - 1) / den).toInt - 1)
+      val (gn, p50, p90, p99) = got(et)
+      assert(gn == n)
+      assert(p50 == pick(1, 2) && p90 == pick(9, 10) && p99 == pick(99, 100))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("pii regexes agree between Java and the oracle on crafted cases") {
     import spark.implicits._
     val cases = Seq(
