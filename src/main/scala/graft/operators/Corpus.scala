@@ -45,9 +45,11 @@ object Corpus {
     * control signal, same as MLlib's iterative jobs). */
   private[operators] def connectedComponents(edges: DataFrame, src: String,
       dst: String): DataFrame = {
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
-      .localCheckpoint() // edge pipeline (LSH + verify) runs once, not per iteration
+    // checkpoint the DIRECTED pairs first: the union below reads the edge
+    // pipeline (LSH + verify) twice, so materializing before symmetrizing
+    // halves its executions; iterations then run off cached blocks only
+    val p = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint()

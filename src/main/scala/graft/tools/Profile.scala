@@ -21,6 +21,7 @@ object Profile {
       }
       println(f"PROF $label: min=${ts.min}%.2f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+    min3("q59")(Corpus.q59DedupComponents.fn(spark, dir).count)
     min3("q19")(Dedup.q19DedupMinhashLsh.fn(spark, dir).count)
     min3("q21")(Dedup.q21DedupSimhashPairs.fn(spark, dir).count)
     min3("q37")(Extended.q37NgramJaccard.fn(spark, dir).count)
