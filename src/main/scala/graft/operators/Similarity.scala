@@ -389,23 +389,27 @@ object Similarity {
   }
 
   /** One DuckDB Lloyd iteration: cells `c$i` → assignment `a$i` → ordered
-    * fold means → cells `c${i+1}`. Mirrors [[lloydCentroids]] exactly. */
-  private def sqlLloydIter(i: Int): String =
-    s"""d$i AS (SELECT m.vec_id, m.embedding, c.cell,
+    * fold means → cells `c${i+1}`. Mirrors [[lloydCentroids]] exactly.
+    * `p` prefixes every CTE name and `src` the scanned relation, so the
+    * same iteration chains once per PQ subspace (q68) without name
+    * clashes; the defaults reproduce q48's original text. */
+  private def sqlLloydIter(i: Int, p: String = "",
+      src: String = "embeddings"): String =
+    s"""d$p$i AS (SELECT m.vec_id, m.embedding, c.cell,
        |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
-       |  FROM embeddings m CROSS JOIN c$i c),
-       |a$i AS (SELECT vec_id, embedding, cell FROM (
+       |  FROM $src m CROSS JOIN c$p$i c),
+       |a$p$i AS (SELECT vec_id, embedding, cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY d, cell) AS rn FROM d$i) WHERE rn = 1),
-       |e$i AS (SELECT cell, vec_id,
+       |      ORDER BY d, cell) AS rn FROM d$p$i) WHERE rn = 1),
+       |e$p$i AS (SELECT cell, vec_id,
        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-       |    unnest(embedding) AS x FROM a$i),
-       |g$i AS (SELECT cell, pos, list(CAST(x AS DOUBLE) ORDER BY vec_id)
-       |    AS xs FROM e$i GROUP BY cell, pos),
-       |cc$i AS (SELECT cell, pos,
-       |    ${sqlFoldSum("xs")} / CAST(len(xs) AS DOUBLE) AS cx FROM g$i),
-       |c${i + 1} AS (SELECT cell, list(cx ORDER BY pos) AS cvec
-       |  FROM cc$i GROUP BY cell)""".stripMargin
+       |    unnest(embedding) AS x FROM a$p$i),
+       |g$p$i AS (SELECT cell, pos, list(CAST(x AS DOUBLE) ORDER BY vec_id)
+       |    AS xs FROM e$p$i GROUP BY cell, pos),
+       |cc$p$i AS (SELECT cell, pos,
+       |    ${sqlFoldSum("xs")} / CAST(len(xs) AS DOUBLE) AS cx FROM g$p$i),
+       |c$p${i + 1} AS (SELECT cell, list(cx ORDER BY pos) AS cvec
+       |  FROM cc$p$i GROUP BY cell)""".stripMargin
 
   /** IVF ANN with a trained quantizer: md5-seeded K=8 init, 2 Lloyd
     * iterations, nprobe=2. Assignment and probing are narrow maps over the
@@ -421,7 +425,7 @@ object Similarity {
        |  FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn
        |        FROM seeded)
        |  WHERE rn <= $KmeansK),
-       |${(0 until KmeansIters).map(sqlLloydIter).mkString(",\n")},
+       |${(0 until KmeansIters).map(i => sqlLloydIter(i)).mkString(",\n")},
        |dfin AS (SELECT m.vec_id, m.embedding, c.cell,
        |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
        |  FROM embeddings m CROSS JOIN c$KmeansIters c),
@@ -582,7 +586,150 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------------
+  // q68: product quantization (PQ) with asymmetric distance computation —
+  // the other half of the compression family next to q64's scalar
+  // quantization: 64 floats (256 B) become M=4 one-byte codes.
+  // ---------------------------------------------------------------------
+
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+  private val PqShortlist = 100
+
+  /** Per-subspace DuckDB training + assignment + query distance table:
+    * slice, md5-seeded init, one Lloyd iteration (reusing the q48
+    * iteration template under a `sub$m` prefix), final codes (argmin cell
+    * per vector), and each query's distances to all cells as one ordered
+    * list. */
+  private def sqlPqSubspace(m: Int): String = {
+    val p = s"sub$m"
+    val a = m * PqSubDim + 1
+    val b = (m + 1) * PqSubDim
+    s"""$p AS (SELECT vec_id, embedding[$a:$b] AS embedding FROM embeddings),
+       |c${p}0 AS (SELECT CAST(rn AS BIGINT) AS cell,
+       |    list_transform(embedding[$a:$b], x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn
+       |        FROM seeded)
+       |  WHERE rn <= $KmeansK),
+       |${sqlLloydIter(0, p, p)},
+       |df$m AS (SELECT m.vec_id, c.cell,
+       |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
+       |  FROM $p m CROSS JOIN c${p}1 c),
+       |code$m AS (SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, cell) AS rn FROM df$m) WHERE rn = 1),
+       |qd$m AS (SELECT vec_id AS q_id, list(d ORDER BY cell) AS dt
+       |  FROM df$m WHERE vec_id < $NumQueries GROUP BY vec_id)""".stripMargin
+  }
+
+  /** PQ ANN with exact re-ranking — the production two-stage retrieval
+    * architecture. Stage 1 (compressed scan): each 8-dim subspace gets its
+    * own md5-seeded 1-Lloyd-round codebook (K=8); a vector is stored as 8
+    * one-byte cell codes. Per query, the 8×8 table of exact subspace
+    * distances to every centroid is precomputed on the (tiny) query side;
+    * every corpus vector is then scored with EIGHT ARRAY PROBES
+    * (`element_at` — codegen, no per-pair float loop) summed into the
+    * approximate squared L2, and the best [[PqShortlist]] survive. Stage 2
+    * (refine): only shortlist members join back to their full vectors for
+    * exact distances and the final top-5. At 100 TB this is the shape that
+    * wins: the hot scan reads 8 bytes per row instead of 256, the distance
+    * tables ride along broadcast, and the expensive exact math touches
+    * shortlist·queries rows, not the corpus. Training reuses
+    * [[lloydCentroids]] per slice; every step is order-fixed, so both
+    * stages hash-match the oracle (which retrains all 8 codebooks as
+    * chained CTEs). The fixture's embeddings are near-uniform noise — the
+    * hardest case for lossy compression — so SimilaritySpec asserts the
+    * two-stage recall vs exact L2 (the shortlist must beat its random
+    * baseline by a wide margin), with the shortlist sized to the fixture
+    * corpus (production sizes it to the recall target). */
+  val q68AnnPq = QueryDef(
+    "q68_ann_pq",
+    s"""WITH seeded AS (SELECT vec_id, embedding,
+       |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+       |${(0 until PqM).map(sqlPqSubspace).mkString(",\n")},
+       |codes AS (SELECT c0.vec_id,
+       |    ${(0 until PqM).map(m => s"c$m.cell AS k$m").mkString(", ")}
+       |  FROM code0 c0
+       |    ${(1 until PqM).map(m => s"JOIN code$m c$m USING (vec_id)")
+             .mkString(" ")}),
+       |qdt AS (SELECT q0.q_id,
+       |    ${(0 until PqM).map(m => s"q$m.dt AS dt$m").mkString(", ")}
+       |  FROM qd0 q0
+       |    ${(1 until PqM).map(m => s"JOIN qd$m q$m USING (q_id)")
+             .mkString(" ")}),
+       |scored AS (SELECT q.q_id, c.vec_id,
+       |    ${(0 until PqM).map(m => s"q.dt$m[CAST(c.k$m AS INTEGER)]")
+             .mkString(" + ")} AS adist
+       |  FROM qdt q, codes c WHERE c.vec_id <> q.q_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adist, vec_id) AS srn FROM scored)
+       |  WHERE srn <= $PqShortlist),
+       |rer AS (SELECT s.q_id, s.vec_id,
+       |    ${sqlSqDist("qe.embedding", "ce.embedding")} AS dist
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, dist, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY dist, vec_id) AS rnk FROM rer)
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    import graft.functions.NearestCentroid
+    import org.apache.spark.sql.types.IntegerType
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def sub(m: Int) = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+    // 8 independent codebooks; training passes are linear scans (model on
+    // the driver, like q48)
+    val cents = (0 until PqM).map { m =>
+      lloydCentroids(emb.select(col("vec_id"), sub(m).as("embedding")), 1)
+    }
+    // encode: one narrow projection, 8 native argmin expressions
+    val codes = emb.select(
+      col("vec_id") +: (0 until PqM).map(m =>
+        NearestCentroid(sub(m), cents(m)).as(s"k$m")): _*)
+    // per-query distance tables (cells are labelled 1..K in sorted order,
+    // so the array index IS the cell id)
+    val dtCols = (0 until PqM).map { m =>
+      array(cents(m).sortBy(_._1).map { case (_, cv) =>
+        sqDistLit(sub(m), cv)
+      }: _*).as(s"dt$m")
+    }
+    val qdt = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id") +: dtCols: _*)
+    val adist = (0 until PqM)
+      .map(m => element_at(col(s"dt$m"), col(s"k$m").cast(IntegerType)))
+      .reduce(_ + _)
+    val shortW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val short = codes.crossJoin(broadcast(qdt))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adist.as("adist"))
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= PqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    // stage 2: exact distances for shortlist members only (both casts to
+    // double — the same op sequence as the oracle's sqlSqDist)
+    def sqDistFF(a: Column, b: Column): Column =
+      foldSum(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))))
+    val rer = short
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+        "q_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        sqDistFF(col("qe"), col("ce")).as("dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    rer
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
-      q48AnnKmeansIvf, q64AnnInt8)
+      q48AnnKmeansIvf, q64AnnInt8, q68AnnPq)
 }
