@@ -58,8 +58,17 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
-    } catch { case _: Throwable => () } // file write is best-effort; stdout is canonical
-    println(json)
+    } catch { case _: Throwable => () } // full-precision file for humans/tools
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of it; the full-name full-precision line outgrew that
+    // window at 68 queries (BENCH_r03 "parsed": null). Emit a compact
+    // variant to stdout — qNN keys, ms precision — that stays ~1 KB even
+    // at 120 queries; bench_result.json keeps the verbose form.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":$iters,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -135,8 +135,10 @@ object Corpus {
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |c AS (SELECT doc_id, source, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |    -- CAST: DuckDB widens a window SUM(BIGINT) to HUGEINT; the
+       |    -- driver hash-compares values by dtype, so int128 != int64
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
        |  FROM t)
        |SELECT doc_id, source, n_tokens, cum_tokens,
        |  (cum_tokens - n_tokens) // $SeqTokens AS seq_id,

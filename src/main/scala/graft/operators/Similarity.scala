@@ -596,6 +596,63 @@ object Similarity {
   private val PqSubDim = Dim / PqM
   private val PqShortlist = 100
 
+  /** All [[PqM]] codebooks trained in ONE pass over the corpus. Calling
+    * [[lloydCentroids]] per subspace costs 2 Spark jobs each (seed
+    * TakeOrdered + mean agg) — 16 jobs of fixed scheduling overhead that
+    * dominated q68 (4.0 s, the round-3 bench outlier). The seeds are the
+    * SAME K rows for every subspace (md5 of vec_id — slice-independent),
+    * so one collect seeds all M; the Lloyd mean then tags each exploded
+    * element with its subspace and aggregates by (m, cell, pos) — same
+    * groups, same ordered fold, bit-identical centroids to the
+    * per-subspace loop (SimilaritySpec asserts equality). */
+  private[graft] def pqCodebooks(emb: DataFrame)
+      : IndexedSeq[Array[(Long, Array[Double])]] = {
+    import org.apache.spark.sql.types.StringType
+    val seedRows = emb
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast(StringType)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(KmeansK)
+      .collect()
+    val inits: IndexedSeq[Array[(Long, Array[Double])]] = (0 until PqM).map {
+      m =>
+        seedRows.zipWithIndex.map { case (r, i) =>
+          ((i + 1).toLong,
+            r.getAs[Seq[Float]]("embedding")
+              .slice(m * PqSubDim, (m + 1) * PqSubDim)
+              .map(_.toDouble).toArray)
+        }
+    }
+    // one Lloyd iteration for all subspaces: per row, M small native argmin
+    // expressions (cell per subspace) computed BEFORE any explode
+    val pieces = array((0 until PqM).map { m =>
+      val sv = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+      struct(lit(m).as("m"), sv.as("sv"),
+        graft.functions.NearestCentroid(sv, inits(m)).as("cell"))
+    }: _*)
+    val assigned = emb
+      .select(col("vec_id"), explode(pieces).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.cell").as("cell"),
+        posexplode(col("p.sv")).as(Seq("pos", "x")))
+    val rows = assigned
+      .groupBy(col("m"), col("cell"), col("pos").cast(LongType).as("pos"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
+        .as("vs"))
+      .select(col("m"), col("cell"), col("pos"),
+        (foldSum(transform(col("vs"),
+          v => v.getField("x").cast(DoubleType)))
+          / size(col("vs")).cast(DoubleType)).as("cx"))
+      .groupBy(col("m"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("cs"))
+      .select(col("m"), col("cell"),
+        transform(col("cs"), s => s.getField("cx")).as("cvec"))
+      .collect()
+    val byM = rows.groupBy(_.getInt(0))
+    (0 until PqM).map { m =>
+      byM(m).map(r => (r.getLong(1), r.getAs[Seq[Double]]("cvec").toArray))
+        .sortBy(_._1)
+    }
+  }
+
   /** Per-subspace DuckDB training + assignment + query distance table:
     * slice, md5-seeded init, one Lloyd iteration (reusing the q48
     * iteration template under a `sub$m` prefix), final codes (argmin cell
@@ -680,11 +737,9 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     def sub(m: Int) = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
-    // 8 independent codebooks; training passes are linear scans (model on
-    // the driver, like q48)
-    val cents = (0 until PqM).map { m =>
-      lloydCentroids(emb.select(col("vec_id"), sub(m).as("embedding")), 1)
-    }
+    // 8 independent codebooks trained in one batched pass (model on the
+    // driver, like q48); see pqCodebooks for why not 8 lloydCentroids calls
+    val cents = pqCodebooks(emb)
     // encode: one narrow projection, 8 native argmin expressions
     val codes = emb.select(
       col("vec_id") +: (0 until PqM).map(m =>
