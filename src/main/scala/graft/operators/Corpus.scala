@@ -433,8 +433,73 @@ object Corpus {
       .orderBy(col("event_type"))
   }
 
+  /** Corpus-trained bigram language-model scoring: every document is scored
+    * by the mean conditional probability of its word transitions,
+    * P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_prefix(w_{i-1}), with counts
+    * taken over the whole corpus — the classic cheap LM-quality signal
+    * (fluent text scores high, shuffled/garbage text low) an LLM pipeline
+    * computes before it can afford a neural perplexity pass.
+    *
+    * Shape at scale: bigrams are enumerated per row (array HOF, no
+    * shuffle), then hashed to 60-bit longs BEFORE the two count
+    * aggregations and the count-lookup joins, so only (doc_id, pos, long)
+    * rows ever shuffle — q37's lesson. The count tables are
+    * vocabulary-sized (sublinear in the corpus); Spark shuffles both
+    * joins on the hash, and AQE broadcasts a small-vocabulary side at
+    * runtime — no explicit hint, per the no-broadcast-of-corpus rule.
+    * Probabilities avoid logs entirely (java.lang.Math.log and libm may
+    * differ in the last ulp): each term is an int/int double division
+    * (exactly rounded in both engines) and the per-doc mean is the
+    * position-ordered fold — bit-exact, and the fold list is one double
+    * per word of ONE document, so the buffer is bounded by document
+    * length, not corpus size. */
+  val q69BigramLm = QueryDef(
+    "q69_bigram_lm",
+    s"""WITH d AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |  WHERE len($sqlWords) >= 2),
+       |b AS (SELECT doc_id, i AS pos,
+       |    array_to_string(w[i:i+1], ' ') AS bg, w[i] AS pw
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
+       |h AS (SELECT doc_id, pos, ${sqlHash60("bg")} AS h2,
+       |    ${sqlHash60("pw")} AS h1 FROM b),
+       |c2 AS (SELECT h2, COUNT(*) AS n2 FROM h GROUP BY h2),
+       |c1 AS (SELECT h1, COUNT(*) AS n1 FROM h GROUP BY h1),
+       |p AS (SELECT doc_id, pos, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+       |  FROM h JOIN c2 USING (h2) JOIN c1 USING (h1)),
+       |g AS (SELECT doc_id, list(p ORDER BY pos) AS ps FROM p GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+       |  ${sqlFoldSum("ps")} / CAST(len(ps) AS DOUBLE) AS avg_p
+       |FROM g
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    // bigram strings before the explode (computed once per doc, not per
+    // downstream row); at 100 TB the HOF would move into a native
+    // ShingleGen-style expression like the 3-shingle path did
+    val rows = base
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1)))).as(Seq("pos0", "bg")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        hash60(col("bg")).as("h2"),
+        hash60(element_at(col("w"), col("pos0") + 1)).as("h1"))
+    val c2 = rows.groupBy(col("h2")).agg(count(lit(1)).as("n2"))
+    val c1 = rows.groupBy(col("h1")).agg(count(lit(1)).as("n1"))
+    val p = rows.join(c2, "h2").join(c1, "h1")
+      .select(col("doc_id"), col("pos"),
+        (col("n2").cast(DoubleType) / col("n1").cast(DoubleType)).as("p"))
+    p.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast(LongType).as("n_bigrams"),
+        (foldSum(transform(col("ps"), s => s.getField("p")))
+          / size(col("ps")).cast(DoubleType)).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
-      q66MixtureResample, q67ExactPercentiles)
+      q66MixtureResample, q67ExactPercentiles, q69BigramLm)
 }

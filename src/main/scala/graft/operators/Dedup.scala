@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -62,10 +63,11 @@ object Dedup {
     * base hashes: h1 + j*(h2 % P) stays under 2^63 for j<16, h<2^60. */
   private val HashP = 562949953421311L // 2^49 - 1
 
-  /** DuckDB WITH-body (no leading `WITH`) computing the verified near-dup
-    * candidate CTE chain: `sh` → … → `jac`. Shared by q19's oracle and the
-    * connected-components clustering oracle (q59). */
-  private[operators] val sqlNearDupBody: String =
+  /** DuckDB CTE chain `sh` → … → `bands` producing the per-doc banded
+    * minhash signature table — the index half of the LSH pipeline, shared
+    * by the self-join oracles (q19/q59) and the one-sided incremental
+    * probe (q72). */
+  private[operators] val sqlSigBands: String =
     s"""sh AS ($sqlShingleSets),
        |exp AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |hs AS (SELECT doc_id, ${sqlHash60("s")} AS h1,
@@ -78,7 +80,13 @@ object Dedup {
        |    md5(array_to_string(
        |      sig[(CAST(b.range AS INTEGER)*$Rows+1):(CAST(b.range AS INTEGER)*$Rows+$Rows)],
        |      ',')) AS band_hash
-       |  FROM sig CROSS JOIN range($Bands) b),
+       |  FROM sig CROSS JOIN range($Bands) b)""".stripMargin
+
+  /** DuckDB WITH-body (no leading `WITH`) computing the verified near-dup
+    * candidate CTE chain: `sh` → … → `jac`. Shared by q19's oracle and the
+    * connected-components clustering oracle (q59). */
+  private[operators] val sqlNearDupBody: String =
+    s"""$sqlSigBands,
        |ranked AS (SELECT doc_id, band_idx, band_hash,
        |    row_number() OVER (PARTITION BY band_idx, band_hash
        |                       ORDER BY doc_id) AS rn
@@ -107,19 +115,19 @@ object Dedup {
     * unordered — q19's result before presentation ordering, reused as the
     * edge set of the duplicate-cluster graph ([[Corpus.q59DedupComponents]]).
     */
-  private[operators] def nearDupPairs(spark: SparkSession,
-      dir: String): DataFrame = {
-    // The distinct-shingle table feeds both sides of the verification join;
-    // it is cheap to recompute (one narrow projection), so no persist — a
-    // cache materialization would cost more than the recompute.
-    val sh = shingleSets(spark, dir)
-    // Signature pipeline, fully codegen: explode shingles to rows, take the
-    // front/back 60-bit md5 digest windows as the two base hashes, and the
-    // 16 minhash values come out of a single hash aggregation of
-    // min(h1 + j*(h2%P)). Map-side partial mins collapse each doc to one row
-    // before the shuffle, and no interpreted lambda touches the hot path.
-    // (MinHash of a multiset equals the set's — duplicates can't change a
-    // min — so the non-distinct explode is safe.)
+  /** Banded minhash signature table (doc_id, band_idx, band_hash) — the LSH
+    * index half of the pipeline, shared by the self-join dedup (q19/q59)
+    * and the one-sided incremental probe (q72).
+    *
+    * Signature pipeline, fully codegen: explode shingles to rows, take the
+    * front/back 60-bit md5 digest windows as the two base hashes, and the
+    * 16 minhash values come out of a single hash aggregation of
+    * min(h1 + j*(h2%P)). Map-side partial mins collapse each doc to one row
+    * before the shuffle, and no interpreted lambda touches the hot path.
+    * (MinHash of a multiset equals the set's — duplicates can't change a
+    * min — so the non-distinct explode is safe.) Only ids + 32-char band
+    * hashes leave this stage, never text or shingles. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val hs = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(shingleGen(col("text"))).as("s"))
       .select(col("doc_id"), hash60(col("s")).as("h1"),
@@ -130,18 +138,25 @@ object Dedup {
         (1 until NumHashes).map { j =>
           min(col("h1") + lit(j.toLong) * (col("h2") % HashP)).as(s"mh_$j")
         }: _*)
-    // Band hashes, exploded to (band_idx, band_hash) rows: only ids + 32-char
-    // hashes go through the bucket shuffle.
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",",
           (0 until Rows).map(r => col(s"mh_${b * Rows + r}")): _*))
           .as("band_hash"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
+  }
+
+  private[operators] def nearDupPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    // The distinct-shingle table feeds both sides of the verification join;
+    // it is cheap to recompute (one narrow projection), so no persist — a
+    // cache materialization would cost more than the recompute.
+    val sh = shingleSets(spark, dir)
+    val banded = minhashBands(spark, dir)
     // Bucket-local pair generation (groupBy + in-array pairs) instead of a
     // bucket self-join: one pass over the signature pipeline, and only
     // (band_hash, id-list) rows cross the shuffle. Bucket width is capped at
@@ -316,7 +331,94 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Incremental (one-sided) near-dup detection — the production ingest
+    * path: a NEW batch of documents is checked against an already-indexed
+    * BASE corpus, instead of re-running the all-pairs self-join over
+    * base ∪ new. The split reuses q53's deterministic hash buckets
+    * (base = bucket < 90, new batch = bucket >= 90). The base side is the
+    * persisted LSH index: banded signatures with each band bucket capped at
+    * [[Buckets.MaxBucket]] ids at index-build time (same bound as q19, so
+    * one boilerplate-heavy bucket can't blow up any probe). The new batch
+    * computes its own signatures (linear in BATCH size, not corpus size)
+    * and equi-joins the index on (band_idx, band_hash) — AQE broadcasts
+    * the small batch side at runtime. Candidates verify with exact
+    * Jaccard, and each new doc reports its best base match
+    * (max jaccard, ties to the smaller base id). At 100 TB the base index
+    * is written once (bucketed by band_hash) and every daily batch probes
+    * it with a co-located join — the self-join pipeline never re-runs. */
+  val q72IncrementalDedup = QueryDef(
+    "q72_incremental_dedup",
+    s"""WITH $sqlSigBands,
+       |bk AS (SELECT doc_id,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents),
+       |base AS (SELECT doc_id, band_idx, band_hash,
+       |    row_number() OVER (PARTITION BY band_idx, band_hash
+       |                       ORDER BY doc_id) AS rn
+       |  FROM bands JOIN bk USING (doc_id) WHERE bk.bucket < 90),
+       |newb AS (SELECT doc_id, band_idx, band_hash
+       |  FROM bands JOIN bk USING (doc_id) WHERE bk.bucket >= 90),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS base_id
+       |  FROM newb n JOIN base s
+       |    ON s.band_idx = n.band_idx AND s.band_hash = n.band_hash
+       |   AND s.rn <= ${Buckets.MaxBucket}),
+       |jc AS (SELECT c.new_id, c.base_id,
+       |    CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE)
+       |      AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.new_id
+       |  JOIN sh sb ON sb.doc_id = c.base_id),
+       |scored AS (SELECT new_id, base_id, inter / (tot - inter) AS jaccard
+       |  FROM jc WHERE inter / (tot - inter) >= $JaccardThreshold),
+       |best AS (SELECT new_id, base_id, jaccard,
+       |    row_number() OVER (PARTITION BY new_id
+       |                       ORDER BY jaccard DESC, base_id) AS rn
+       |  FROM scored)
+       |SELECT new_id AS doc_id, base_id AS matched_id, jaccard
+       |FROM best WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val banded = minhashBands(spark, dir)
+    val bk = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
+    val withBucket = banded.join(bk, "doc_id")
+    val baseW = Window.partitionBy(col("band_idx"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val base = withBucket.filter(col("bucket") < 90)
+      .withColumn("rn", row_number().over(baseW))
+      .filter(col("rn") <= Buckets.MaxBucket)
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_hash"))
+    val batch = withBucket.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash"))
+    val cand = batch.join(base, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("base_id"))
+      .dropDuplicates("new_id", "base_id")
+    val sh = shingleSets(spark, dir)
+    val verified = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(sh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
+        "base_id")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast(DoubleType)
+    val tot = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType)
+    val scored = verified
+      .select(col("new_id"), col("base_id"),
+        (inter / (tot - inter)).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val bestW = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("base_id"))
+    scored
+      .withColumn("rn", row_number().over(bestW))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("base_id").as("matched_id"),
+        col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
-    q21DedupSimhashPairs, q22DedupEmbedding)
+    q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup)
 }

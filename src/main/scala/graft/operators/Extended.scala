@@ -400,9 +400,55 @@ object Extended {
       .orderBy(col("c_nationkey"), col("rank"))
   }
 
+  /** Salted equi-JOIN (the join-side sibling of q38's salted aggregation):
+    * revenue per nation through lineitem ⋈ supplier ⋈ nation. A skewed fact
+    * key would pile every matching row into one shuffle partition; salting
+    * splits each big-side key into [[Salts]] sub-keys
+    * (`pmod(hash(rowkey), S)`) and replicates the SMALLER side once per
+    * salt (an `explode` of 0..S-1 — replication cost S × |small side|,
+    * never the fact table), so the hot key's rows land on S partitions.
+    * The `merge` hint forces the sort-merge path the pattern exists for —
+    * unhinted, Catalyst would legitimately broadcast the tiny fixture
+    * supplier table and no skew could occur. AQE's skew-join split handles
+    * most cases automatically; explicit salting is the portable fallback
+    * when AQE can't see the skew (single-key joins, pre-partitioned state).
+    * Revenue aggregates through exact DECIMAL(30,2) partials, so the result
+    * is provably identical to the unsalted plan (ExtendedSpec asserts it
+    * against the plain join). */
+  val q71SaltedSkewJoin = QueryDef(
+    "q71_salted_skew_join",
+    s"""SELECT n_name, COUNT(*) AS n_items,
+       |  ${sqlSum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salts))
+          .as("salt_l"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt_s", explode(sequence(lit(0), lit(Salts - 1))))
+    val joined = li.hint("merge")
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("salt_l") === col("salt_s"))
+    joined
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(30, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
     q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
     q43ExactMedian, q44AsofJoin, q45RangeJoin, q46GroupingSets,
-    q47TopkNative)
+    q47TopkNative, q71SaltedSkewJoin)
 }

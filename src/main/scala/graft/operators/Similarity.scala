@@ -592,8 +592,8 @@ object Similarity {
   // quantization: 64 floats (256 B) become M=4 one-byte codes.
   // ---------------------------------------------------------------------
 
-  private val PqM = 8
-  private val PqSubDim = Dim / PqM
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = Dim / PqM
   private val PqShortlist = 100
 
   /** All [[PqM]] codebooks trained in ONE pass over the corpus. Calling

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
@@ -168,6 +169,36 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Curriculum / length-bucket assignment: quartile bin, percent rank, and
+    * cumulative distribution of document length within each language — the
+    * binning a curriculum-learning or length-bucketed-batching data loader
+    * consumes. One shuffle on `lang`, per-partition sort; the rank family
+    * (ntile/percent_rank/cume_dist) is computed in a single window pass.
+    * The ORDER BY carries doc_id as the unique tiebreak, so ranks — and
+    * therefore every output value — are engine-independent; percent_rank
+    * ((rank-1)/(n-1)) and cume_dist (peers/n) are int/int double divisions,
+    * exactly rounded in both engines. Per-lang partitions are
+    * corpus-fraction-sized; a single giant stratum would switch to the
+    * q67-style order-statistic machinery instead of one sorted window. */
+  val q70CurriculumBins = QueryDef(
+    "q70_curriculum_bins",
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(ntile(4) OVER win AS BIGINT) AS bin,
+      |  percent_rank() OVER win AS pct_rank,
+      |  cume_dist() OVER win AS cum_dist
+      |FROM documents
+      |WINDOW win AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |ORDER BY lang, n_chars, doc_id""".stripMargin) { (spark, dir) =>
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("bin", ntile(4).over(win).cast(LongType))
+      .withColumn("pct_rank", percent_rank().over(win))
+      .withColumn("cum_dist", cume_dist().over(win))
+      .orderBy(col("lang"), col("n_chars"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
-    q56SessionWindow, q57JsonPath)
+    q56SessionWindow, q57JsonPath, q70CurriculumBins)
 }

@@ -137,6 +137,43 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q69: per-doc bigram count and LM score are consistent and in range") {
+    val docs = graft.Tables(spark, sf01Dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Corpus.q69BigramLm.fn(spark, sf01Dir).collect()
+    assert(rows.length == docs.count(_._2 >= 2))
+    rows.foreach { r =>
+      val (id, nBi, avgP) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nBi == docs(id) - 1, s"doc $id: $nBi bigrams for ${docs(id)} words")
+      // each term is c2/c1 with c2 <= c1 (a bigram occurs at most as often
+      // as its prefix), so the mean sits in (0, 1]
+      assert(avgP > 0.0 && avgP <= 1.0, s"doc $id: avg_p $avgP")
+    }
+    // corpus text is natural-ish, not uniform: scores must spread
+    val ps = rows.map(_.getDouble(2))
+    assert(ps.max > ps.min)
+  }
+
+  test("q72: incremental matches are true cross-split near-dups") {
+    val bucketOf = graft.Tables(spark, sf01Dir, "documents")
+      .select(col("doc_id"),
+        (Mirror.hash60(col("doc_id").cast(
+          org.apache.spark.sql.types.StringType)) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.q72IncrementalDedup.fn(spark, sf01Dir)
+      .collect()
+    assert(out.nonEmpty) // fixture has cross-split duplicate chains
+    out.foreach { r =>
+      val (newId, baseId, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(bucketOf(newId) >= 90, s"new $newId not in the new batch")
+      assert(bucketOf(baseId) < 90, s"match $baseId not in the base corpus")
+      assert(j >= 0.5 && j <= 1.0, s"jaccard $j out of range")
+    }
+    // one row per matched new doc (best-match selection is exact)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
   test("pii regexes agree between Java and the oracle on crafted cases") {
     import spark.implicits._
     val cases = Seq(

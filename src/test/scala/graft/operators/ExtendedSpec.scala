@@ -9,6 +9,26 @@ class ExtendedSpec extends AnyFunSuite with SparkTestSession {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("q71: salted join result is identical to the plain unsalted join") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val salted = Extended.q71SaltedSkewJoin.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    val sup = graft.Tables(spark, sfDir, "supplier")
+    val nat = graft.Tables(spark, sfDir, "nation")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      .orderBy(col("n_name")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("q39 is no_oracle BY DESIGN: HLL approx_count_distinct error-bounded within 5% of exact here") {
     import org.apache.spark.sql.functions._
     val approx = Extended.q39ApproxDistinct.fn(spark, sfDir)

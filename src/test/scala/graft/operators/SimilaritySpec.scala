@@ -39,6 +39,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     both.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
   }
 
+  test("batched PQ codebooks equal the per-subspace Lloyd loop bit-exactly") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val batched = Similarity.pqCodebooks(emb)
+    (0 until Similarity.PqM).foreach { m =>
+      val sub = slice(col("embedding"), m * Similarity.PqSubDim + 1,
+        Similarity.PqSubDim)
+      val solo = Similarity.lloydCentroids(
+        emb.select(col("vec_id"), sub.as("embedding")), 1)
+      assert(batched(m).map(_._1).toSeq == solo.map(_._1).toSeq, s"cells m=$m")
+      batched(m).zip(solo).foreach { case ((_, bv), (_, sv)) =>
+        assert(bv.toSeq == sv.toSeq, s"centroid values differ in subspace $m")
+      }
+    }
+  }
+
   test("trained k-means IVF (q48) probes multiple populated cells") {
     val out = Similarity.q48AnnKmeansIvf.fn(spark, sfDir)
       .collect()
