@@ -4,8 +4,9 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
@@ -87,15 +88,47 @@ private[sources] class DocsTable(rows: Long, partitions: Int)
 
 private[sources] class DocsScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = SyntheticDocs.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[Array[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`): ungrouped
+    * COUNT(*) / MIN(doc_id) / MAX(doc_id) are answered from partition
+    * METADATA — each reader emits one row of partials derived from its id
+    * range, no row generation at all (the in-source analogue of parquet
+    * footer statistics). Partial, not complete, pushdown
+    * (`supportCompletePushDown` stays false): Spark still runs the final
+    * merge (SUM of counts, MIN of mins, MAX of maxes), which keeps the
+    * contract trivially correct under any partitioning. Catalyst only
+    * plans this when no post-scan Filter remains between the Aggregate and
+    * the relation, and this source re-applies every filter post-scan — so
+    * a filtered count never silently skips the row-level predicate. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) false
+    else {
+      val toks = aggregation.aggregateExpressions.flatMap {
+        case _: CountStar => Some("count")
+        case m: Min if isDocId(m.column) => Some("min")
+        case m: Max if isDocId(m.column) => Some("max")
+        case _ => None
+      }
+      if (toks.length != aggregation.aggregateExpressions.length) false
+      else { agg = Some(toks); true }
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = ArrayBuffer.empty[Filter]
@@ -120,16 +153,26 @@ private[sources] class DocsScanBuilder(rows: Long, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DocsScan(rows, partitions, required, lo, hi)
+  override def build(): Scan =
+    new DocsScan(rows, partitions, required, lo, hi, agg)
 }
 
 private[sources] class DocsScan(rows: Long, partitions: Int,
-    required: StructType, lo: Long, hi: Long) extends Scan with Batch {
+    required: StructType, lo: Long, hi: Long,
+    agg: Option[Array[String]] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg match {
+    case Some(toks) =>
+      StructType(toks.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.types.StructField(s"${t}_$i", LongType,
+          nullable = false)
+      })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"SyntheticDocs rows=$rows bounds=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"SyntheticDocs rows=$rows bounds=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
+      agg.map(t => s" pushedAggregates=[${t.mkString(",")}]").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + partitions - 1) / partitions)
@@ -143,8 +186,10 @@ private[sources] class DocsScan(rows: Long, partitions: Int,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DocsReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case Some(toks) => new DocsAggReaderFactory(toks)
+    case None => new DocsReaderFactory(required.fieldNames)
+  }
 
   /** Micro-batch streaming read: the offset is simply the next unread
     * doc_id, advancing by `rows` per trigger up to... the source is
@@ -213,6 +258,26 @@ private[sources] class DocsMicroBatchStream(ratePerBatch: Long,
 
 private[sources] case class DocsPartition(start: Long, end: Long)
     extends InputPartition
+
+/** One metadata-derived partial-aggregate row per partition: the id range
+  * [start, end) IS the statistics — count = end-start, min = start,
+  * max = end-1. No document is ever materialized. */
+private[sources] class DocsAggReaderFactory(toks: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[DocsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(toks.toSeq.map {
+        case "count" => dp.end - dp.start
+        case "min" => dp.start
+        case "max" => dp.end - 1
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class DocsReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
