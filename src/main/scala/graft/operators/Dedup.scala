@@ -51,10 +51,13 @@ object Dedup {
       .orderBy(col("lang"), col("n_chars"))
   }
 
+  /** doc_id + distinct 3-shingle set, from any (doc_id, text) relation. */
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+
   /** doc_id + distinct 3-shingle set. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    shingleSetsOf(Tables(spark, dir, "documents"))
 
   private val sqlShingleSets =
     s"SELECT doc_id, $sqlShingles3 AS sh FROM documents"
@@ -127,8 +130,8 @@ object Dedup {
     * (MinHash of a multiset equals the set's — duplicates can't change a
     * min — so the non-distinct explode is safe.) Only ids + 32-char band
     * hashes leave this stage, never text or shingles. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val hs = Tables(spark, dir, "documents")
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val hs = docs
       .select(col("doc_id"), explode(shingleGen(col("text"))).as("s"))
       .select(col("doc_id"), hash60(col("s")).as("h1"),
         hash60b(col("s")).as("h2"))
@@ -148,6 +151,50 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
+  }
+
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(Tables(spark, dir, "documents"))
+
+  /** One-sided LSH probe: best verified near-dup base match per new doc —
+    * the core q72 shares with the streaming micro-batch path
+    * ([[graft.streaming.StreamingDedup]]). `newDocs`/`baseDocs` are any
+    * (doc_id, text) relations; the base side is index-capped per band
+    * bucket exactly like the self-join pipeline. In production the two
+    * band/shingle tables of the base side are PERSISTED once (bucketed by
+    * band_hash) and only the new-batch side is computed per run. */
+  private[graft] def incrementalMatches(newDocs: DataFrame,
+      baseDocs: DataFrame): DataFrame = {
+    val baseW = Window.partitionBy(col("band_idx"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val base = minhashBandsOf(baseDocs)
+      .withColumn("rn", row_number().over(baseW))
+      .filter(col("rn") <= Buckets.MaxBucket)
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_hash"))
+    val batch = minhashBandsOf(newDocs)
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash"))
+    val cand = batch.join(base, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("base_id"))
+      .dropDuplicates("new_id", "base_id")
+    val verified = cand
+      .join(shingleSetsOf(newDocs)
+        .select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(shingleSetsOf(baseDocs)
+        .select(col("doc_id").as("base_id"), col("sh").as("sh_b")), "base_id")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast(DoubleType)
+    val tot = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType)
+    val scored = verified
+      .select(col("new_id"), col("base_id"),
+        (inter / (tot - inter)).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val bestW = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("base_id"))
+    scored
+      .withColumn("rn", row_number().over(bestW))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("base_id").as("matched_id"),
+        col("jaccard"))
   }
 
   private[operators] def nearDupPairs(spark: SparkSession,
@@ -379,42 +426,12 @@ object Dedup {
        |FROM best WHERE rn = 1
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types.StringType
-    val banded = minhashBands(spark, dir)
-    val bk = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
-    val withBucket = banded.join(bk, "doc_id")
-    val baseW = Window.partitionBy(col("band_idx"), col("band_hash"))
-      .orderBy(col("doc_id"))
-    val base = withBucket.filter(col("bucket") < 90)
-      .withColumn("rn", row_number().over(baseW))
-      .filter(col("rn") <= Buckets.MaxBucket)
-      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_hash"))
-    val batch = withBucket.filter(col("bucket") >= 90)
-      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash"))
-    val cand = batch.join(base, Seq("band_idx", "band_hash"))
-      .select(col("new_id"), col("base_id"))
-      .dropDuplicates("new_id", "base_id")
-    val sh = shingleSets(spark, dir)
-    val verified = cand
-      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
-        "new_id")
-      .join(sh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
-        "base_id")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      .cast(DoubleType)
-    val tot = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType)
-    val scored = verified
-      .select(col("new_id"), col("base_id"),
-        (inter / (tot - inter)).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-    val bestW = Window.partitionBy(col("new_id"))
-      .orderBy(col("jaccard").desc, col("base_id"))
-    scored
-      .withColumn("rn", row_number().over(bestW))
-      .filter(col("rn") === 1)
-      .select(col("new_id").as("doc_id"), col("base_id").as("matched_id"),
-        col("jaccard"))
+    val withBucket = Tables(spark, dir, "documents")
+      .withColumn("bucket",
+        hash60(col("doc_id").cast(StringType)) % 100)
+    incrementalMatches(
+      withBucket.filter(col("bucket") >= 90),
+      withBucket.filter(col("bucket") < 90))
       .orderBy(col("doc_id"))
   }
 
