@@ -18,6 +18,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the engine's own extensions run in the benched path: native SQL
+      // functions + the row_number<=k -> TopKPerKey optimizer rewrite
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup (JMH-style): run every query once at the smallest SF so
