@@ -32,9 +32,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * NOTE the no-spill caveat on [[TopKPerKey]]: the rule trades the
   * window's spillable sort for in-memory heaps, which is the right trade
-  * below ~10M distinct keys per partition (see TopKPerKey docs).
+  * below ~10M distinct keys per partition (see TopKPerKey docs). Because
+  * the heaps hold O(keys × k) rows with no spill path, the rule refuses
+  * k > [[TopKRewrite.MaxK]] (a large k erodes the heap's win over the
+  * spillable sort anyway), and `spark.graft.topk.rewrite=false` disables
+  * it per session without unregistering the extension.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
+
+  /** Largest k the rewrite accepts; beyond this the window-sort's spill
+    * path is the safer plan. */
+  val MaxK = 4096
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.topk.rewrite", "true").toBoolean
 
   private def asTopK(cond: Expression, w: Window): Option[LogicalPlan] =
     w.windowExpressions match {
@@ -49,14 +60,16 @@ object TopKRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
         kOpt.collect {
-          case k if k >= 1 && part.nonEmpty =>
+          case k if k >= 1 && k <= MaxK && part.nonEmpty =>
             TopKPerKey(k, part, order,
               rankAttr.asInstanceOf[AttributeReference], w.child)
         }
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case f @ Filter(cond, w: Window) => asTopK(cond, w).getOrElse(f)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan transformUp {
+      case f @ Filter(cond, w: Window) => asTopK(cond, w).getOrElse(f)
+    }
 }

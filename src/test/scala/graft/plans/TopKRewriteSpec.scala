@@ -44,6 +44,37 @@ class TopKRewriteSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("rule refuses oversized k and honors the session kill switch") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKRewrite
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ TopKStrategy
+    try {
+      // k above MaxK: the no-spill heaps lose to the window's spillable
+      // sort, so the pattern must stay a Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val big = graft.Tables(spark, sfDir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopKRewrite.MaxK + 1)
+      assert(!big.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      // kill switch: same eligible plan as the rewrite test, rule disabled
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      try
+        assert(!windowForm.queryExecution.executedPlan.toString
+          .contains("TopKPerKey"))
+      finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(windowForm.queryExecution.executedPlan.toString
+        .contains("TopKPerKey"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKRewrite)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKStrategy)
+    }
+  }
+
   test("rule leaves multi-expression and non-row_number windows alone") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ TopKRewrite
