@@ -39,10 +39,25 @@ object Corpus {
     *
     * Each iteration is two shuffles (join + min-agg) over the label table —
     * the data volume is O(vertices-in-edges), tiny relative to the corpus
-    * (only near-dup members appear). `localCheckpoint` truncates the
-    * growing loop lineage (on a cluster, prefer `checkpoint` to a reliable
-    * store for fault tolerance; the convergence `count` is the driver-side
-    * control signal, same as MLlib's iterative jobs). */
+    * (only near-dup members appear). Iteration count = propagation depth
+    * (near-dup clusters are shallow: q59 converges in 3). `localCheckpoint`
+    * truncates the growing loop lineage (on a cluster, prefer `checkpoint`
+    * to a reliable store for fault tolerance; the convergence `count` is
+    * the driver-side control signal, same as MLlib's iterative jobs).
+    *
+    * Alternatives MEASURED on the q73 semantic graph (depth 22 at sf0.1,
+    * a long cosine-threshold chain — the stress case) and rejected:
+    * pointer jumping (label ← label(label)) only cut 22 rounds to 16 —
+    * labels collapse onto near-min hubs immediately, so label-of-label
+    * rarely knows more — and paid an extra materialization per round;
+    * fusing 4..8 propagation steps per checkpoint didn't amortize anything
+    * because AQE schedules every Exchange as its own query-stage job
+    * (fixed cost stays per-STEP, not per-cycle), and disabling AQE for the
+    * loop made the deep fused plans catastrophically slower (170 s).
+    * The plain loop is the measured optimum on Spark 4's scheduler; for
+    * genuinely deep graphs at cluster scale the published fix is
+    * Hash-to-Min (neighborhood contraction, O(log d) rounds), not label
+    * chasing. */
   private[operators] def connectedComponents(edges: DataFrame, src: String,
       dst: String): DataFrame = {
     // checkpoint the DIRECTED pairs first: the union below reads the edge
@@ -54,7 +69,9 @@ object Corpus {
       .select(col("v"), col("v").as("label"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val nbrMin = sym
         .join(labels.select(col("v").as("b"), col("label")), "b")
         .groupBy(col("a").as("v"))
@@ -70,6 +87,8 @@ object Corpus {
       changed = next.filter(col("chg")).count()
       labels = next.select(col("v"), col("label"))
     }
+    if (sys.env.contains("GRAFT_DEBUG_CC"))
+      System.err.println(s"[cc] converged in $rounds rounds")
     labels.select(col("v"), col("label").as("component"))
   }
 

@@ -435,7 +435,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic (SemDeDup-style) deduplication over embeddings: block the
+    * corpus by TRAINED k-means cell (the q48 quantizer, not a given label),
+    * find within-cell cosine near-dups, close them transitively (q59's
+    * min-label propagation), and mark one survivor per semantic cluster —
+    * the embedding-space analogue of the MinHash pipeline, and the scheme
+    * large corpora use to drop re-phrasings exact/shingle dedup misses.
+    *
+    * Scale shape: training is linear scans with driver-side K×Dim state;
+    * assignment is a narrow codegen map; the pairwise stage only ever
+    * compares WITHIN a cell (corpus²/K at uniform fill — the quantizer is
+    * the blocker), with norms precomputed so each pair costs one dot; the
+    * component loop shuffles just the near-dup edge list. Recall is bounded
+    * by the blocker exactly as in LSH: a pair split across cells is missed
+    * (production raises K and probes neighbor cells; the determinism and
+    * the operator shape are identical). */
+  val q73SemanticDedup = QueryDef(
+    "q73_semantic_dedup",
+    s"""WITH RECURSIVE ${Similarity.sqlKmeansAssign},
+       |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlDotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    >= $CosineThreshold),
+       |edges AS (SELECT va AS a, vb AS b FROM prs
+       |          UNION ALL SELECT vb, va FROM prs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |comp AS (SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v)
+       |SELECT m.vec_id, m.cell,
+       |  COALESCE(c.component, m.vec_id) AS component,
+       |  (m.vec_id = COALESCE(c.component, m.vec_id)) AS is_survivor
+       |FROM afin m LEFT JOIN comp c ON c.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (spark, dir) =>
+    import graft.functions.{FloatVector, NearestCentroid}
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      NearestCentroid(col("embedding"), cents).as("cell"),
+      FloatVector.norm(col("embedding")).as("nrm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val prs = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter((FloatVector.dot(col("ea"), col("eb"))
+        / (col("na") * col("nb"))) >= CosineThreshold)
+      .select(col("va"), col("vb"))
+    val comp = Corpus.connectedComponents(prs, "va", "vb")
+    assigned.select(col("vec_id"), col("cell"))
+      .join(comp.select(col("v").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("is_survivor", col("vec_id") === col("component"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
-    q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup)
+    q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
+    q73SemanticDedup)
 }

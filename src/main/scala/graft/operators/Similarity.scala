@@ -294,7 +294,7 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   private val KmeansK = 8
-  private val KmeansIters = 2
+  private[operators] val KmeansIters = 2
   private val NProbe = 2
 
   /** Centroids as one literal array-of-structs column: `(cell, cvec)` per
@@ -416,9 +416,12 @@ object Similarity {
     * centroid literals; only the per-cell candidate scoring joins — at
     * 100 TB, cost per query is nprobe/K of the corpus, and the training
     * passes are linear scans. */
-  val q48AnnKmeansIvf = QueryDef(
-    "q48_ann_kmeans_ivf",
-    s"""WITH seeded AS (SELECT vec_id, embedding,
+  /** DuckDB CTE chain `seeded` → … → `rfin`/`afin`: the full trained
+    * k-means quantizer (init, [[KmeansIters]] Lloyd rounds, final ranked
+    * assignment with norms) — shared by q48's oracle and the semantic-dedup
+    * oracle (q73), which block on the same learned cells. */
+  private[operators] val sqlKmeansAssign: String =
+    s"""seeded AS (SELECT vec_id, embedding,
        |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
        |c0 AS (SELECT CAST(rn AS BIGINT) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -432,7 +435,11 @@ object Similarity {
        |rfin AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY d, cell) AS rn FROM dfin),
        |afin AS (SELECT vec_id, embedding, cell,
-       |    ${sqlNormD("embedding")} AS nrm FROM rfin WHERE rn = 1),
+       |    ${sqlNormD("embedding")} AS nrm FROM rfin WHERE rn = 1)""".stripMargin
+
+  val q48AnnKmeansIvf = QueryDef(
+    "q48_ann_kmeans_ivf",
+    s"""WITH $sqlKmeansAssign,
        |probes AS (SELECT vec_id AS q_id, embedding AS qv,
        |    ${sqlNormD("embedding")} AS qn, cell
        |  FROM rfin WHERE rn <= $NProbe AND vec_id < $NumQueries),

@@ -174,6 +174,19 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
 
+  test("q73: semantic clusters partition the corpus with min-id survivors") {
+    val rows = Dedup.q73SemanticDedup.fn(spark, sf01Dir).collect()
+    val n = graft.Tables(spark, sf01Dir, "embeddings").count()
+    assert(rows.length == n) // every vector classified exactly once
+    val byComp = rows.groupBy(_.getLong(2))
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_.getLong(0)).min == comp) // component = min vec_id
+      assert(members.count(_.getBoolean(3)) == 1) // exactly one survivor
+    }
+    // the fixture contains semantic duplicates — the operator must find some
+    assert(rows.count(r => !r.getBoolean(3)) > 0)
+  }
+
   test("pii regexes agree between Java and the oracle on crafted cases") {
     import spark.implicits._
     val cases = Seq(
