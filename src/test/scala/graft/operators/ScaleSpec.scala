@@ -152,6 +152,48 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(allFiles > 1) // one directory per day
   }
 
+  test("join-driven dynamic partition pruning reaches the fact scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    graft.Tables(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // tiny dim keyed by day with a selective ATTRIBUTE filter: static
+    // pruning can't see which days survive — only the join result can, so
+    // the planner must inject a dynamicpruning subquery into the fact's
+    // partition filters (the 100 TB shape: fact scans pruned by dim joins)
+    val days = fact.select(col("day")).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime)
+    assert(days.length > 1)
+    // the dim must be a REAL scan: a LocalRelation gets its filter constant-
+    // folded away, and the pruning rule needs a visible selective predicate
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    days.zipWithIndex.toSeq
+      .map { case (d, i) => (d, if (i == 0) "keep" else "drop") }
+      .toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // at fixture scale the cost model sees no benefit in pruning; disable
+    // the stats heuristic so the PLAN SHAPE (the thing that matters at
+    // 100 TB, where the benefit is enormous) is observable
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
+    try {
+      val joined = fact.join(dim.filter(col("tag") === "keep"), "day")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan)
+      val n = joined.count()
+      assert(n > 0 && n < fact.count())
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
   test("q63's sampling window rewrites to the native TopKPerKey operator") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
