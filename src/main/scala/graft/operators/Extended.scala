@@ -446,9 +446,54 @@ object Extended {
       .orderBy(col("n_name"))
   }
 
+  /** Interval-overlap join via bin-and-residual — the scalable plan for
+    * "which intervals intersect": per-user daily activity spans × per-type
+    * daily activity spans. The DAY key is the equi prefilter (here spans
+    * are day-contained by construction; multi-day intervals would explode
+    * into covered days + dedupe, same pattern), so Catalyst plans a plain
+    * hash/merge equi-join and the residual `start <= end` conditions
+    * filter pairs post-match. Without the bin key this is a pure theta
+    * join — O(|A|·|B|) compared everywhere; with it, work is bounded by
+    * pairs sharing a bin, the interval-join strategy dedicated engines
+    * implement natively. Overlap bounds compare exact micro timestamps;
+    * duration is integer epoch-microsecond subtraction (no float time
+    * math, per the q51/q56 rule). */
+  val q74IntervalJoin = QueryDef(
+    "q74_interval_join",
+    s"""WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |    MIN(ts) AS a_start, MAX(ts) AS a_end
+       |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+       |b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    MIN(ts) AS b_start, MAX(ts) AS b_end
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+       |SELECT a.user_id, b.event_type, a.day,
+       |  GREATEST(a_start, b_start) AS o_start,
+       |  LEAST(a_end, b_end) AS o_end,
+       |  epoch_us(LEAST(a_end, b_end))
+       |    - epoch_us(GREATEST(a_start, b_start)) AS overlap_us
+       |FROM a JOIN b ON a.day = b.day
+       |  AND a_start <= b_end AND b_start <= a_end
+       |ORDER BY user_id, event_type, a.day""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir, "events")
+    val a = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"))
+    val b = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("b_start"), max(col("ts")).as("b_end"))
+    a.join(b, Seq("day"))
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        greatest(col("a_start"), col("b_start")).as("o_start"),
+        least(col("a_end"), col("b_end")).as("o_end"),
+        (unix_micros(least(col("a_end"), col("b_end")))
+          - unix_micros(greatest(col("a_start"), col("b_start"))))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
     q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
     q43ExactMedian, q44AsofJoin, q45RangeJoin, q46GroupingSets,
-    q47TopkNative, q71SaltedSkewJoin)
+    q47TopkNative, q71SaltedSkewJoin, q74IntervalJoin)
 }

@@ -199,6 +199,75 @@ object Stats {
       .orderBy(col("lang"), col("n_chars"), col("doc_id"))
   }
 
+  /** Missing-value repair on a per-user time series: forward fill (last
+    * observation carried forward) and time-weighted linear interpolation
+    * between the surrounding known points — the gap-repair pass an ML
+    * feature pipeline runs before training. A deterministic hash mask
+    * hides 2/3 of the values so the repair is exercised non-vacuously and
+    * identically in both engines. Two windows per row (preceding /
+    * following, IGNORE NULLS), one shuffle on user_id; the carried
+    * (value, timestamp) pair rides as two same-row window results.
+    * Interpolation weight is exact-integer epoch-microseconds divided in
+    * double (int/int division is correctly rounded in both engines), and
+    * the term order `prev + (next-prev)·w` is mirrored exactly, so the
+    * repaired doubles hash-match. */
+  val q75FillInterp = QueryDef(
+    "q75_fill_interp",
+    s"""WITH base AS (SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+       |    CASE WHEN ${sqlHash60("CAST(event_id AS VARCHAR)")} % 3 = 0
+       |         THEN value END AS x
+       |  FROM events),
+       |w AS (SELECT user_id, event_id, x, t,
+       |    last_value(x IGNORE NULLS) OVER pw AS pv,
+       |    last_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS)
+       |      OVER pw AS pt,
+       |    first_value(x IGNORE NULLS) OVER nw AS nv,
+       |    first_value(CASE WHEN x IS NOT NULL THEN t END IGNORE NULLS)
+       |      OVER nw AS nt
+       |  FROM base
+       |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS UNBOUNDED PRECEDING),
+       |         nw AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, event_id, x AS raw, pv AS ffill,
+       |  CASE WHEN x IS NOT NULL THEN x
+       |       WHEN pv IS NULL THEN nv
+       |       WHEN nv IS NULL THEN pv
+       |       ELSE pv + (nv - pv)
+       |         * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+       |  END AS interp
+       |FROM w
+       |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val byU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevW = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = byU.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("t"),
+        when(hash60(col("event_id").cast(StringType)) % 3 === 0,
+          col("value")).as("x"))
+    val w = base
+      .withColumn("pv", last(col("x"), ignoreNulls = true).over(prevW))
+      .withColumn("pt",
+        last(when(col("x").isNotNull, col("t")), ignoreNulls = true)
+          .over(prevW))
+      .withColumn("nv", first(col("x"), ignoreNulls = true).over(nextW))
+      .withColumn("nt",
+        first(when(col("x").isNotNull, col("t")), ignoreNulls = true)
+          .over(nextW))
+    w.select(col("user_id"), col("event_id"), col("x").as("raw"),
+        col("pv").as("ffill"),
+        when(col("x").isNotNull, col("x"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((col("t") - col("pt")).cast(DoubleType)
+              / (col("nt") - col("pt")).cast(DoubleType)))
+          .as("interp"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
-    q56SessionWindow, q57JsonPath, q70CurriculumBins)
+    q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp)
 }
