@@ -84,6 +84,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("simhash60", 1, children)
         SimHash60(children.head)
+      }),
+    (FunctionIdentifier("bigrams_gen"),
+      info("bigrams_gen",
+        "bigrams_gen(text) - all word bigrams of text in order, " +
+          "duplicates kept; texts under 2 words yield []"),
+      (children: Seq[Expression]) => {
+        checkArity("bigrams_gen", 1, children)
+        BigramGen(children.head)
       }))
 
   /** Register into an already-built session (the extension path only runs

@@ -490,20 +490,17 @@ object Corpus {
        |  ${sqlFoldSum("ps")} / CAST(len(ps) AS DOUBLE) AS avg_p
        |FROM g
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val base = Tables(spark, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 2)
-    // bigram strings before the explode (computed once per doc, not per
-    // downstream row); at 100 TB the HOF would move into a native
-    // ShingleGen-style expression like the 3-shingle path did
-    val rows = base
-      .select(col("doc_id"), col("w"),
-        posexplode(transform(sequence(lit(1), size(col("w")) - 1), i =>
-          concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1)))).as(Seq("pos0", "bg")))
+    // native bigram generator (one split, one StringBuilder per bigram —
+    // the interpreted transform/element_at HOF was this pipeline's floor,
+    // same lesson as ShingleGen); the prefix word for the h1 count key is
+    // recovered from the bigram itself, so the words array never rides
+    // along past the explode
+    val rows = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(bigramGen(col("text"))).as(Seq("pos0", "bg")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
         hash60(col("bg")).as("h2"),
-        hash60(element_at(col("w"), col("pos0") + 1)).as("h1"))
+        hash60(substring_index(col("bg"), " ", 1)).as("h1"))
     val c2 = rows.groupBy(col("h2")).agg(count(lit(1)).as("n2"))
     val c1 = rows.groupBy(col("h1")).agg(count(lit(1)).as("n1"))
     val p = rows.join(c2, "h2").join(c1, "h1")

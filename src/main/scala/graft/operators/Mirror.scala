@@ -122,6 +122,24 @@ object Mirror {
     * as the DuckDB mirror. */
   def shingles3(text: Column): Column = array_distinct(shingleGen(text))
 
+  /** All word bigrams in order, duplicates kept (native
+    * [[graft.functions.BigramGen]]; texts under 2 words yield []). The
+    * bigram's prefix word is recoverable as
+    * `substring_index(bg, ' ', 1)` — split tokens never contain the
+    * separator. */
+  def bigramGen(text: Column): Column = graft.functions.BigramGen(text)
+
+  /** Declarative specification of [[bigramGen]] (the executable spec the
+    * native expression is tested against). */
+  def bigramGenSpec(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+  }
+
   /** DuckDB fragment mirroring [[shingleGen]] (all shingles, duplicates
     * kept — the multiset the repetition metrics need). */
   val sqlShingleGen: String =

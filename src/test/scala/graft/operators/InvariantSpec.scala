@@ -163,6 +163,30 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("native BigramGen equals the declarative spec, edge cases included") {
+    val edge = Seq("", " ", "a", "a b", "a b c",
+      "a  b c", "a b ", " a b", "x".*(5) + " y z")
+      .toDF("text")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    Seq(edge, docs).foreach { df =>
+      val rows = df.select(
+        Mirror.bigramGen(col("text")).as("native"),
+        Mirror.bigramGenSpec(col("text")).as("spec")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+      }
+    }
+    // prefix recovery: first token of the bigram IS the prefix word
+    val pre = docs.select(
+      org.apache.spark.sql.functions.explode(
+        Mirror.bigramGen(col("text"))).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("p"), col("bg"))
+      .collect()
+    pre.foreach(r =>
+      assert(r.getString(1).startsWith(r.getString(0) + " "), r.toString))
+  }
+
   test("native SimHash60 equals the exploded vote-aggregation spec") {
     val sfDir = "/root/testdata/sf0.001"
     val native = Dedup.q20SimhashSignature.fn(spark, sfDir)
