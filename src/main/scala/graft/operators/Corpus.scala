@@ -514,8 +514,48 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus datasheet: the per-source summary table a data curator reads
+    * before mixing sources — document and token volume, length spread,
+    * language diversity, and exact-duplicate rate (the q18 key). One
+    * hash-aggregation pass over narrow per-row columns plus a distinct-key
+    * count; every metric is exact-integer or an int/int double division,
+    * so the sheet is engine-reproducible. At 100 TB this is the nightly
+    * one-pass reporting job: partial aggregates map-side, no joins. */
+  val q76SourceDatasheet = QueryDef(
+    "q76_source_datasheet",
+    s"""SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len($sqlWords)) AS BIGINT) AS total_tokens,
+       |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  COUNT(DISTINCT (lang, n_chars)) AS n_exact_keys,
+       |  1.0 - COUNT(DISTINCT (lang, n_chars)) / CAST(COUNT(*) AS DOUBLE)
+       |    AS dup_rate
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).cast(LongType).as("total_tokens"),
+        min(col("n_chars")).cast(LongType).as("min_chars"),
+        max(col("n_chars")).cast(LongType).as("max_chars"),
+        (sum(col("n_chars")).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("lang"), col("n_chars")).as("n_exact_keys"),
+        (lit(1.0) - countDistinct(col("lang"), col("n_chars"))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
-      q66MixtureResample, q67ExactPercentiles, q69BigramLm)
+      q66MixtureResample, q67ExactPercentiles, q69BigramLm,
+      q76SourceDatasheet)
 }
