@@ -194,6 +194,27 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("round-4 join plans keep their intended shapes") {
+    // q71: the salted join must be the forced sort-merge on the compound
+    // (suppkey, salt) key — salting is pointless under a broadcast
+    val q71 = Extended.q71SaltedSkewJoin.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q71.contains("SortMergeJoin"), q71)
+    assert(q71.contains("salt_l") && q71.contains("salt_s"), q71)
+    // q74: the day bin must carry an equi-join — a bare interval theta
+    // join would plan as a nested-loop/cartesian product
+    val q74 = Extended.q74IntervalJoin.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q74.contains("CartesianProduct")
+      && !q74.contains("BroadcastNestedLoopJoin"), q74)
+    // q72: the one-sided probe joins band hashes as equi keys, and the
+    // corpus-sized sides are never broadcast by hint (AQE may choose at
+    // runtime; the LOGICAL plan must not force it)
+    val q72 = graft.operators.Dedup.q72IncrementalDedup.fn(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!q72.contains("ResolvedHint"), q72)
+  }
+
   test("q63's sampling window rewrites to the native TopKPerKey operator") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
