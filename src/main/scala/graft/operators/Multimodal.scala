@@ -78,7 +78,55 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[QueryDef] = Seq(q31MediaMeta, q32FrameSample)
+  /** Chunk-level binary deduplication: fingerprint every fixed-size chunk
+    * of every payload and report chunks stored more than once — the
+    * storage-dedup analysis a media lake runs to size its content store
+    * (shared headers, repeated segments). One explode + one
+    * hash-aggregation with map-side partials; `n_docs < n_copies` rows
+    * expose INTRA-file repetition. Fixed-size chunking keeps the oracle
+    * exact; production would switch to content-defined boundaries via the
+    * q17-style rolling hash so insertions don't shift every downstream
+    * chunk — identical Spark shape, different boundary function. */
+  val q77ChunkDedup = QueryDef(
+    "q77_chunk_dedup",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    md5(substring(hx, CAST(j * ${2 * FrameBytes} + 1 AS BIGINT),
+       |        ${2 * FrameBytes})) AS chunk_hash
+       |  FROM (
+       |    SELECT doc_id, hex(encode(text)) AS hx,
+       |      unnest(range(0,
+       |        (octet_length(encode(text)) + ${FrameBytes - 1}) // $FrameBytes))
+       |        AS j
+       |    FROM documents))
+       |SELECT chunk_hash,
+       |  COUNT(*) AS n_copies,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |FROM f
+       |GROUP BY chunk_hash
+       |HAVING COUNT(*) > 1
+       |ORDER BY chunk_hash""".stripMargin) { (spark, dir) =>
+    val bin = col("text").cast("binary")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), hex(bin).as("hx"),
+        ((length(bin) + (FrameBytes - 1)) / FrameBytes).cast(LongType)
+          .as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("j"))
+      .select(col("doc_id"),
+        md5(substr(col("hx"), col("j") * (2 * FrameBytes) + 1,
+          lit(2 * FrameBytes))).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).cast(LongType).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("chunk_hash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q31MediaMeta, q32FrameSample, q77ChunkDedup)
 }
 
 /** Typed media pipeline: the production-shaped decode/resize path. */
