@@ -39,7 +39,9 @@ class AuditSink extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AuditTable(properties.getOrDefault("name", "default"), schema)
+    new AuditTable(properties.getOrDefault("name", "default"), schema,
+      Option(properties.get("clusterBy")),
+      Option(properties.get("sortBy")))
 }
 
 /** Driver-side published state: (table, epoch) → rows. Batch writes use
@@ -69,7 +71,8 @@ object AuditSinkStore {
   }
 }
 
-private[sources] class AuditTable(name: String, schema: StructType)
+private[sources] class AuditTable(name: String, schema: StructType,
+    clusterBy: Option[String], sortBy: Option[String])
     extends Table with SupportsWrite {
   override def name(): String = s"audit_sink($name)"
   override def schema(): StructType = schema
@@ -79,7 +82,8 @@ private[sources] class AuditTable(name: String, schema: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new AuditWrite(name, info.schema())
+      override def build(): Write =
+        new AuditWrite(name, info.schema(), clusterBy, sortBy)
     }
 }
 
@@ -87,8 +91,35 @@ private[sources] class AuditTable(name: String, schema: StructType)
 private[sources] case class StagedRows(rows: Seq[Seq[Any]])
     extends WriterCommitMessage
 
-private[sources] class AuditWrite(table: String, schema: StructType)
-    extends Write {
+/** The write, optionally demanding a data layout from the PLANNER
+  * (`RequiresDistributionAndOrdering`): with `option("clusterBy", "k")`
+  * Spark inserts a hash exchange on k before the writers run, and with
+  * `option("sortBy", "k")` a per-partition sort — the sink-driven
+  * distribution contract real table formats use (one output file per
+  * cluster key, sorted runs for index building) instead of trusting every
+  * caller to repartition correctly. Distribution is advisory here
+  * (`distributionStrictlyRequired` default) and unspecified when no option
+  * is set, so existing writes plan exactly as before. */
+private[sources] class AuditWrite(table: String, schema: StructType,
+    clusterBy: Option[String] = None, sortBy: Option[String] = None)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    clusterBy match {
+      case Some(cols) => Distributions.clustered(
+        cols.split(",").map(c =>
+          Expressions.column(c.trim): org.apache.spark.sql.connector.expressions.Expression))
+      case None => Distributions.unspecified()
+    }
+
+  override def requiredOrdering(): Array[SortOrder] =
+    sortBy.toArray.flatMap(_.split(",").map(c =>
+      Expressions.sort(Expressions.column(c.trim),
+        SortDirection.ASCENDING)))
 
   private def gather(messages: Array[WriterCommitMessage]): Seq[Seq[Any]] =
     messages.toSeq.collect { case StagedRows(rows) => rows }.flatten

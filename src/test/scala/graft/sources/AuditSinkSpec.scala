@@ -19,6 +19,38 @@ class AuditSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(AuditSinkStore.epochs("b1") == Seq(-1L))
   }
 
+  test("sink-driven layout: clusterBy/sortBy options shape the write plan") {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      AuditSinkStore.clear("layout")
+      val df = Seq((3L, "c"), (1L, "a"), (2L, "b"), (1L, "a2"))
+        .toDF("k", "v")
+      df.write.format("graft.sources.AuditSink")
+        .option("name", "layout")
+        .option("clusterBy", "k").option("sortBy", "k")
+        .mode("append").save()
+      assert(AuditSinkStore.rows("layout").length == 4)
+      // the listener fires asynchronously — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      def found = plans.synchronized {
+        plans.exists(p => p.contains("hashpartitioning(k") &&
+          p.contains("Sort [k"))
+      }
+      while (!found && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(found, plans.synchronized(plans.mkString("\n---\n")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming write commits one idempotent slot per epoch") {
     AuditSinkStore.clear("s1")
     val input = MemoryStream[Long](spark)
