@@ -210,6 +210,12 @@ object Corpus {
        |    AS keep
        |FROM base
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    repetitionTable(spark, dir).orderBy(col("doc_id"))
+  }
+
+  /** The q61 metric table (unordered) — shared with the q78 corpus-export
+    * composition. */
+  private def repetitionTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val base = docs
       .select(col("doc_id"), words(col("text")).as("w"),
@@ -234,7 +240,6 @@ object Corpus {
       .withColumn("keep",
         col("top_word_frac") <= TopWordMax &&
           col("dup_shingle_frac") <= DupShingleMax)
-      .orderBy(col("doc_id"))
   }
 
   private val ContamFracMin = 0.5
@@ -272,6 +277,15 @@ object Corpus {
        |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
        |WHERE COALESCE(n_shared, 0) / CAST(n_sh AS DOUBLE) >= $ContamFracMin
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    contaminationTable(spark, dir)
+      .filter(col("contamination_frac") >= ContamFracMin)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-TRAIN-doc contamination fractions (unordered, unfiltered) —
+    * shared by q62 and the q78 corpus-export composition. */
+  private def contaminationTable(spark: SparkSession,
+      dir: String): DataFrame = {
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"), shingles3(col("text")).as("s"),
         (hash60(col("doc_id").cast(org.apache.spark.sql.types.StringType))
@@ -293,8 +307,6 @@ object Corpus {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)).cast(DoubleType) /
           col("n_sh").cast(DoubleType)).as("contamination_frac"))
-      .filter(col("contamination_frac") >= ContamFracMin)
-      .orderBy(col("doc_id"))
   }
 
   private val SampleK = 20
@@ -553,9 +565,112 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** The corpus-export decision — the pipeline's END PRODUCT: one row per
+    * document with every gate's verdict and the final keep flag a training
+    * run consumes. Composes the deterministic hash split (q53), duplicate-
+    * cluster survivorship (q19 pairs → q59 components), the Gopher-style
+    * repetition filter (q61), and benchmark-contamination detection (q62),
+    * with a first-failing-gate reason string. Each input is the SAME
+    * shared core the standalone query runs (factored tables), so the
+    * composition adds three id-keyed joins — at 100 TB those are the
+    * cheap part; the expensive signals are computed once and reused
+    * across reports. Gate order: split → dedup → repetition →
+    * contamination (the cheap-to-expensive order a production pipeline
+    * short-circuits in). */
+  val q78TrainCorpus = QueryDef(
+    "q78_train_corpus",
+    s"""WITH RECURSIVE ${Dedup.sqlNearDupBody},
+       |pairs AS (${Dedup.sqlNearDupPairs}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+       |bk AS (SELECT doc_id,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents),
+       |ws AS (SELECT doc_id, $sqlWords AS w, $sqlShingleGen AS sg
+       |  FROM documents),
+       |rep AS (SELECT doc_id,
+       |    (CAST(list_max(list_transform(list_distinct(w),
+       |        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w)
+       |       <= $TopWordMax
+       |     AND (CAST(len(sg) AS DOUBLE) - len(list_distinct(sg))) / len(sg)
+       |       <= $DupShingleMax) AS rep_keep
+       |  FROM ws),
+       |csh AS (SELECT doc_id, $sqlShingles3 AS s,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents),
+       |ctrain AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sg
+       |  FROM csh WHERE bucket < 80),
+       |ctest AS (SELECT DISTINCT ${sqlHash60("sg")} AS h
+       |  FROM (SELECT unnest(s) AS sg FROM csh WHERE bucket >= 90)),
+       |chits AS (SELECT t.doc_id, COUNT(*) AS n_shared
+       |  FROM (SELECT doc_id, ${sqlHash60("sg")} AS h FROM ctrain) t
+       |  JOIN ctest USING (h) GROUP BY t.doc_id),
+       |ctot AS (SELECT doc_id, CAST(any_value(n_sh) AS BIGINT) AS n_sh
+       |  FROM ctrain GROUP BY doc_id),
+       |contam AS (SELECT ctot.doc_id,
+       |    COALESCE(n_shared, 0) / CAST(n_sh AS DOUBLE) >= $ContamFracMin
+       |      AS contaminated
+       |  FROM ctot LEFT JOIN chits ON ctot.doc_id = chits.doc_id),
+       |base AS (SELECT bk.doc_id, bk.bucket,
+       |    (bk.doc_id = COALESCE(c.component, bk.doc_id)) AS is_survivor,
+       |    rep.rep_keep,
+       |    COALESCE(contam.contaminated, false) AS contaminated
+       |  FROM bk
+       |  JOIN rep ON rep.doc_id = bk.doc_id
+       |  LEFT JOIN comp c ON c.doc_id = bk.doc_id
+       |  LEFT JOIN contam ON contam.doc_id = bk.doc_id)
+       |SELECT doc_id, bucket, is_survivor, rep_keep, contaminated,
+       |  CASE WHEN bucket >= 80 THEN 'holdout'
+       |       WHEN NOT is_survivor THEN 'duplicate'
+       |       WHEN NOT rep_keep THEN 'repetitive'
+       |       WHEN contaminated THEN 'contaminated'
+       |       ELSE 'kept' END AS reason,
+       |  (bucket < 80 AND is_survivor AND rep_keep AND NOT contaminated)
+       |    AS keep
+       |FROM base
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val bk = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
+    val comp = connectedComponents(
+      Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+    val surv = bk.select(col("doc_id"))
+      .join(comp.select(col("v").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === coalesce(col("component"), col("doc_id")))
+          .as("is_survivor"))
+    val rep = repetitionTable(spark, dir)
+      .select(col("doc_id"), col("keep").as("rep_keep"))
+    val contam = contaminationTable(spark, dir)
+      .select(col("doc_id"),
+        (col("contamination_frac") >= ContamFracMin).as("contaminated"))
+    bk.join(surv, "doc_id").join(rep, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bucket"), col("is_survivor"),
+        col("rep_keep"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("reason",
+        when(col("bucket") >= 80, "holdout")
+          .when(!col("is_survivor"), "duplicate")
+          .when(!col("rep_keep"), "repetitive")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("kept"))
+      .withColumn("keep",
+        col("bucket") < 80 && col("is_survivor") && col("rep_keep") &&
+          !col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
-      q76SourceDatasheet)
+      q76SourceDatasheet, q78TrainCorpus)
 }

@@ -187,6 +187,37 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.count(r => !r.getBoolean(3)) > 0)
   }
 
+  test("q78: gate verdicts are consistent with the standalone queries") {
+    val rows = Corpus.q78TrainCorpus.fn(spark, sf01Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getString(5), r.getBoolean(6)))
+    assert(rows.length ==
+      graft.Tables(spark, sf01Dir, "documents").count())
+    rows.foreach { case (id, bucket, surv, repKeep, contam, reason, keep) =>
+      assert(keep == (reason == "kept"), s"doc $id")
+      val expected =
+        if (bucket >= 80) "holdout"
+        else if (!surv) "duplicate"
+        else if (!repKeep) "repetitive"
+        else if (contam) "contaminated"
+        else "kept"
+      assert(reason == expected, s"doc $id")
+    }
+    // cross-check each gate against its standalone query
+    val nonSurv = Corpus.q59DedupComponents.fn(spark, sf01Dir).collect()
+      .filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(rows.filter(r => !r._3).map(_._1).toSet == nonSurv)
+    val repDrop = Corpus.q61RepetitionMetrics.fn(spark, sf01Dir).collect()
+      .filter(!_.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(rows.filter(r => !r._4).map(_._1).toSet == repDrop)
+    val contamIds = Corpus.q62Contamination.fn(spark, sf01Dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.filter(_._5).map(_._1).toSet == contamIds)
+    // every reason occurs in the fixture — each gate is exercised
+    assert(rows.map(_._6).toSet ==
+      Set("kept", "holdout", "repetitive", "duplicate", "contaminated"))
+  }
+
   test("pii regexes agree between Java and the oracle on crafted cases") {
     import spark.implicits._
     val cases = Seq(
