@@ -20,7 +20,7 @@ object Produce {
     * `to_json(struct(*))` is the codegen'd equivalent of Python's
     * json.dumps(row) — and [[Stream.decode]]'s from_json inverts it. */
   def kafkaPayload(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Batch-produce a DataFrame to a Kafka topic (K3). Executes eagerly —
     * call with a broker reachable. */

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   *  1. distributed `orderBy` (range-partitioned sort — no task sees more
   *     than its partition),
-  *  2. `zipWithIndex` for the global position (one extra lightweight job to
+  *  2. `zipWithIndex()` for the global position (one extra lightweight job to
   *     count per-partition sizes — the documented cost of the pattern; the
   *     rows themselves never re-shuffle),
   *  3. `min(position)` per tie group joined back, restoring SQL `rank()`
@@ -31,7 +31,7 @@ object Ranking {
     val spark = df.sparkSession
     val sorted = df.orderBy(col(metricCol).desc)
     val positioned = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (i + 1L))
       },
       sorted.schema.add("__pos", LongType))
@@ -40,6 +40,6 @@ object Ranking {
       .agg(min(col("__pos")).cast(IntegerType).as(rankCol))
     positioned.drop("__pos")
       .join(ranks, Seq(metricCol))
-      .select((df.columns.map(col) :+ col(rankCol)): _*)
+      .select((df.columns.toIndexedSeq.map(col) :+ col(rankCol)): _*)
   }
 }

@@ -302,8 +302,9 @@ object Similarity {
     * model-as-literal pattern that makes assignment a narrow, shuffle-free
     * map (the MLlib-style alternative to joining a centroid table). */
   private def centroidLit(cents: Array[(Long, Array[Double])]): Column =
-    array(cents.sortBy(_._1).map { case (cell, v) =>
-      struct(lit(cell).as("cell"), array(v.map(lit): _*).as("cvec"))
+    array(cents.sortBy(_._1).toIndexedSeq.map { case (cell, v) =>
+      struct(lit(cell).as("cell"),
+        array(v.toIndexedSeq.map(lit): _*).as("cvec"))
     }: _*)
 
   /** Per-row `(d, cell)` distance structs to every centroid — lexicographic

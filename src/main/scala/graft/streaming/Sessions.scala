@@ -61,7 +61,7 @@ object Sessions {
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Click], state: GroupState[SessionBuf]) =>
-          val wm = state.getCurrentWatermarkMs
+          val wm = state.getCurrentWatermarkMs()
           val carried = state.getOption.map(_.sessions).getOrElse(Nil)
           // Interval merge: carried-over intervals and incoming events,
           // sorted by start, merging neighbors within the gap — correct for

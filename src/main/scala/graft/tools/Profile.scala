@@ -21,14 +21,14 @@ object Profile {
       }
       println(f"PROF $label: min=${ts.min}%.2f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-    min3("q59")(Corpus.q59DedupComponents.fn(spark, dir).count)
-    min3("q19")(Dedup.q19DedupMinhashLsh.fn(spark, dir).count)
-    min3("q21")(Dedup.q21DedupSimhashPairs.fn(spark, dir).count)
-    min3("q37")(Extended.q37NgramJaccard.fn(spark, dir).count)
+    min3("q59")(Corpus.q59DedupComponents.fn(spark, dir).count())
+    min3("q19")(Dedup.q19DedupMinhashLsh.fn(spark, dir).count())
+    min3("q21")(Dedup.q21DedupSimhashPairs.fn(spark, dir).count())
+    min3("q37")(Extended.q37NgramJaccard.fn(spark, dir).count())
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     min3("q48_train") { Similarity.lloydCentroids(emb, 2); 0L }
-    min3("q48_full")(Similarity.q48AnnKmeansIvf.fn(spark, dir).count)
+    min3("q48_full")(Similarity.q48AnnKmeansIvf.fn(spark, dir).count())
     spark.stop()
   }
 }
