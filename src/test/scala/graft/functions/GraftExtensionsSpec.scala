@@ -41,6 +41,30 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(1) == viaCol)
   }
 
+  test("bigrams_gen is callable from SQL and a text pipeline runs in pure SQL") {
+    GraftExtensions.registerInto(spark)
+    val r = spark.sql("SELECT bigrams_gen('a b c') AS bg").collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    // full SQL-surface parity: the same fingerprint/signature pipeline a
+    // DataFrame user writes, expressed as plain SQL over a temp view
+    graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents_sqltest")
+    val viaSql = spark.sql(
+      """SELECT doc_id, md5_hash60(text) AS fp,
+        |  size(shingles3_gen(text)) AS n_sh, size(bigrams_gen(text)) AS n_bg,
+        |  simhash60(text) AS sim
+        |FROM documents_sqltest ORDER BY doc_id LIMIT 50""".stripMargin)
+      .collect()
+    import org.apache.spark.sql.functions._
+    val viaCol = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Md5Hash60.front(col("text")).as("fp"),
+        size(ShingleGen(col("text"))).as("n_sh"),
+        size(BigramGen(col("text"))).as("n_bg"),
+        SimHash60(col("text")).as("sim"))
+      .orderBy(col("doc_id")).limit(50).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+  }
+
   test("wrong argument types fail at analysis, not execution") {
     GraftExtensions.registerInto(spark)
     // array<double> would silently getFloat() 8-byte-packed data — must be
