@@ -207,7 +207,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  private val MinPairDocs = 3
+  private val CoocTopK = 100
+
+  /** Word co-occurrence with lift scoring — the collocation-mining pass
+    * (which terms appear in the same documents far more often than chance)
+    * a corpus-analysis pipeline runs for phrase discovery and tokenizer
+    * vocabulary work. `lift = P(a,b) / (P(a)·P(b))` computed on document
+    * frequencies as `n_ab·N / (df_a·df_b)` — all-integer products (exact
+    * under 2^53) divided once in double, so scores are engine-identical
+    * with NO log/PMI float math. Pair enumeration is the in-row
+    * [[Mirror.pairs]] expansion over each doc's sorted DISTINCT words —
+    * O(words²) per row, zero shuffle (the oracle's equivalent self-join
+    * shape would re-shuffle the exploded corpus twice); doc-frequency
+    * joins carry only (word, count) rows, and AQE broadcasts the
+    * vocabulary side at runtime — no explicit hint. The `n_ab >=
+    * $MinPairDocs` support cut and top-k keep the result (and the final
+    * TakeOrdered) bounded at any corpus size. */
+  val q79WordCooccurrence = QueryDef(
+    "q79_word_cooccurrence",
+    s"""WITH d AS (SELECT doc_id,
+       |    list_sort(list_distinct($sqlWords)) AS w FROM documents),
+       |e AS (SELECT doc_id, unnest(w) AS word FROM d),
+       |dfw AS (SELECT word, COUNT(*) AS dfw FROM e GROUP BY word),
+       |pr AS (SELECT a.word AS wa, b.word AS wb
+       |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word),
+       |dfp AS (SELECT wa, wb, COUNT(*) AS n_ab FROM pr GROUP BY wa, wb),
+       |n AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT wa, wb, n_ab,
+       |  CAST(n_ab * n AS DOUBLE) / CAST(fa.dfw * fb.dfw AS DOUBLE) AS lift
+       |FROM dfp
+       |JOIN dfw fa ON fa.word = wa
+       |JOIN dfw fb ON fb.word = wb
+       |CROSS JOIN n
+       |WHERE n_ab >= $MinPairDocs
+       |ORDER BY lift DESC, wa, wb
+       |LIMIT $CoocTopK""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val d = docs.select(col("doc_id"),
+      array_sort(array_distinct(words(col("text")))).as("w"))
+    val dfp = d
+      .select(explode(pairs(col("w"))).as("p"))
+      .select(col("p.a").as("wa"), col("p.b").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+    val dfw = d.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("dfw"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    dfp
+      .join(dfw.select(col("word").as("wa"), col("dfw").as("df_a")), "wa")
+      .join(dfw.select(col("word").as("wb"), col("dfw").as("df_b")), "wb")
+      .crossJoin(broadcast(n))
+      .filter(col("n_ab") >= MinPairDocs)
+      .select(col("wa"), col("wb"), col("n_ab"),
+        ((col("n_ab") * col("n")).cast(DoubleType)
+          / (col("df_a") * col("df_b")).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("wa"), col("wb"))
+      .limit(CoocTopK)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
-      q58TfSalient)
+      q58TfSalient, q79WordCooccurrence)
 }
