@@ -51,6 +51,28 @@ class AuditSinkSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("streaming write honors the sink's required distribution") {
+    val stream = MemoryStream[(Long, String)](spark)
+    AuditSinkStore.clear("s_layout")
+    val ckpt = Files.createTempDirectory("audit-layout").toString
+    val q = stream.toDF().toDF("k", "v")
+      .writeStream.format("graft.sources.AuditSink")
+      .option("name", "s_layout").option("clusterBy", "k")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"), (1L, "c"), (3L, "d"))
+      q.processAllAvailable()
+      assert(AuditSinkStore.rows("s_layout").length == 4)
+      // the micro-batch plan must carry the sink-required hash exchange
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution
+      val plan = exec.executedPlan.toString
+      assert(plan.contains("hashpartitioning(k"), plan)
+    } finally q.stop()
+  }
+
   test("streaming write commits one idempotent slot per epoch") {
     AuditSinkStore.clear("s1")
     val input = MemoryStream[Long](spark)
