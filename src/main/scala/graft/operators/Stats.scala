@@ -268,6 +268,47 @@ object Stats {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  private val LangTokenBudget = 4000L
+
+  /** Token-budget sampling: each language keeps documents in deterministic
+    * md5-hash order until its token budget fills — the quota-ed subset
+    * selection a data recipe uses ("at most N tokens of each language"),
+    * with the q63 determinism property: membership is a pure function of
+    * doc ids, stable across reruns, partitionings, and engines. One window
+    * per stratum (running token sum over hash order, shard-local like
+    * q60's packing); the first doc may overflow the budget by its own
+    * tail, the convention that never splits a document and never starves a
+    * stratum. All-integer running sums — nothing to drift. */
+  val q80TokenBudgetSample = QueryDef(
+    "q80_token_budget_sample",
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, cum_tokens
+       |FROM c
+       |WHERE cum_tokens - n_tokens < $LangTokenBudget
+       |ORDER BY lang, cum_tokens, doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        hash60(col("doc_id").cast(StringType)).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < LangTokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
-    q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp)
+    q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp,
+    q80TokenBudgetSample)
 }
