@@ -67,11 +67,21 @@ object Bench {
     // window at 68 queries (BENCH_r03 "parsed": null). Emit a compact
     // variant to stdout — qNN keys, ms precision — that stays ~1 KB even
     // at 120 queries; bench_result.json keeps the verbose form.
+    // Locale.ROOT: the default-locale f-interpolator writes "0,123" under
+    // a comma-decimal locale, silently breaking the driver's JSON parse.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // the qNN prefix must stay a unique key — a second "q12_..." query
+    // would silently shadow the first in the parsed stdout JSON
+    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    require(shortKeys.distinct.size == shortKeys.size,
+      "compact stdout keys collide: " +
+        shortKeys.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f3(v))
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n":$iters,"queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,7 +10,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -18,7 +18,15 @@ object Verify {
       // same extensions as Bench: the oracle gate then validates every
       // query UNDER the optimizer rewrite, not just the vanilla planner
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs, so alternate modes
+    // (e.g. spark.graft.centroids.exact=false) run through the SAME gate
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -109,3 +109,128 @@ object NearestCentroid {
       sorted.map(_._2), sorted.map(_._1)))
   }
 }
+
+/** Native top-`nprobe` cell assignment: the `nprobe` nearest centroids by
+  * squared L2, ascending (distance, cell) — the multi-probe membership
+  * list the semantic-dedup blocker (q73) explodes so a pair split across
+  * a cell boundary can still meet in the second-nearest cell.
+  *
+  * Same bit contract as [[NearestCentroid]]: per cell, the distance is the
+  * left-to-right index-order IEEE fold of (x_i − c_i)² in double; cells are
+  * scanned in ascending id order and the insertion uses strict `<`, so
+  * equal distances keep the smaller cell — the result is the first
+  * `nprobe` rows of `ORDER BY d, cell` (the oracle's
+  * `row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) <= nprobe`).
+  * One small generated loop instead of K expanded distance trees (see
+  * [[NearestCentroid]] for the Janino-cost measurement).
+  */
+case class NearestCentroids(child: Expression, cents: Array[Array[Double]],
+    cells: Array[Long], nprobe: Int) extends UnaryExpression {
+
+  require(cents.length == cells.length && cents.nonEmpty && nprobe >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${t.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "nearest_centroids"
+
+  private def np: Int = math.min(nprobe, cents.length)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n0 = np
+    val bd = Array.fill(n0)(Double.PositiveInfinity)
+    val bc = new Array[Long](n0)
+    var k = 0
+    while (k < cents.length) {
+      val cv = cents(k)
+      val n = math.min(cv.length, a.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cv(i)
+        acc += d * d
+        i += 1
+      }
+      var j = 0
+      var placed = false
+      while (j < n0 && !placed) {
+        if (acc < bd(j)) {
+          var t = n0 - 1
+          while (t > j) { bd(t) = bd(t - 1); bc(t) = bc(t - 1); t -= 1 }
+          bd(j) = acc
+          bc(j) = cells(k)
+          placed = true
+        }
+        j += 1
+      }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cellsRef = ctx.addReferenceObj("cells", cells, "long[]")
+    val npLit = np
+    nullSafeCodeGen(ctx, ev, a => {
+      val bd = ctx.freshName("bd")
+      val bc = ctx.freshName("bc")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cv = ctx.freshName("cv")
+      val placed = ctx.freshName("placed")
+      s"""
+         |double[] $bd = new double[$npLit];
+         |long[] $bc = new long[$npLit];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $k = 0; $k < $centsRef.length; $k++) {
+         |  double[] $cv = $centsRef[$k];
+         |  int $n = Math.min($cv.length, $a.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ((double) $a.getFloat($i)) - $cv[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  boolean $placed = false;
+         |  for (int $j = 0; $j < $npLit && !$placed; $j++) {
+         |    if ($acc < $bd[$j]) {
+         |      for (int $t = $npLit - 1; $t > $j; $t--) {
+         |        $bd[$t] = $bd[$t - 1]; $bc[$t] = $bc[$t - 1];
+         |      }
+         |      $bd[$j] = $acc; $bc[$j] = $cellsRef[$k]; $placed = true;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($bc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object NearestCentroids {
+  /** Column API: the `nprobe` nearest cell ids, ascending (d, cell). */
+  def apply(v: Column, cents: Array[(Long, Array[Double])],
+      nprobe: Int): Column = {
+    val sorted = cents.sortBy(_._1)
+    Bridge.column(NearestCentroids(Bridge.expression(v),
+      sorted.map(_._2), sorted.map(_._1), nprobe))
+  }
+}

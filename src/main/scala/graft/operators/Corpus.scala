@@ -60,30 +60,55 @@ object Corpus {
     * chasing. */
   private[operators] def connectedComponents(edges: DataFrame, src: String,
       dst: String): DataFrame = {
+    val spark = edges.sparkSession
+    // `spark.graft.cc.checkpointDir=<path>` switches the loop's lineage
+    // truncation from localCheckpoint (executor-block storage — fast, but
+    // an executor loss makes the truncated lineage UNRECOVERABLE and fails
+    // the job) to reliable checkpoint() into that directory (HDFS/object
+    // store on a cluster) — the fault-tolerance posture a 1000-executor,
+    // hours-long run needs, where the probability of losing at least one
+    // executor mid-loop approaches 1. Local single-JVM runs (tests, the
+    // oracle gate) keep the default: no executor can be lost, and skipping
+    // the filesystem round-trip is strictly faster.
+    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
+    val reliable = ckDir.nonEmpty
+    if (reliable) spark.sparkContext.setCheckpointDir(ckDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Propagation depth = longest label chain; near-dup graphs are shallow
+    // (q59: 3 rounds; q73's sf0.1 stress chain: 22), so a round count past
+    // the bound means a pathological input (or a bug), not slow
+    // convergence — fail loudly instead of looping silently for hours.
+    val maxRounds =
+      spark.conf.get("spark.graft.cc.maxRounds", "100").toInt
     // checkpoint the DIRECTED pairs first: the union below reads the edge
     // pipeline (LSH + verify) twice, so materializing before symmetrizing
     // halves its executions; iterations then run off cached blocks only
-    val p = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val p = truncate(edges.select(col(src).as("a"), col(dst).as("b")))
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
-    var labels = sym.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-      .localCheckpoint()
+    var labels = truncate(sym.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("label")))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
       rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            "(spark.graft.cc.maxRounds); the component graph is deeper " +
+            "than any expected near-dup cluster — aborting instead of " +
+            "looping unbounded")
       val nbrMin = sym
         .join(labels.select(col("v").as("b"), col("label")), "b")
         .groupBy(col("a").as("v"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels
+      val next = truncate(labels
         .join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"),
           (coalesce(col("nbr_min"), col("label")) < col("label"))
-            .as("chg"))
-        .localCheckpoint()
+            .as("chg")))
       changed = next.filter(col("chg")).count()
       labels = next.select(col("v"), col("label"))
     }
@@ -558,8 +583,14 @@ object Corpus {
         (sum(col("n_chars")).cast(DoubleType)
           / count(lit(1)).cast(DoubleType)).as("mean_chars"),
         countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("lang"), col("n_chars")).as("n_exact_keys"),
-        (lit(1.0) - countDistinct(col("lang"), col("n_chars"))
+        // struct-wrapped: multi-arg countDistinct DROPS rows where any
+        // component is null (Spark semantics) while DuckDB's row-value
+        // COUNT(DISTINCT (a, b)) counts them; the struct is itself
+        // non-null, so null components group as values in BOTH engines —
+        // the null-safe mirror of the oracle's composite distinct
+        countDistinct(struct(col("lang"), col("n_chars")))
+          .as("n_exact_keys"),
+        (lit(1.0) - countDistinct(struct(col("lang"), col("n_chars")))
           .cast(DoubleType) / count(lit(1)).cast(DoubleType))
           .as("dup_rate"))
       .orderBy(col("source"))

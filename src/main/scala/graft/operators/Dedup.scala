@@ -350,21 +350,42 @@ object Dedup {
 
   /** Embedding-cosine near-dup: blocked self-join on `label` with per-row
     * precomputed norms (one dot per pair instead of three), exact fold-order
-    * cosine (bit-identical to the oracle), threshold filter. */
+    * cosine (bit-identical to the oracle), threshold filter.
+    *
+    * Per-label bound: each label's membership is capped at the first
+    * [[Buckets.MaxBucket]] vec_ids (row_number cut, mirrored verbatim in
+    * the oracle) — without it a hot label of g members costs O(g²) dots in
+    * one task, the same degenerate-bucket failure the LSH paths cap
+    * (q19/q21). A label wide enough to hit the cap is a dense near-dup
+    * cluster; the component step downstream (q59/q73) re-closes pairs the
+    * cut drops, exactly as documented on [[Buckets]]. */
   val q22DedupEmbedding = QueryDef(
     "q22_dedup_embedding",
     s"""WITH n AS (SELECT label, vec_id, embedding,
-       |    ${sqlNormD("embedding")} AS nrm FROM embeddings)
+       |    ${sqlNormD("embedding")} AS nrm,
+       |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |  FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        |  ${sqlDotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
        |FROM n a JOIN n b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
+       | AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket}
        |WHERE ${sqlDotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
        |  >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
-    val emb = Tables(spark, dir, "embeddings")
+    q22PairsOf(Tables(spark, dir, "embeddings"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q22's core on any (label, vec_id, embedding) relation — factored so
+    * the hot-label cap test can drive it with a synthetic skewed input. */
+  private[operators] def q22PairsOf(embeddings: DataFrame): DataFrame = {
+    val capW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val emb = embeddings
       .select(col("label"), col("vec_id"), col("embedding"),
         graft.functions.FloatVector.norm(col("embedding")).as("nrm"))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= Buckets.MaxBucket)
     val a = emb.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("label"), col("vec_id").as("vec_b"),
@@ -375,7 +396,6 @@ object Dedup {
         (graft.functions.FloatVector.dot(col("ea"), col("eb"))
           / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= CosineThreshold)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Incremental (one-sided) near-dup detection — the production ingest
@@ -435,6 +455,14 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-probe width of the semantic blocker: each vector is a member of
+    * its [[SemNProbe]] nearest cells, so a near-dup pair split by one cell
+    * boundary still meets in a shared second cell (same recall lever as
+    * q48's nprobe; CorpusSpec measures blocker recall vs the exact pair
+    * set). Probe order is the deterministic (d, cell) rank, so membership —
+    * and therefore the capped pair set — is oracle-expressible. */
+  private val SemNProbe = 2
+
   /** Semantic (SemDeDup-style) deduplication over embeddings: block the
     * corpus by TRAINED k-means cell (the q48 quantizer, not a given label),
     * find within-cell cosine near-dups, close them transitively (q59's
@@ -444,17 +472,33 @@ object Dedup {
     *
     * Scale shape: training is linear scans with driver-side K×Dim state;
     * assignment is a narrow codegen map; the pairwise stage only ever
-    * compares WITHIN a cell (corpus²/K at uniform fill — the quantizer is
-    * the blocker), with norms precomputed so each pair costs one dot; the
-    * component loop shuffles just the near-dup edge list. Recall is bounded
-    * by the blocker exactly as in LSH: a pair split across cells is missed
-    * (production raises K and probes neighbor cells; the determinism and
-    * the operator shape are identical). */
+    * compares WITHIN a cell, with norms precomputed so each pair costs one
+    * dot; the component loop shuffles just the near-dup edge list. The two
+    * levers that keep the pair stage sub-quadratic at ANY corpus size:
+    *
+    *  1. K scales with the corpus — K = max(8, ceil(N /
+    *     [[Similarity.SemTargetCell]])) ([[Similarity.semanticK]], mirrored
+    *     as a scalar subquery in the oracle), holding expected cell fill at
+    *     ~64, so total pair work is O(N · 64), linear in N, instead of
+    *     O(N²/K) with a fixed cell count.
+    *  2. Per-cell membership is capped at [[Buckets.MaxBucket]] ids
+    *     (row_number cut, identical in the oracle) — a skewed hot cell is
+    *     bounded at O(MaxBucket²) pairs; the dropped tail of a
+    *     cap-saturated cell is a dense duplicate cluster the transitive
+    *     closure re-links through the surviving members.
+    *
+    * Recall is bounded by the blocker exactly as in LSH; [[SemNProbe]]
+    * neighbor-cell probing recovers boundary-split pairs. */
   val q73SemanticDedup = QueryDef(
     "q73_semantic_dedup",
-    s"""WITH RECURSIVE ${Similarity.sqlKmeansAssign},
-       |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-       |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    s"""WITH RECURSIVE ${Similarity.sqlKmeansAssignK(Similarity.sqlSemanticK)},
+       |mem AS (SELECT vec_id, embedding, ${sqlNormD("embedding")} AS nrm,
+       |    cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crn
+       |  FROM rfin WHERE rn <= $SemNProbe),
+       |prs AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |   AND a.crn <= ${Buckets.MaxBucket} AND b.crn <= ${Buckets.MaxBucket}
        |  WHERE ${sqlDotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
        |    >= $CosineThreshold),
        |edges AS (SELECT va AS a, vb AS b FROM prs
@@ -469,30 +513,50 @@ object Dedup {
        |  (m.vec_id = COALESCE(c.component, m.vec_id)) AS is_survivor
        |FROM afin m LEFT JOIN comp c ON c.vec_id = m.vec_id
        |ORDER BY m.vec_id""".stripMargin) { (spark, dir) =>
-    import graft.functions.{FloatVector, NearestCentroid}
+    import graft.functions.NearestCentroid
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      NearestCentroid(col("embedding"), cents).as("cell"),
-      FloatVector.norm(col("embedding")).as("nrm"))
-    val a = assigned.select(col("cell"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val prs = a.join(b, Seq("cell"))
-      .filter(col("va") < col("vb"))
-      .filter((FloatVector.dot(col("ea"), col("eb"))
-        / (col("na") * col("nb"))) >= CosineThreshold)
-      .select(col("va"), col("vb"))
-    val comp = Corpus.connectedComponents(prs, "va", "vb")
-    assigned.select(col("vec_id"), col("cell"))
+    val k = Similarity.semanticK(emb.count())
+    val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters, k)
+    // primary cell (rn=1) labels the output row, as in the original
+    val assigned = emb.select(col("vec_id"),
+      NearestCentroid(col("embedding"), cents).as("cell"))
+    val comp = Corpus.connectedComponents(
+      semanticPairs(emb, cents), "va", "vb")
+    assigned
       .join(comp.select(col("v").as("vec_id"), col("component")),
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("component"), col("vec_id")).as("component"))
       .withColumn("is_survivor", col("vec_id") === col("component"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q73's blocked pair stage on any (vec_id, embedding) relation with a
+    * trained centroid model: multi-probe membership (explode of the
+    * [[SemNProbe]] nearest cells), per-cell row_number cap, within-cell
+    * cosine filter, distinct pairs. Factored for the hot-cell bound test
+    * and the blocker-recall measurement in CorpusSpec. */
+  private[operators] def semanticPairs(emb: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import graft.functions.{FloatVector, NearestCentroids}
+    val capW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val member = emb.select(col("vec_id"), col("embedding"),
+        FloatVector.norm(col("embedding")).as("nrm"),
+        explode(NearestCentroids(col("embedding"), cents, SemNProbe))
+          .as("cell"))
+      .withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= Buckets.MaxBucket)
+    val a = member.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = member.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter((FloatVector.dot(col("ea"), col("eb"))
+        / (col("na") * col("nb"))) >= CosineThreshold)
+      .select(col("va"), col("vb"))
+      .dropDuplicates("va", "vb")
   }
 
   val all: Seq[QueryDef] = Seq(

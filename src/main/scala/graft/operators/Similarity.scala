@@ -293,9 +293,29 @@ object Similarity {
   // q40's label-as-cell quantizer upgraded to the real thing.
   // ---------------------------------------------------------------------
 
-  private val KmeansK = 8
+  private[operators] val KmeansK = 8
   private[operators] val KmeansIters = 2
   private val NProbe = 2
+
+  /** Target cell population for the semantic-dedup blocker (q73). The
+    * within-cell pair stage costs ~fill²/2 dots per cell, so the cell COUNT
+    * must grow with the corpus: K = max([[KmeansK]], ceil(N /
+    * [[SemTargetCell]])) keeps expected fill constant (~64) — pair work
+    * stays O(N · SemTargetCell) total instead of O(N²/K) with fixed K —
+    * while the floor preserves the fixed-K behavior on small corpora
+    * (at the sf0.01 oracle gate, N=500 → K=8, unchanged). 64 is deliberately
+    * below [[Buckets.MaxBucket]] (100): at uniform fill the per-cell cap
+    * never engages; only genuinely skewed cells get cut. */
+  private[operators] val SemTargetCell = 64
+
+  /** K-vs-corpus sizing rule for the trained blocker (see [[SemTargetCell]]). */
+  private[operators] def semanticK(n: Long): Int =
+    math.max(KmeansK, math.ceil(n.toDouble / SemTargetCell).toInt)
+
+  /** DuckDB mirror of [[semanticK]] as an uncorrelated scalar subquery. */
+  private[operators] val sqlSemanticK: String =
+    s"(SELECT GREATEST($KmeansK, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) " +
+      s"/ $SemTargetCell) AS BIGINT)) FROM embeddings)"
 
   /** Centroids as one literal array-of-structs column: `(cell, cvec)` per
     * cell, inlined into the plan. K × Dim doubles ≈ 4 KB — the
@@ -342,6 +362,34 @@ object Similarity {
       struct(sqDistLit(v, cv).as("d"), lit(cell).as("cell"))
     }: _*).getField("cell")
 
+  /** True when the session wants the ORACLE-EXACT ordered-fold centroid
+    * means (the default — the driver's DuckDB gate needs bit-exact
+    * centroids). `spark.graft.centroids.exact=false` selects the
+    * PRODUCTION mean: plain partial-aggregated `avg` with O(1) group state
+    * (the [[centroidByPosApprox]] form) instead of a per-group
+    * `collect_list` whose buffer grows with cell population — the switch a
+    * 100 TB run flips, trading bit-reproducibility for bounded memory
+    * (1e-9-equivalent on the fixture; SimilaritySpec asserts recall
+    * parity). */
+  private def exactMeans(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.centroids.exact", "true").toBoolean
+
+  /** Per-key mean of `x` over `assigned` rows carrying (keys…, vec_id, x):
+    * ordered fold when `exact`, plain avg otherwise — the one switch point
+    * for the centroid-mean memory/exactness tradeoff. */
+  private def cellMeans(assigned: DataFrame, exact: Boolean,
+      keys: Seq[String]): DataFrame =
+    if (exact)
+      assigned.groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
+          .as("vs"))
+        .select(keys.map(col) :+
+          ((foldSum(transform(col("vs"), v => v.getField("x").cast(DoubleType)))
+            / size(col("vs")).cast(DoubleType)).as("cx")): _*)
+    else
+      assigned.groupBy(keys.map(col): _*)
+        .agg(avg(col("x").cast(DoubleType)).as("cx"))
+
   /** Lloyd's algorithm with driver-side centroid state (how distributed
     * k-means actually runs: MLlib keeps centroids on the driver too).
     * Per iteration: one narrow assignment pass over broadcast centroid
@@ -349,16 +397,19 @@ object Similarity {
     * Deterministic end to end — md5-seeded init, (d, cell) argmin
     * tiebreak, ordered-fold means — so DuckDB reproduces every iteration
     * bit-exactly as chained CTEs. The K×Dim collect per iteration is the
-    * model, not the data. Means use the oracle fold form; production would
-    * swap in [[centroidByPosApprox]]-style plain `avg` (1e-9-equivalent,
-    * see SimilaritySpec). */
-  private[graft] def lloydCentroids(emb: DataFrame, iters: Int)
-      : Array[(Long, Array[Double])] = {
+    * model, not the data. Means use the oracle fold form by default;
+    * `spark.graft.centroids.exact=false` swaps in the production plain
+    * `avg` (1e-9-equivalent, see SimilaritySpec). `k` defaults to the
+    * fixed quantizer width; the semantic-dedup blocker passes
+    * [[semanticK]] so cell count scales with the corpus. */
+  private[graft] def lloydCentroids(emb: DataFrame, iters: Int,
+      k: Int = KmeansK): Array[(Long, Array[Double])] = {
     import org.apache.spark.sql.types.StringType
+    val exact = exactMeans(emb)
     val init: Array[(Long, Array[Double])] = emb
       .select(col("vec_id"), col("embedding"),
         md5(col("vec_id").cast(StringType)).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(KmeansK) // TakeOrdered, no global sort
+      .orderBy(col("h"), col("vec_id")).limit(k) // TakeOrdered, no global sort
       .collect()
       .zipWithIndex.map { case (r, i) =>
         ((i + 1).toLong,
@@ -370,14 +421,9 @@ object Similarity {
         graft.functions.NearestCentroid(col("embedding"), cents).as("cell"))
         .select(col("cell"), col("vec_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
-      assigned
-        .groupBy(col("cell"), col("pos").cast(LongType).as("pos"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
-          .as("vs"))
-        .select(col("cell"), col("pos"),
-          (foldSum(transform(col("vs"),
-            v => v.getField("x").cast(DoubleType)))
-            / size(col("vs")).cast(DoubleType)).as("cx"))
+        .select(col("cell"), col("vec_id"),
+          col("pos").cast(LongType).as("pos"), col("x"))
+      cellMeans(assigned, exact, Seq("cell", "pos"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("cx"))))
           .as("cs"))
@@ -421,14 +467,14 @@ object Similarity {
     * k-means quantizer (init, [[KmeansIters]] Lloyd rounds, final ranked
     * assignment with norms) — shared by q48's oracle and the semantic-dedup
     * oracle (q73), which block on the same learned cells. */
-  private[operators] val sqlKmeansAssign: String =
+  private[operators] def sqlKmeansAssignK(kExpr: String): String =
     s"""seeded AS (SELECT vec_id, embedding,
        |    md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
        |c0 AS (SELECT CAST(rn AS BIGINT) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
        |  FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn
        |        FROM seeded)
-       |  WHERE rn <= $KmeansK),
+       |  WHERE rn <= $kExpr),
        |${(0 until KmeansIters).map(i => sqlLloydIter(i)).mkString(",\n")},
        |dfin AS (SELECT m.vec_id, m.embedding, c.cell,
        |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
@@ -437,6 +483,9 @@ object Similarity {
        |    ORDER BY d, cell) AS rn FROM dfin),
        |afin AS (SELECT vec_id, embedding, cell,
        |    ${sqlNormD("embedding")} AS nrm FROM rfin WHERE rn = 1)""".stripMargin
+
+  private[operators] val sqlKmeansAssign: String =
+    sqlKmeansAssignK(KmeansK.toString)
 
   val q48AnnKmeansIvf = QueryDef(
     "q48_ann_kmeans_ivf",
@@ -641,14 +690,9 @@ object Similarity {
       .select(col("vec_id"), explode(pieces).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.cell").as("cell"),
         posexplode(col("p.sv")).as(Seq("pos", "x")))
-    val rows = assigned
-      .groupBy(col("m"), col("cell"), col("pos").cast(LongType).as("pos"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
-        .as("vs"))
-      .select(col("m"), col("cell"), col("pos"),
-        (foldSum(transform(col("vs"),
-          v => v.getField("x").cast(DoubleType)))
-          / size(col("vs")).cast(DoubleType)).as("cx"))
+      .select(col("m"), col("cell"), col("vec_id"),
+        col("pos").cast(LongType).as("pos"), col("x"))
+    val rows = cellMeans(assigned, exactMeans(emb), Seq("m", "cell", "pos"))
       .groupBy(col("m"), col("cell"))
       .agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("cs"))
       .select(col("m"), col("cell"),

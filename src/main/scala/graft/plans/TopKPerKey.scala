@@ -22,13 +22,19 @@ import org.apache.spark.sql.types.IntegerType
   * n-row input. At 100 TB with small k the eliminated per-partition sort
   * is the dominant cost of the window form.
   *
-  * NO-SPILL CAVEAT: the per-task heap map is plain JVM memory, not
-  * task-memory-manager accounted, and never spills — unlike the window-sort
-  * form it replaces, whose ExternalSorter spills to disk. It is the right
-  * operator when `keys-per-partition × k × rowSize` fits the executor heap
-  * (e.g. ≤ ~10M distinct keys/partition at k=3 with small rows). Above
-  * that bound, or when key cardinality is unknown, fall back to the
-  * row_number window form (q10) — correctness is identical, it just sorts.
+  * MEMORY POSTURE: the per-task heap map is plain JVM memory (not
+  * task-memory-manager accounted), bounded by a per-partition KEY BUDGET
+  * (`spark.graft.topk.maxKeysPerPartition`, default 1M — ≤ budget × k
+  * retained rows). When a partition's distinct-key count exceeds the
+  * budget — unknown/unbounded key cardinality, the case that would OOM an
+  * unaccounted map — the operator FALLS BACK, mid-partition, to the
+  * window-sort strategy it replaces: every retained heap row plus the rest
+  * of the input goes through Spark's accounted, disk-spilling
+  * ExternalSorter on (keys, order), followed by a streaming rank pass.
+  * The fallback is exact: a row evicted from a heap during phase 1 already
+  * had k better rows for its key, so it can never re-enter the top-k.
+  * Beyond the budget the heap's advantage is gone anyway (retained rows ≈
+  * input rows), so the spillable sort is both the safe and the fast plan.
   *
   * Pieces: [[TopKPerKey]] (logical node), [[TopKStrategy]] (planner rule),
   * [[TopKPerKeyExec]] (physical operator), [[TopK.perKey]] (user API that
@@ -80,13 +86,21 @@ final case class TopKPerKeyExec(
     val kLocal = k
     val partLocal = partExprs
     val orderLocal = order
+    val outAttrs = output
+    // driver-side conf capture; see class doc for the budget semantics
+    val maxKeys = conf
+      .getConfString("spark.graft.topk.maxKeysPerPartition", "1000000").toInt
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(partLocal, childOutput)
       val ord = GenerateOrdering.generate(orderLocal, childOutput)
       // per key: a max-heap (worst retained row on top) bounded at k
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      // phase 1: bounded heap map — stops (keeping `it`'s remainder) the
+      // moment the key budget is exceeded
+      var over = false
+      while (it.hasNext && !over) {
+        val row = it.next()
         val key = keyProj(row) // reused buffer: only copy on first sight
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -94,6 +108,7 @@ final case class TopKPerKeyExec(
             val h = scala.collection.mutable.PriorityQueue
               .empty[InternalRow](ord)
             heaps.put(key.copy(), h)
+            over = heaps.size > maxKeys
             h
         }
         if (heap.size < kLocal) heap.enqueue(row.copy())
@@ -102,13 +117,43 @@ final case class TopKPerKeyExec(
           heap.enqueue(row.copy())
         }
       }
-      val outProj = UnsafeProjection.create(output, output)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        val sorted = heap.dequeueAll.reverse // ascending by ord = rank order
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          val rankRow = InternalRow(i + 1)
-          outProj(joined(row, rankRow))
+      if (!over) {
+        heaps.iterator.flatMap { case (_, heap) =>
+          val sorted = heap.dequeueAll.reverse // ascending by ord = rank order
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            val rankRow = InternalRow(i + 1)
+            outProj(joined(row, rankRow))
+          }
+        }
+      } else {
+        // phase 2 fallback: the window-sort strategy, under memory
+        // accounting. Retained heap rows + the unread remainder sort by
+        // (keys, order) in Spark's spillable ExternalSorter; a streaming
+        // pass then ranks within each key run. Exactness: every dropped
+        // phase-1 row had k better same-key rows already retained.
+        val sortOrder = partLocal.map(e =>
+          SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)) ++
+          orderLocal
+        val fullOrd = GenerateOrdering.generate(sortOrder, childOutput)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        val retained = heaps.valuesIterator.flatMap(_.iterator)
+        val all = (retained ++ it).map(r => toUnsafe(r).copy())
+        val sortedRows = org.apache.spark.sql.graftshim.SpillSorter
+          .sorted(all, fullOrd)
+        var curKey: UnsafeRow = null
+        var rank = 0
+        sortedRows.flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy()
+            rank = 0
+          }
+          rank += 1
+          if (rank <= kLocal)
+            Iterator.single(outProj(joined(row, InternalRow(rank))))
+          else Iterator.empty
         }
       }
     }, preservesPartitioning = true)

@@ -108,17 +108,35 @@ private[sources] class AuditWrite(table: String, schema: StructType,
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
+  /** Parse + validate a comma-list option against the write schema NOW
+    * (write-build time) — an empty entry or unknown column would otherwise
+    * surface as an opaque planner error (or a silent no-op distribution)
+    * deep inside query planning instead of naming the bad option. */
+  private def parseCols(option: String, cols: String): Array[String] = {
+    val names = cols.split(",", -1).map(_.trim)
+    names.foreach { c =>
+      if (c.isEmpty)
+        throw new IllegalArgumentException(
+          s"audit sink option '$option': empty column name in '$cols'")
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"audit sink option '$option': column '$c' not in write schema " +
+            schema.fieldNames.mkString("[", ", ", "]"))
+    }
+    names
+  }
+
   override def requiredDistribution(): Distribution =
     clusterBy match {
       case Some(cols) => Distributions.clustered(
-        cols.split(",").map(c =>
-          Expressions.column(c.trim): org.apache.spark.sql.connector.expressions.Expression))
+        parseCols("clusterBy", cols).map(c =>
+          Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
       case None => Distributions.unspecified()
     }
 
   override def requiredOrdering(): Array[SortOrder] =
-    sortBy.toArray.flatMap(_.split(",").map(c =>
-      Expressions.sort(Expressions.column(c.trim),
+    sortBy.toArray.flatMap(cols => parseCols("sortBy", cols).map(c =>
+      Expressions.sort(Expressions.column(c),
         SortDirection.ASCENDING)))
 
   private def gather(messages: Array[WriterCommitMessage]): Seq[Seq[Any]] =

@@ -29,6 +29,43 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(comp.size == 11)
   }
 
+  test("connectedComponents: reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val edges = Seq(
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (40L, 41L)).toDF("a", "b")
+    val base = Corpus.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      val rel = Corpus.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel == base)
+      // the loop actually wrote reliable checkpoints into the directory
+      // (cluster fault tolerance: lineage recoverable from storage, not
+      // from lost executor blocks)
+      def files(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) files(c) else Seq(c))
+      assert(files(new java.io.File(dir)).nonEmpty, s"no checkpoints in $dir")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
+  test("connectedComponents: max-rounds guard fails loudly, not silently") {
+    import spark.implicits._
+    // diameter-5 chain needs ~4 propagation rounds; a 1-round budget must
+    // abort with a diagnosable error instead of looping or truncating
+    val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("a", "b")
+    spark.conf.set("spark.graft.cc.maxRounds", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Corpus.connectedComponents(chain, "a", "b").count()
+      }
+      assert(e.getMessage.contains("maxRounds"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.cc.maxRounds")
+  }
+
   test("q59: partitions the corpus; survivors are component minima") {
     val rows = Corpus.q59DedupComponents.fn(spark, sfDir).collect()
     val n = graft.Tables(spark, sfDir, "documents").count()

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-safety bounds on the embedding-dedup blockers: the per-cell /
+  * per-label caps must hold under adversarial skew (every vector in one
+  * bucket), and the trained multi-probe blocker must keep high recall
+  * against the exact pair set — the two properties that make q22/q73
+  * survive a hot key at 100 TB. */
+class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** n identical 64-dim float vectors (the worst-case hot bucket: every
+    * pair is a perfect duplicate, cosine exactly 1.0). */
+  private def identicalVecs(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+  }
+
+  test("q73 blocker: a synthetic hot cell is bounded at C(MaxBucket,2) pairs") {
+    // two centroids; all 300 vectors sit on centroid 1, and with nprobe=2
+    // every vector is a member of BOTH cells — the maximal degenerate case
+    val cents = Array(
+      (1L, Array.fill(64)(0.1)),
+      (2L, Array.fill(64)(10.0)))
+    val pairs = Dedup.semanticPairs(identicalVecs(300), cents)
+    val n = pairs.count()
+    val cap = Buckets.MaxBucket.toLong * (Buckets.MaxBucket - 1) / 2
+    // uncapped this would be C(300,2) = 44 850 (and O(g²) at any g); the
+    // row_number cut keeps the same first-100 ids in both cells, so the
+    // distinct pair set is exactly C(100,2)
+    assert(n == cap, s"expected $cap capped pairs, got $n")
+  }
+
+  test("q22: a hot label is bounded at C(MaxBucket,2) pairs, not O(g²)") {
+    import spark.implicits._
+    val hot = (1 to 250)
+      .map(i => ("hot", i.toLong, Array.fill(64)(0.1f)))
+      .toDF("label", "vec_id", "embedding")
+    val n = Dedup.q22PairsOf(hot).count()
+    val cap = Buckets.MaxBucket.toLong * (Buckets.MaxBucket - 1) / 2
+    assert(n == cap, s"expected $cap capped pairs, got $n")
+  }
+
+  test("q73 blocker recall vs the exact cosine pair set (nprobe=2, trained K)") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // exact ground truth, brute-forced on the driver (500 vectors)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      if cosine(vecs(i)._2, vecs(j)._2) >= 0.35
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+
+    val k = Similarity.semanticK(vecs.length.toLong)
+    val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters, k)
+    val got = Dedup.semanticPairs(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "blocker must emit only true near-dup pairs")
+    val recall = (exact & got).size.toDouble / exact.size
+    // approximate by design (a pair outside any shared probed cell is
+    // missed); nprobe=2 must keep the blocker far above random blocking
+    assert(recall >= 0.5, s"blocker recall $recall over ${exact.size} pairs")
+  }
+}

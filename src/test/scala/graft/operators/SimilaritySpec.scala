@@ -24,6 +24,59 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("production centroid mode (exact=false): Lloyd agrees to 1e-6, recall parity") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.lloydCentroids(emb, Similarity.KmeansIters)
+    spark.conf.set("spark.graft.centroids.exact", "false")
+    try {
+      val approx = Similarity.lloydCentroids(emb, Similarity.KmeansIters)
+      assert(exact.map(_._1).toSeq == approx.map(_._1).toSeq)
+      exact.zip(approx).foreach { case ((c, ev), (_, av)) =>
+        assert(ev.length == av.length)
+        ev.zip(av).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-6, s"cell $c: fold $x vs avg $y")
+        }
+      }
+      // recall parity: the approx-mean quantizer must clear the same
+      // brute-force bar the exact one does (assignment flips from 1e-12
+      // mean noise are possible but must not degrade retrieval)
+      val bf = Similarity.q23AnnBruteforce.fn(spark, sfDir)
+        .filter(col("rnk") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.q48AnnKmeansIvf.fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (bf & ivf).size.toDouble / bf.size
+      assert(recall >= 0.3, s"approx-mode recall $recall")
+    } finally spark.conf.unset("spark.graft.centroids.exact")
+  }
+
+  test("native NearestCentroids(nprobe) equals a driver-side (d, cell) sort") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val rnd = new scala.util.Random(11)
+    val cents = Array.tabulate(7)(k =>
+      ((k + 1).toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val rows = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.NearestCentroids(col("embedding"), cents, 3).as("cells"),
+      graft.functions.NearestCentroid(col("embedding"), cents).as("best"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val expected = cents.map { case (c, cv) =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(cv.length, v.length)
+        while (i < n) { val d = v(i) - cv(i); acc += d * d; i += 1 }
+        (acc, c)
+      }.sortBy(identity).take(3).map(_._2).toSeq
+      assert(r.getSeq[Long](2) == expected, s"vec ${r.getLong(0)}")
+      // probe 1 is exactly the single-cell assignment
+      assert(r.getSeq[Long](2).head == r.getLong(3), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("native NearestCentroid equals the declarative least-of-structs spec") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))

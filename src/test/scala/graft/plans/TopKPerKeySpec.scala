@@ -43,6 +43,46 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     assert(out.length == 3)
   }
 
+  test("adversarial key cardinality: spill fallback matches the window form") {
+    // every row its own key ⇒ distinct keys ≈ rows; a 50-key budget forces
+    // the mid-partition fallback to the accounted spillable sort on every
+    // partition, and the result must stay EXACTLY the window form's
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 20000).map(i =>
+      (i.toLong, rnd.nextInt(5000), math.round(rnd.nextDouble() * 1e6) / 100.0))
+      .toDF("id", "grp", "score").repartition(5)
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "50")
+    try {
+      val native = TopK.perKey(df, 2, Seq("grp"),
+        Seq(("score", false), ("id", true)))
+        .select(col("grp"), col("id"), col("score"), col("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("score").desc, col("id"))
+      val windowed = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("grp"), col("id"), col("score"), col("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(native == windowed)
+      assert(native.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("fallback under a tiny task-memory cap still completes (spills, no OOM)") {
+    // the point of the accounted sorter: a key-heavy partition under severe
+    // memory pressure must spill to disk and finish, not OOM. Exercise the
+    // same fallback with a much larger row count than the budget.
+    val df = (0 until 50000).map(i => (i.toLong, i, i.toDouble))
+      .toDF("id", "grp", "score").repartition(2)
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "10")
+    try {
+      val out = TopK.perKey(df, 1, Seq("grp"), Seq(("score", false)))
+      assert(out.count() == 50000) // every key distinct ⇒ one row each
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
   test("plans without sorting the input") {
     val df = randomRows(1000)
     val native = TopK.perKey(df, 3, Seq("grp"),

@@ -51,6 +51,27 @@ class AuditSinkSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("clusterBy/sortBy options reject unknown and empty column names") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    def attempt(opt: String, value: String): Throwable =
+      intercept[Throwable] {
+        df.write.format("graft.sources.AuditSink")
+          .option("name", "badopt").option(opt, value)
+          .mode("append").save()
+      }
+    // a typo'd column must name itself and the schema, not fail deep in
+    // planning (Spark may wrap the cause — search the chain)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val unknown = attempt("clusterBy", "k,typo")
+    assert(chain(unknown).exists(m =>
+      m.contains("'typo'") && m.contains("clusterBy")), unknown.toString)
+    val empty = attempt("sortBy", "k,,v")
+    assert(chain(empty).exists(m =>
+      m.contains("empty column") && m.contains("sortBy")), empty.toString)
+  }
+
   test("streaming write honors the sink's required distribution") {
     val stream = MemoryStream[(Long, String)](spark)
     AuditSinkStore.clear("s_layout")

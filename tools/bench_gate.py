@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Compares a fresh `graft.Bench` result against the committed baseline
+(`bench_result.json`) and FAILS (exit 1) on any per-query regression that
+clears BOTH bars:
+
+  new >= RATIO * old       (default 1.5x — the judge's gate)
+  new - old >= MIN_ABS     (default 0.3 s)
+
+Why two bars: rounds 4 and 5 ran the IDENTICAL binary and still spread
++-25% per query at sub-second magnitudes (e.g. q43 +46% on a 0.12 s base,
+q04 -12%) with a +-5% total swing — that is this host's measured noise
+floor (BASELINE.md "Anchored bench number"). A pure ratio gate on a 0.1 s
+query flags pure noise; the absolute floor keeps the gate quiet below the
+noise band while still catching a 2 s -> 3 s real regression. The total is
+gated at TOTAL_RATIO (default 1.25x) — totals average out per-query noise,
+so a tighter bound holds.
+
+Usage:
+  python3 tools/bench_gate.py <baseline.json> <current.json> \
+      [--ratio 1.5] [--min-abs 0.3] [--total-ratio 1.25]
+
+Both files are `graft.Bench` output lines:
+  {"metric":"total","value":N,"unit":"sec","queries":{"qNN_name":sec,...}}
+
+Added / removed queries are reported but never fail the gate (coverage is
+the correctness gate's job); a query that FAILED in the current run
+(value -1) always fails the gate.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        text = f.read().strip()
+    # tolerate a wrapping driver record {"parsed": {...}}
+    d = json.loads(text.splitlines()[-1])
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        sys.exit(f"bench_gate: no 'queries' key in {path}")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--min-abs", type=float, default=0.3)
+    ap.add_argument("--total-ratio", type=float, default=1.25)
+    args = ap.parse_args()
+
+    base, cur = load(args.baseline), load(args.current)
+    bq, cq = base["queries"], cur["queries"]
+    fails, notes = [], []
+
+    for name in sorted(set(bq) | set(cq)):
+        if name not in cq:
+            notes.append(f"  removed: {name} (was {bq[name]:.3f}s)")
+            continue
+        if name not in bq:
+            notes.append(f"  added:   {name} ({cq[name]:.3f}s)")
+            continue
+        old, new = float(bq[name]), float(cq[name])
+        if new < 0:
+            fails.append(f"  FAIL {name}: query errored in current run")
+            continue
+        if old <= 0:
+            notes.append(f"  fixed:   {name} (errored in baseline)")
+            continue
+        ratio = new / old
+        if ratio >= args.ratio and (new - old) >= args.min_abs:
+            fails.append(
+                f"  FAIL {name}: {old:.3f}s -> {new:.3f}s "
+                f"({ratio:.2f}x, +{new - old:.3f}s)")
+        elif ratio >= args.ratio:
+            notes.append(
+                f"  noise:   {name} {old:.3f}s -> {new:.3f}s "
+                f"({ratio:.2f}x but +{new - old:.3f}s < {args.min_abs}s floor)")
+
+    told, tnew = float(base.get("value", 0)), float(cur.get("value", 0))
+    if told > 0 and tnew / told >= args.total_ratio:
+        fails.append(
+            f"  FAIL total: {told:.3f}s -> {tnew:.3f}s "
+            f"({tnew / told:.2f}x >= {args.total_ratio}x)")
+
+    shared = [q for q in bq if q in cq and float(cq[q]) >= 0 and float(bq[q]) > 0]
+    print(f"bench_gate: {len(shared)} shared queries, "
+          f"total {told:.3f}s -> {tnew:.3f}s "
+          f"({(tnew / told if told > 0 else float('nan')):.2f}x)")
+    for n in notes:
+        print(n)
+    if fails:
+        print(f"== GATE FAILED: {len(fails)} regression(s) "
+              f"(>= {args.ratio}x and >= {args.min_abs}s) ==")
+        for f_ in fails:
+            print(f_)
+        sys.exit(1)
+    print(f"== GATE PASS: no per-query regression >= {args.ratio}x "
+          f"over +{args.min_abs}s, total < {args.total_ratio}x ==")
+
+
+if __name__ == "__main__":
+    main()
