@@ -54,33 +54,55 @@ object Corpus {
     * because AQE schedules every Exchange as its own query-stage job
     * (fixed cost stays per-STEP, not per-cycle), and disabling AQE for the
     * loop made the deep fused plans catastrophically slower (170 s).
-    * The plain loop is the measured optimum on Spark 4's scheduler; for
-    * genuinely deep graphs at cluster scale the published fix is
-    * Hash-to-Min (neighborhood contraction, O(log d) rounds), not label
-    * chasing. */
-  private[operators] def connectedComponents(edges: DataFrame, src: String,
+    * The published fix for deep graphs is neighborhood CONTRACTION, not
+    * label chasing — implemented here as the alternating star algorithm
+    * ([[starComponents]]); the default `auto` mode runs THIS loop first
+    * (shallow graphs — the common case — finish in 2-4 cheap rounds) and
+    * hands the label-contracted quotient graph to star contraction when a
+    * budget of rounds doesn't converge (see [[connectedComponents]]). */
+  private[operators] def labelPropComponents(edges: DataFrame, src: String,
       dst: String): DataFrame = {
-    val spark = edges.sparkSession
-    // `spark.graft.cc.checkpointDir=<path>` switches the loop's lineage
-    // truncation from localCheckpoint (executor-block storage — fast, but
-    // an executor loss makes the truncated lineage UNRECOVERABLE and fails
-    // the job) to reliable checkpoint() into that directory (HDFS/object
-    // store on a cluster) — the fault-tolerance posture a 1000-executor,
-    // hours-long run needs, where the probability of losing at least one
-    // executor mid-loop approaches 1. Local single-JVM runs (tests, the
-    // oracle gate) keep the default: no executor can be lost, and skipping
-    // the filesystem round-trip is strictly faster.
-    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
-    val reliable = ckDir.nonEmpty
-    if (reliable) spark.sparkContext.setCheckpointDir(ckDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
     // Propagation depth = longest label chain; near-dup graphs are shallow
     // (q59: 3 rounds; q73's sf0.1 stress chain: 22), so a round count past
     // the bound means a pathological input (or a bug), not slow
     // convergence — fail loudly instead of looping silently for hours.
     val maxRounds =
-      spark.conf.get("spark.graft.cc.maxRounds", "100").toInt
+      edges.sparkSession.conf.get("spark.graft.cc.maxRounds", "100").toInt
+    val (labels, converged, _) = labelLoop(edges, src, dst, maxRounds)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(spark.graft.cc.maxRounds); the component graph is deeper " +
+          "than any expected near-dup cluster — aborting instead of " +
+          "looping unbounded")
+    labels.select(col("v"), col("label").as("component"))
+  }
+
+  /** `spark.graft.cc.checkpointDir=<path>` switches loop lineage
+    * truncation from localCheckpoint (executor-block storage — fast, but
+    * an executor loss makes the truncated lineage UNRECOVERABLE and fails
+    * the job) to reliable checkpoint() into that directory (HDFS/object
+    * store on a cluster) — the fault-tolerance posture a 1000-executor,
+    * hours-long run needs, where the probability of losing at least one
+    * executor mid-loop approaches 1. Local single-JVM runs (tests, the
+    * oracle gate) keep the default: no executor can be lost, and skipping
+    * the filesystem round-trip is strictly faster. */
+  private def ccTruncate(spark: SparkSession): DataFrame => DataFrame = {
+    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
+    if (ckDir.nonEmpty) {
+      spark.sparkContext.setCheckpointDir(ckDir)
+      df => df.checkpoint()
+    } else df => df.localCheckpoint()
+  }
+
+  /** Min-label propagation for at most `budget` rounds. Returns the label
+    * table (v, label), whether it reached the fixpoint, and the rounds
+    * spent. Each round is two shuffles (join + min-agg) over the label
+    * table; the convergence `count` is the driver-side control signal,
+    * same as MLlib's iterative jobs. */
+  private def labelLoop(edges: DataFrame, src: String, dst: String,
+      budget: Int): (DataFrame, Boolean, Int) = {
+    val truncate = ccTruncate(edges.sparkSession)
     // checkpoint the DIRECTED pairs first: the union below reads the edge
     // pipeline (LSH + verify) twice, so materializing before symmetrizing
     // halves its executions; iterations then run off cached blocks only
@@ -90,14 +112,8 @@ object Corpus {
       .select(col("v"), col("v").as("label")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0) {
+    while (changed > 0 && rounds < budget) {
       rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxRounds rounds " +
-            "(spark.graft.cc.maxRounds); the component graph is deeper " +
-            "than any expected near-dup cluster — aborting instead of " +
-            "looping unbounded")
       val nbrMin = sym
         .join(labels.select(col("v").as("b"), col("label")), "b")
         .groupBy(col("a").as("v"))
@@ -113,9 +129,172 @@ object Corpus {
       labels = next.select(col("v"), col("label"))
     }
     if (sys.env.contains("GRAFT_DEBUG_CC"))
-      System.err.println(s"[cc] converged in $rounds rounds")
-    labels.select(col("v"), col("label").as("component"))
+      System.err.println(
+        s"[cc] label loop: $rounds rounds, converged=${changed == 0}")
+    (labels, changed == 0, rounds)
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * cycle contracts every node's neighborhood onto its local minimum, so
+    * chain length roughly HALVES per cycle — O(log² n) cycles worst case,
+    * 2-4 in practice — where min-label propagation needs one round per hop
+    * of graph DIAMETER. That asymptotic gap is the 100 TB point: a web- or
+    * near-dup-graph chain thousands of hops deep is ~12 star cycles vs
+    * thousands of propagation rounds, and per-node state stays bounded by
+    * degree (no neighborhood-set blowup like Hash-to-Min's min node).
+    * Measured on the q73 stress graph (depth 22 at sf0.1): 22 label rounds
+    * → 4 star cycles.
+    *
+    * Both steps are one groupBy-min plus one equi-join on the vertex key
+    * over the (tiny) edge list. Each step's output is the emission set
+    * ALONE (the map-side rewrite of every edge), canonicalized to
+    * (hi, lo) distinct rows:
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ u);
+    *  - small-star(u): every neighbor v < u re-attaches to m, and u keeps
+    *    its own (u, m) edge.
+    * Connectivity is preserved by each step and the fixpoint is exactly
+    * the disjoint union of stars centered at each component's minimum
+    * (the paper's Theorem 1-2), so labels read off the final edges:
+    * component(v) = min(v, its star center). Deterministic — every
+    * operation is a min or a distinct over a deterministic set — hence the
+    * same oracle fixpoint as [[labelPropComponents]] (CorpusSpec asserts
+    * equality on chain/star/random graphs). */
+  private[operators] def starComponents(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val spark = edges.sparkSession
+    val truncate = ccTruncate(spark)
+    val maxRounds =
+      spark.conf.get("spark.graft.cc.maxRounds", "100").toInt
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // one star step: group each node's neighborhood, attach to the local
+    // min, keep only the emitted (re-written) edges
+    def step(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val attached = s.join(m, "a")
+      val emitted =
+        if (large)
+          attached.filter(col("b") > col("a"))
+            .select(col("b").as("u"), col("m").as("v"))
+        else
+          attached.filter(col("b") < col("a"))
+            .select(col("b").as("u"), col("m").as("v"))
+            .union(m.select(col("a").as("u"), col("m").as("v")))
+      emitted.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("a"),
+          least(col("u"), col("v")).as("b"))
+        .distinct()
+    }
+    // canonical (hi=a, lo=b) distinct edge set; checkpoint cuts the
+    // LSH/cosine edge pipeline out of the loop lineage
+    var e = truncate(edges
+      .filter(col(src) =!= col(dst))
+      .select(greatest(col(src), col(dst)).as("a"),
+        least(col(src), col(dst)).as("b"))
+      .distinct())
+    var eCount = e.count()
+    // distinct sets: equal counts + empty one-sided difference ⇒ equal
+    def unchanged(next: DataFrame, nextCount: Long, prev: DataFrame,
+        prevCount: Long): Boolean =
+      nextCount == prevCount && next.except(prev).isEmpty
+    var cycles = 0
+    var converged = eCount == 0L
+    while (!converged) {
+      cycles += 1
+      if (cycles > maxRounds)
+        throw new IllegalStateException(
+          s"starComponents did not converge in $maxRounds cycles " +
+            "(spark.graft.cc.maxRounds) — aborting instead of looping " +
+            "unbounded")
+      val l = truncate(step(e, large = true))
+      val lCount = l.count()
+      val n = truncate(step(l, large = false))
+      val nCount = n.count()
+      // converged ⇔ BOTH steps were identities: the joint fixpoints of
+      // large- and small-star are exactly the min-centered star partitions
+      // (a cycle-level no-op is NOT enough — small-star alone is identity
+      // on some non-star states, e.g. a half-contracted chain)
+      converged = unchanged(l, lCount, e, eCount) &&
+        unchanged(n, nCount, l, lCount)
+      e = n
+      eCount = nCount
+    }
+    if (sys.env.contains("GRAFT_DEBUG_CC"))
+      System.err.println(s"[cc] star converged in $cycles cycles")
+    // fixpoint is disjoint min-centered stars: component = min(v, center)
+    sym(e).groupBy(col("a").as("v"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("component"))
+  }
+
+  /** Label-propagation budget of the `auto` mode before it escalates to
+    * star contraction: one past q59's 3-round convergence, so every
+    * shallow near-dup graph (the common case) finishes in the cheap loop
+    * and only genuinely deep graphs pay the contraction machinery. */
+  private val AutoLabelBudget = 4
+
+  /** Transitive closure of an undirected pair list → (v, component) with
+    * component = min reachable vertex id, for every vertex appearing in an
+    * edge. Dispatches on `spark.graft.cc.algo`:
+    *
+    *  - `auto` (default): min-label propagation for up to
+    *    [[AutoLabelBudget]] rounds — near-dup graphs are almost always
+    *    shallow, and a label round (2 small shuffles) is ~half the cost of
+    *    a star cycle (measured at sf0.1: q59 converges in 3 label rounds
+    *    at 1.2 s where star-only takes 2.2 s). If the budget doesn't
+    *    converge, the LABEL-CONTRACTED quotient graph (each edge mapped
+    *    through its endpoints' current labels, self-loops dropped — ≥4
+    *    hops collapsed per quotient vertex) hands off to
+    *    [[starComponents]], so total rounds are bounded by
+    *    budget + O(log remaining-diameter), never the raw diameter.
+    *  - `star`: pure alternating star contraction.
+    *  - `label`: pure min-label propagation (rounds = graph diameter,
+    *    bounded by `spark.graft.cc.maxRounds`).
+    *
+    * All three converge to the identical fixpoint — the quotient handoff
+    * is sound because every vertex's running label is a member of its own
+    * component (labels only ever move along edges), so contracting by
+    * label preserves components and the component min survives as a
+    * quotient vertex (the min's label is itself, fixed from round one).
+    * The choice never affects results, only the round count. */
+  private[operators] def connectedComponents(edges: DataFrame, src: String,
+      dst: String): DataFrame =
+    edges.sparkSession.conf.get("spark.graft.cc.algo", "auto") match {
+      case "label" => labelPropComponents(edges, src, dst)
+      case "star" => starComponents(edges, src, dst)
+      case "auto" =>
+        val budget = math.min(AutoLabelBudget,
+          edges.sparkSession.conf.get("spark.graft.cc.maxRounds", "100")
+            .toInt)
+        val (labels, converged, _) = labelLoop(edges, src, dst, budget)
+        if (converged) labels.select(col("v"), col("label").as("component"))
+        else {
+          // quotient graph: one row per surviving inter-label edge; the
+          // star phase then runs on a graph whose vertex count is the
+          // number of DISTINCT labels, not original vertices
+          val la = labels.select(col("v").as("qa"), col("label").as("a"))
+          val lb = labels.select(col("v").as("qb"), col("label").as("b"))
+          val quotient = edges
+            .select(col(src).as("qa"), col(dst).as("qb"))
+            .join(la, "qa").join(lb, "qb")
+            .filter(col("a") =!= col("b"))
+            .select(col("a"), col("b"))
+          val starLabels = starComponents(quotient, "a", "b")
+            .select(col("v").as("label"), col("component"))
+          // vertices whose label has no surviving quotient edge converged
+          // inside the budget — their label IS the component min
+          labels.join(starLabels, Seq("label"), "left")
+            .select(col("v"),
+              coalesce(col("component"), col("label")).as("component"))
+        }
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.cc.algo=$other (expected auto, star, or label)")
+    }
 
   /** Duplicate-cluster assignment: connected components over the verified
     * MinHash near-dup pairs (q19), extended to every document (non-members
@@ -699,9 +878,69 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Span width (words) for substring-level dedup. 8 is wide enough that a
+    * shared span means copied text, not common phrasing: at 3 words the
+    * fixture's average duplicated-occurrence fraction is 0.64 (phrase-level
+    * noise), at 8 it is 0.09 concentrated in 47/500 docs (real copies) and
+    * widening further to 10 moves nothing (0.092 → 0.092). */
+  private val SpanN = 8
+
+  /** Substring-level duplication metrics (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" signal): per document, how
+    * many of its [[SpanN]]-word spans also occur in ANOTHER document —
+    * catching partially-copied text that document-level near-dup (q19)
+    * under-detects and exact dedup (q18) misses entirely. Docs shorter than
+    * [[SpanN]] words have no span and drop out (the [[graft.functions
+    * .NGramGen]] empty-array convention).
+    *
+    * Scale shape: spans never leave their task as strings — each hashes to
+    * one 60-bit long ([[Mirror.hash60]], the q37/q69 compact-key pattern),
+    * and the first aggregation collapses to one row per (doc, span hash)
+    * BEFORE anything shuffles. Document frequency is then a count over that
+    * collapsed table (each row = one distinct doc carrying the span — no
+    * countDistinct expand), and the final equi-join fans back out on the
+    * span hash with AQE handling boilerplate-span skew. Total shuffle is
+    * O(distinct spans per doc), linear in corpus size. */
+  val q82SpanDedup = QueryDef(
+    "q82_span_dedup",
+    s"""WITH g AS (SELECT doc_id, unnest(CASE WHEN len($sqlWords) >= $SpanN
+       |    THEN list_transform(range(1, len($sqlWords) - ${SpanN - 2}),
+       |        i -> array_to_string(($sqlWords)[i:i+${SpanN - 1}], ' '))
+       |    ELSE [] END) AS span FROM documents),
+       |dg AS (SELECT doc_id, ${sqlHash60("span")} AS sh,
+       |    COUNT(*) AS occ
+       |  FROM g GROUP BY doc_id, ${sqlHash60("span")}),
+       |df AS (SELECT sh, COUNT(*) AS nd FROM dg GROUP BY sh),
+       |per AS (SELECT doc_id,
+       |    CAST(SUM(occ) AS BIGINT) AS n_spans,
+       |    CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT)
+       |      AS dup_spans
+       |  FROM dg JOIN df USING (sh) GROUP BY doc_id)
+       |SELECT doc_id, n_spans, dup_spans,
+       |  CAST(dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
+       |FROM per
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docGram = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.NGramGen(col("text"), SpanN)).as("span"))
+      .select(col("doc_id"), hash60(col("span")).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("occ"))
+    val docFreq = docGram.groupBy(col("sh"))
+      .agg(count(lit(1)).as("nd"))
+    docGram.join(docFreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
-      q76SourceDatasheet, q78TrainCorpus)
+      q76SourceDatasheet, q78TrainCorpus, q82SpanDedup)
 }

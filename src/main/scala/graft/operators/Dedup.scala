@@ -559,8 +559,88 @@ object Dedup {
       .dropDuplicates("va", "vb")
   }
 
+  /** Containment floor: 0.7 of the smaller side's shingles shared means
+    * one doc substantially quotes the other (near-dups at jaccard 0.5 sit
+    * near 0.67 containment, so the directional set strictly refines q19's
+    * symmetric one). */
+  private val ContainmentThreshold = 0.7
+
+  /** Directional containment (asymmetric near-dup): for each LSH candidate
+    * pair, the fraction of EACH side's shingle set the other side covers —
+    * |A∩B| / |A| — emitted per direction above [[ContainmentThreshold]].
+    * Symmetric Jaccard under-scores a short doc quoted inside a long one
+    * (union is dominated by the long side); containment is the standard
+    * quote/superset detector next to it (Broder's resemblance vs
+    * containment distinction).
+    *
+    * Scale shape: identical to q19 — capped band buckets generate
+    * candidates, shingle sets join back once, each verified pair costs one
+    * intersection; the direction split is a post-hoc projection (UNION ALL
+    * of two selects over the same verified row, no second join). Recall
+    * caveat, stated honestly: minhash collision probability tracks
+    * JACCARD, so a tiny quote inside a huge doc rarely lands in a shared
+    * band — catching those at scale takes chunk-level probing of the
+    * one-sided index (the q72/q77 machinery), not wider bands. */
+  val q83Containment = QueryDef(
+    "q83_containment",
+    s"""WITH $sqlSigBands,
+       |ranked AS (SELECT doc_id, band_idx, band_hash,
+       |    row_number() OVER (PARTITION BY band_idx, band_hash
+       |                       ORDER BY doc_id) AS rn
+       |  FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ranked a JOIN ranked b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |   AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket}),
+       |ct AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))
+       |      AS DOUBLE) AS inter,
+       |    CAST(len(sa.sh) AS DOUBLE) AS la,
+       |    CAST(len(sb.sh) AS DOUBLE) AS lb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT contained_id, container_id, containment FROM (
+       |  SELECT doc_a AS contained_id, doc_b AS container_id,
+       |    inter / la AS containment FROM ct
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, inter / lb FROM ct)
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY contained_id, container_id""".stripMargin) { (spark, dir) =>
+    containmentPairsOf(Tables(spark, dir, "documents"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  /** q83's core on any (doc_id, text) relation — factored so the
+    * asymmetric quote-detection test can drive it with crafted docs. */
+  private[operators] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleSetsOf(docs)
+    val cand = Buckets.cappedPairs(minhashBandsOf(docs),
+        Seq("band_idx", "band_hash"), "doc_id", "q83_bucket_cap")
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          .as("inter"),
+        size(col("sh_a")).cast(DoubleType).as("la"),
+        size(col("sh_b")).cast(DoubleType).as("lb"))
+    verified
+      .select(col("doc_a").as("contained_id"),
+        col("doc_b").as("container_id"),
+        (col("inter") / col("la")).as("containment"))
+      .union(verified.select(col("doc_b"), col("doc_a"),
+        (col("inter") / col("lb")).as("containment")))
+      .filter(col("containment") >= ContainmentThreshold)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
-    q73SemanticDedup)
+    q73SemanticDedup, q83Containment)
 }

@@ -836,7 +836,74 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Cosine floor above which a train vector counts as semantically
+    * contaminated by the eval split (the fixture's intra-label cosines top
+    * out near 0.47, so 0.35 keeps the flag non-vacuous at every SF). */
+  private val ContamThreshold = 0.35
+
+  /** Eval split floor: hash buckets >= 95 (5%) hold out the benchmark. */
+  private val EvalBucket = 95
+
+  /** Semantic benchmark contamination: for every TRAIN vector, its nearest
+    * EVAL vector by cosine and a contamination flag — the embedding-space
+    * counterpart of q62's shingle-overlap contamination check (catches
+    * paraphrased benchmark leakage that exact n-gram overlap misses; the
+    * decontamination pass frontier labs run before training). The split
+    * reuses q53/q72's deterministic md5 buckets (eval = bucket >= 95).
+    *
+    * Scale shape: the eval side is a benchmark — thousands of rows, fixed —
+    * so it is explicitly `broadcast()`; the corpus side is ONE narrow scan
+    * scored against the broadcast set (the q23 brute-force shape: O(N·E)
+    * dots with E constant, no shuffle of the corpus). Best-match selection
+    * is a map-side-combinable `max(struct(sim, -eval_id))` aggregation —
+    * each task emits ONE candidate row per train vector, so the shuffle is
+    * O(N), not the O(N·E) a row_number window over all scored pairs would
+    * move. Ties break to the smaller eval_id (the struct's negated second
+    * field), matching the oracle's `ORDER BY sim DESC, eval_id`. */
+  val q81SemanticContamination = QueryDef(
+    "q81_semantic_contamination",
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    ${sqlHash60("CAST(vec_id AS VARCHAR)")} % 100 AS bucket,
+       |    ${sqlNormD("embedding")} AS nrm
+       |  FROM embeddings),
+       |tr AS (SELECT * FROM b WHERE bucket < $EvalBucket),
+       |ev AS (SELECT * FROM b WHERE bucket >= $EvalBucket),
+       |sc AS (SELECT t.vec_id, e.vec_id AS eval_id,
+       |    ${sqlDotD("t.embedding", "e.embedding")} / (t.nrm * e.nrm) AS sim
+       |  FROM tr t CROSS JOIN ev e),
+       |best AS (SELECT vec_id, eval_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, eval_id) AS rn
+       |  FROM sc)
+       |SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_sim,
+       |  sim >= $ContamThreshold AS contaminated
+       |FROM best WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val b = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (hash60(col("vec_id").cast(StringType)) % 100).as("bucket"),
+        graft.functions.FloatVector.norm(col("embedding")).as("nrm"))
+    val train = b.filter(col("bucket") < EvalBucket)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val eval = b.filter(col("bucket") >= EvalBucket)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+        col("nrm").as("en"))
+    train.crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        struct(
+          (graft.functions.FloatVector.dot(col("embedding"), col("ev"))
+            / (col("nrm") * col("en"))).as("sim"),
+          (-col("eval_id")).as("neg_id")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("nearest_eval_id"),
+        col("m.sim").as("max_sim"),
+        (col("m.sim") >= ContamThreshold).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
-      q48AnnKmeansIvf, q64AnnInt8, q68AnnPq)
+      q48AnnKmeansIvf, q64AnnInt8, q68AnnPq, q81SemanticContamination)
 }

@@ -66,6 +66,58 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("spark.graft.cc.maxRounds")
   }
 
+  test("cc: auto (default), star, and label reach the same fixpoint") {
+    import spark.implicits._
+    // chain deeper than AutoLabelBudget (forces the auto handoff), a
+    // triangle with a bridge, a disjoint pair, and a hub star — the
+    // shapes where a contraction bug would diverge from plain propagation
+    val edges = Seq(
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (8L, 9L), (9L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 30L),
+      (40L, 41L),
+      (50L, 51L), (50L, 52L), (50L, 53L), (50L, 54L)).toDF("a", "b")
+    def run(): Map[Long, Long] = Corpus.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auto = run()
+    assert(Seq(2L, 5L, 8L, 10L).forall(auto(_) == 2L))
+    try {
+      spark.conf.set("spark.graft.cc.algo", "star")
+      assert(run() == auto)
+      spark.conf.set("spark.graft.cc.algo", "label")
+      assert(run() == auto)
+    } finally spark.conf.unset("spark.graft.cc.algo")
+  }
+
+  test("cc: auto/star close a deep chain label-prop cannot afford") {
+    import spark.implicits._
+    // depth-120 chain: label propagation needs 119 rounds (one per hop);
+    // star contraction roughly halves chain length per cycle, so a
+    // 12-cycle budget is ample for auto (4 label rounds + star on the
+    // quotient) and star, and impossible for label — the round-count
+    // asymmetry that matters on a 1000-executor cluster where every
+    // round is a scheduled stage
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    spark.conf.set("spark.graft.cc.maxRounds", "12")
+    try {
+      val comp = Corpus.connectedComponents(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(comp.length == 120 && comp.forall(_._2 == 1L))
+      spark.conf.set("spark.graft.cc.algo", "star")
+      val star = Corpus.connectedComponents(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(star.length == 120 && star.forall(_._2 == 1L))
+      spark.conf.set("spark.graft.cc.algo", "label")
+      val e = intercept[IllegalStateException] {
+        Corpus.connectedComponents(chain, "a", "b").count()
+      }
+      assert(e.getMessage.contains("maxRounds"))
+    } finally {
+      spark.conf.unset("spark.graft.cc.maxRounds")
+      spark.conf.unset("spark.graft.cc.algo")
+    }
+  }
+
   test("q59: partitions the corpus; survivors are component minima") {
     val rows = Corpus.q59DedupComponents.fn(spark, sfDir).collect()
     val n = graft.Tables(spark, sfDir, "documents").count()
@@ -253,6 +305,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     // every reason occurs in the fixture — each gate is exercised
     assert(rows.map(_._6).toSet ==
       Set("kept", "holdout", "repetitive", "duplicate", "contaminated"))
+  }
+
+  test("q82: span counts match a driver-side recount; short docs drop out") {
+    val texts = graft.Tables(spark, sf01Dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def spans(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 8) w.sliding(8).map(_.mkString(" ")).toSeq
+      else Seq.empty
+    }
+    val perDoc = texts.map { case (id, t) => id -> spans(t) }
+    val docFreq = perDoc
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val want = perDoc.collect { case (id, ss) if ss.nonEmpty =>
+      id -> ((ss.length.toLong,
+        ss.count(s => docFreq(s) >= 2).toLong))
+    }.toMap
+    val got = Corpus.q82SpanDedup.fn(spark, sf01Dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (id, n, dup, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert((n, dup) == want(id), s"doc $id: got ($n,$dup)")
+      assert(frac == dup.toDouble / n.toDouble && frac >= 0.0 && frac <= 1.0)
+    }
+    // fixture contains real copied spans — the metric must be non-vacuous
+    assert(got.exists(_.getLong(2) > 0) && got.exists(_.getLong(2) == 0))
   }
 
   test("pii regexes agree between Java and the oracle on crafted cases") {

@@ -187,6 +187,64 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getString(1).startsWith(r.getString(0) + " "), r.toString))
   }
 
+  test("native NGramGen matches a driver-side reference; n=2 equals BigramGen") {
+    val edge = Seq("", " ", "a", "a b c d e f g", "a b c d e f g h",
+      "a  b c d e f g h i", "a b c d e f g h ", " a b c d e f g h")
+      .toDF("text")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    Seq(edge, docs).foreach { df =>
+      val rows = df.select(col("text"),
+        graft.functions.NGramGen(col("text"), 8).as("g")).collect()
+      rows.foreach { r =>
+        val w = r.getString(0).split(" ", -1)
+        val want =
+          if (w.length >= 8) w.sliding(8).map(_.mkString(" ")).toSeq
+          else Seq.empty[String]
+        assert(r.getSeq[String](1) == want, r.toString)
+      }
+    }
+    // n=2 coincides with the native BigramGen (same empty-array convention)
+    val bg = docs.select(
+      graft.functions.NGramGen(col("text"), 2).as("a"),
+      Mirror.bigramGen(col("text")).as("b")).collect()
+    bg.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("q83: reported containments are exact and directionally consistent") {
+    val sfDir = "/root/testdata/sf0.001"
+    // exact shingle sets, driver side
+    val sets = Dedup.shingleSetsOf(
+      graft.Tables(spark, sfDir, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val rows = Dedup.q83Containment.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ced, cer, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (a, b) = (sets(ced), sets(cer))
+      // soundness: the reported value IS |A∩B|/|A| and clears the floor
+      assert(c == (a & b).size.toDouble / a.size, s"($ced,$cer)")
+      assert(c >= 0.7 && c <= 1.0)
+      assert(ced != cer)
+    }
+    // the fixture's duplicates are similar-length (every containment is
+    // mutual there), so directionality needs a crafted quote: doc 1 is
+    // fully contained in doc 2 (containment 1.0) while doc 2 shares only
+    // 28/41 = 0.68 of its own shingles — above the q19 jaccard radar is
+    // not required, only a shared band (all 4 collide here: the 13 added
+    // shingles win no minhash minimum; deterministic, md5 is fixed)
+    val quoted = (1 to 30).map(i => s"alpha${i - 1}").mkString(" ")
+    val container = quoted + " " +
+      (0 until 13).map(i => s"quote0x$i").mkString(" ")
+    val crafted = Dedup.containmentPairsOf(
+      Seq((1L, quoted), (2L, container)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(crafted.keySet == Set((1L, 2L)),
+      s"expected only the quote direction, got ${crafted.keySet}")
+    assert(crafted((1L, 2L)) == 1.0)
+  }
+
   test("native SimHash60 equals the exploded vote-aggregation spec") {
     val sfDir = "/root/testdata/sf0.001"
     val native = Dedup.q20SimhashSignature.fn(spark, sfDir)

@@ -242,4 +242,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("hashpartitioning(source"), plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("round-6 query plans keep their intended shapes") {
+    // q81: the eval side rides along broadcast (corpus never shuffles for
+    // the scoring), and best-match is an AGGREGATION with a map-side
+    // partial — not a window, which would shuffle every scored pair
+    val q81 = Similarity.q81SemanticContamination.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q81.contains("Broadcast"), q81)
+    assert(!q81.contains("RunningWindowFunction")
+      && !q81.contains("Window"), q81)
+    assert(q81.contains("partial_max") || q81.contains("HashAggregate"), q81)
+    // q82: spans collapse to (doc, hash) rows via partial aggregation
+    // BEFORE the exchange — the raw span explosion must never shuffle —
+    // and document frequency is a plain count, never a countDistinct
+    // expand
+    val q82 = Corpus.q82SpanDedup.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q82.contains("partial_count"), q82)
+    assert(!q82.contains("Expand"), q82)
+    // q83: candidates come from the capped-bucket equi-join pipeline —
+    // no cartesian/theta join anywhere in the pair generation
+    val q83 = graft.operators.Dedup.q83Containment.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q83.contains("CartesianProduct")
+      && !q83.contains("BroadcastNestedLoopJoin"), q83)
+  }
 }

@@ -164,4 +164,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // random 100-of-499 shortlists would land at ~0.2
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("q81: best eval match and flag are exact vs a driver-side brute force") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (eval, train) = vecs.partition { case (id, _) => bucket(id) >= 95 }
+    assert(eval.nonEmpty && train.nonEmpty)
+    // same op order as FloatVector.dot / the oracle fold: sequential sum
+    // in double over float-promoted elements — bit-identical, so == holds
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val want = train.map { case (id, tv) =>
+      val best = eval.map { case (eid, ev) =>
+        (dot(tv, ev) / (nrm(tv) * nrm(ev)), eid)
+      }.maxBy { case (s, eid) => (s, -eid) }
+      id -> best
+    }.toMap
+    val got = Similarity.q81SemanticContamination.fn(spark, sfDir).collect()
+    assert(got.length == train.length)
+    got.foreach { r =>
+      val (id, eid, sim, flag) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      val (wSim, wEid) = want(id)
+      assert(eid == wEid && sim == wSim, s"train $id: got ($eid,$sim)")
+      assert(flag == (sim >= 0.35), s"train $id")
+    }
+    // the fixture must exercise both outcomes
+    assert(got.exists(_.getBoolean(3)) && got.exists(!_.getBoolean(3)))
+  }
 }
