@@ -18,6 +18,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The suite's ~90 queries generate several hundred whole-stage-codegen
+      // fragments per pass; the default 100-entry LRU cache thrashes on that
+      // cyclic access pattern (0% cross-iteration reuse), so every timed
+      // iteration re-pays serial driver-side Janino compiles. Size the cache
+      // to hold the whole suite — the warmup pass then compiles once and the
+      // timed passes measure execution, not compilation.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // the engine's own extensions run in the benched path: native SQL
       // functions + the row_number<=k -> TopKPerKey optimizer rewrite
       .withExtensions(new graft.functions.GraftExtensions)
@@ -36,6 +43,14 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // Second untimed pass at the TARGET SF: AQE replans at real data sizes,
+    // so the sf0.001 pass compiles different post-shuffle plans than the
+    // measured ones — without this pass, iteration 1 of every query pays
+    // its sf-specific codegen + JIT and min-of-3 never reaches the floor
+    // (measured: q19 min-of-3 4.5 s cold vs 0.93 s floor on the same host).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min-of-N: each iteration re-executes the full plan (count() is
       // never cached); the min strips GC/JIT/compaction noise. A failed

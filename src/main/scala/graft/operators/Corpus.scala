@@ -938,9 +938,65 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard size (docs) and bucket fan-out for the balanced-shard export.
+    * Both powers of two so position→shard and hash→bucket are exact bit
+    * shifts (no double division, whose 53-bit mantissa can't represent a
+    * 60-bit hash). */
+  private val ShardSizeLog2 = 6 // 64 docs per shard
+  private val ShardBucketsLog2 = 5 // 32 range buckets
+
+  /** Balanced training-shard assignment: every document gets a global
+    * position in deterministic md5-hash order (a rerun-stable shuffle of
+    * the corpus) and a fixed-size shard id — the step that turns a corpus
+    * into N equal training files in a reproducible random order.
+    *
+    * The textbook form is `row_number() OVER (ORDER BY hash)` — a single
+    * global sort whose window runs on ONE partition, the canonical
+    * cluster-scale failure. This implementation never builds a global
+    * window: the 60-bit hash's top [[ShardBucketsLog2]] bits are a RANGE
+    * bucket (bucket-major order ≡ global hash order because the bucket is
+    * a monotone function of the hash), per-bucket counts (a tiny agg —
+    * [[ShardBucketsLog2]] rows of model state, the only driver-scale
+    * window here) prefix-sum into bucket start offsets, and each bucket
+    * ranks its own rows in parallel. global_pos = bucket offset + local
+    * rank; shard = global_pos >> [[ShardSizeLog2]]. At 1000 executors the
+    * per-bucket windows are the parallelism; md5 uniformity keeps buckets
+    * balanced (raise the bucket count with the corpus). The oracle IS the
+    * textbook global window, proving the distributed form bit-equal. */
+  val q84BalancedShards = QueryDef(
+    "q84_balanced_shards",
+    s"""WITH h AS (SELECT doc_id, ${sqlHash60("text")} AS h FROM documents),
+       |r AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY h, doc_id) - 1 AS global_pos
+       |  FROM h)
+       |SELECT doc_id, global_pos,
+       |  global_pos >> $ShardSizeLog2 AS shard
+       |FROM r
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val hashed = Tables(spark, dir, "documents")
+      .select(col("doc_id"), hash60(col("text")).as("h"))
+      .withColumn("bucket", shiftright(col("h"), 60 - ShardBucketsLog2))
+    val offsets = hashed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("off"))
+    val ranked = hashed.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"),
+        (col("off") + col("rn") - 1).as("global_pos"),
+        shiftright(col("off") + col("rn") - 1, ShardSizeLog2).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
-      q76SourceDatasheet, q78TrainCorpus, q82SpanDedup)
+      q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards)
 }

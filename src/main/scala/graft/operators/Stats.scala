@@ -308,7 +308,148 @@ object Stats {
       .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
   }
 
+  /** Rolling 7-day distinct active users (DAU/WAU) per calendar day — the
+    * usage-telemetry staple that is NOT expressible as a window function at
+    * scale (COUNT(DISTINCT) over a RANGE frame either isn't supported or
+    * degenerates to per-row set rebuilds).
+    *
+    * Scale shape: events first collapse to DISTINCT (user, day) — the only
+    * corpus-sized shuffle, and a shrinking one (bounded by users × days).
+    * Each collapsed row then fans FORWARD to the ≤ 7 window-days it
+    * contributes to, and a plain exact distinct-agg per window-day finishes
+    * the job. Total shuffle is O(7 · |distinct user-days|), independent of
+    * how many raw events a hot user emits; the naive form re-scans the raw
+    * event range once per output day. Days with no events report nothing
+    * (the join back to observed days), matching the oracle. */
+  val q85RollingActiveUsers = QueryDef(
+    "q85_rolling_active_users",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |    FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |exp AS (SELECT user_id, day + CAST(i.range AS INTEGER) AS day
+      |    FROM ud CROSS JOIN range(7) i),
+      |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+      |    FROM exp GROUP BY day),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+      |    FROM ud GROUP BY day)
+      |SELECT day, dau, wau
+      |FROM days JOIN dau USING (day) JOIN wau USING (day)
+      |ORDER BY day""".stripMargin) { (spark, dir) =>
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    days.join(dau, "day").join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** Ordered conversion funnel over the event stream: users who viewed,
+    * then clicked within [[FunnelWindow]] after their first view, then
+    * purchased within [[FunnelWindow]] after that first qualifying click.
+    * First-touch semantics (MIN timestamps) with a per-stage conversion
+    * window — deterministic, order-insensitive, and non-vacuous (an
+    * unwindowed funnel saturates on any long-lived user base).
+    *
+    * Scale shape: each stage is one equi-join on user_id against the
+    * previous stage's (user, min-ts) table followed by a min-agg — three
+    * O(N) hash passes, no window over a user's full history and no
+    * per-user event sorting. Stage tables shrink monotonically
+    * (funnel property), so later joins get cheaper, and at cluster scale
+    * the stage-k table is broadcastable long before stage counts
+    * matter. */
+  /** Per-stage conversion window for [[q87FunnelStages]] (exact integer
+    * microsecond interval arithmetic in both engines). */
+  private val FunnelWindow = expr("INTERVAL 2 HOURS")
+
+  val q87FunnelStages = QueryDef(
+    "q87_funnel_stages",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |    WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+      |    FROM events e JOIN s1 USING (user_id)
+      |    WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |      AND e.ts <= s1.t1 + INTERVAL 2 HOUR
+      |    GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+      |    FROM events e JOIN s2 USING (user_id)
+      |    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |      AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+      |    GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 2 AS stage, 'click' AS event_type, COUNT(*) AS n_users FROM s2
+      |UNION ALL
+      |SELECT 3 AS stage, 'purchase' AS event_type, COUNT(*) AS n_users
+      |FROM s3
+      |ORDER BY stage""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + FunnelWindow)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + FunnelWindow)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: org.apache.spark.sql.DataFrame, no: Int, et: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("stage"), lit(et).as("event_type"),
+          col("n_users"))
+    stage(s1, 1, "view")
+      .unionAll(stage(s2, 2, "click"))
+      .unionAll(stage(s3, 3, "purchase"))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the Monday-start week
+    * of their first activity; each following week-offset reports how many
+    * of them were active again. Both engines truncate weeks to Monday, and
+    * the week offset is exact integer day arithmetic divided at < 2^31
+    * magnitudes, so the comparison is bit-exact.
+    *
+    * Scale shape: one distinct-collapse to (user, day), one min-agg for
+    * the cohort day, one equi-join back on user_id, one distinct-count agg
+    * — every step shuffles on a single key with map-side partials, nothing
+    * is quadratic in users or days. */
+  val q88CohortRetention = QueryDef(
+    "q88_cohort_retention",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |    FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cday FROM ud GROUP BY user_id)
+      |SELECT CAST(date_trunc('week', c.cday) AS DATE) AS cohort_week,
+      |  CAST(FLOOR((ud.day - c.cday) / 7.0) AS BIGINT) AS week_no,
+      |  COUNT(DISTINCT ud.user_id) AS n_users
+      |FROM ud JOIN c USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_no""".stripMargin) { (spark, dir) =>
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cday"))
+    ud.join(cohort, "user_id")
+      .groupBy(
+        date_trunc("week", col("cday")).cast("date").as("cohort_week"),
+        floor(datediff(col("day"), col("cday")) / 7.0).as("week_no"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
     q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp,
-    q80TokenBudgetSample)
+    q80TokenBudgetSample, q85RollingActiveUsers, q87FunnelStages,
+    q88CohortRetention)
 }

@@ -265,7 +265,48 @@ object TextAnalysis {
       .limit(CoocTopK)
   }
 
+  private val BpeTopK = 20
+
+  /** First BPE merge round of tokenizer training: the corpus-weighted
+    * frequency of every adjacent character pair, top-[[BpeTopK]] merge
+    * candidates. (Full BPE iterates merge→recount on the driver; the
+    * per-round count — the expensive distributed step — is this query.)
+    *
+    * Scale shape: the corpus FIRST collapses to the distinct-word
+    * vocabulary with frequencies (one shuffle, output bounded by |vocab|,
+    * not corpus size), and the quadratic-ish character-pair expansion runs
+    * over that vocabulary only, weighted by the word counts — on a 100 TB
+    * corpus the pair stage touches millions of vocab rows, not trillions
+    * of tokens. Top-k via orderBy+limit plans TakeOrderedAndProject (no
+    * global sort materialization). */
+  val q86BpePairCounts = QueryDef(
+    "q86_bpe_pair_counts",
+    s"""WITH t AS (SELECT unnest($sqlWords) AS w FROM documents),
+       |v AS (SELECT w, COUNT(*) AS freq FROM t WHERE len(w) >= 1
+       |    GROUP BY w),
+       |p AS (SELECT unnest(list_transform(range(1, len(w)),
+       |        i -> substr(w, i, 2))) AS pair, freq
+       |    FROM v),
+       |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+       |    FROM p GROUP BY pair)
+       |SELECT pair, cnt FROM c
+       |ORDER BY cnt DESC, pair
+       |LIMIT $BpeTopK""".stripMargin) { (spark, dir) =>
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
-      q58TfSalient, q79WordCooccurrence)
+      q58TfSalient, q79WordCooccurrence, q86BpePairCounts)
 }

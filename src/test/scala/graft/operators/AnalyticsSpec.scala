@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit checks for the events-analytics and shard-export queries (q84-q88):
+  * each distributed formulation is verified against a direct (driver-side or
+  * single-window) recomputation on the sf0.001 fixture.
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q84: bucket-offset global index equals the single-window form") {
+    val got = Corpus.q84BalancedShards.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the textbook global row_number the distributed form must reproduce
+    val expected = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), Mirror.hash60(col("text")).as("h"))
+      .withColumn("global_pos",
+        (row_number().over(Window.orderBy(col("h"), col("doc_id"))) - 1)
+          .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, pos) =>
+      assert(got(id)._1 == pos, s"doc $id")
+      assert(got(id)._2 == pos >> 6, s"doc $id shard")
+    }
+    // positions are a permutation of 0..N-1 => every shard but the last is full
+    val positions = got.values.map(_._1).toSeq.sorted
+    assert(positions == (0L until positions.size.toLong))
+    val byShard = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (s, n) =>
+      if (s < lastShard) assert(n == 64, s"shard $s") else assert(n <= 64)
+    }
+  }
+
+  test("q85: rolling 7-day distinct users equals brute-force recount") {
+    val got = Stats.q85RollingActiveUsers.fn(spark, sfDir)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val userDays = Tables(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = userDays.map(_._2).distinct
+    assert(got.keySet == days.toSet)
+    days.foreach { d =>
+      val dau = userDays.filter(_._2 == d).map(_._1).distinct.size.toLong
+      val wau = userDays.filter { case (_, ud) =>
+        !ud.isAfter(d) && !ud.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.size.toLong
+      assert(got(d) == ((dau, wau)), s"day $d")
+    }
+  }
+
+  test("q86: BPE pair counts equal a driver-side recount") {
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ", -1).filter(_.nonEmpty).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    })
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = TextAnalysis.q86BpePairCounts.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q87: funnel stages are monotone and stage 1 is exact") {
+    val rows = Stats.q87FunnelStages.fn(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3))
+    val viewers = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows(1) == viewers)
+  }
+
+  test("q88: cohort retention covers every user at week 0") {
+    val rows = Stats.q88CohortRetention.fn(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, wno, n) =>
+      assert(wno >= 0 && n > 0)
+      // cohort weeks are Monday-truncated
+      assert(cw.getDayOfWeek == java.time.DayOfWeek.MONDAY)
+    }
+    val week0 = rows.filter(_._2 == 0L).map(_._3).sum
+    val allUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    // every user is active in their own first week by definition
+    assert(week0 == allUsers)
+  }
+}

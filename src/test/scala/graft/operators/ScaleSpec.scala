@@ -268,4 +268,31 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(!q83.contains("CartesianProduct")
       && !q83.contains("BroadcastNestedLoopJoin"), q83)
   }
+
+  test("q84 ranks inside hash-range buckets, never one global window") {
+    val plan = Corpus.q84BalancedShards.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized row_number window must be partitioned by the hash
+    // bucket; a SinglePartition exchange feeding a window is the failure
+    // this operator exists to avoid (the 32-row offsets agg is the only
+    // thing allowed through a 1-partition exchange)
+    val windowParts = "Window \\[row_number".r.findAllIn(plan).size
+    assert(windowParts >= 1, plan)
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+    // bucket offsets ride along broadcast, the data side never re-shuffles
+    // for the join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q85/q88 collapse to distinct user-days before any fan-out") {
+    // both rolling-active-users and cohort retention must aggregate the
+    // raw event stream down to (user, day) FIRST — partial aggregation
+    // map-side — so per-user event volume never reaches the later stages
+    Seq(Stats.q85RollingActiveUsers, Stats.q88CohortRetention).foreach {
+      q =>
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(plan.contains("partial"), s"${q.name}: $plan")
+        assert(!plan.contains("CartesianProduct"), s"${q.name}: $plan")
+    }
+  }
 }
