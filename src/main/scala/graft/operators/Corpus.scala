@@ -994,9 +994,58 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk width / stride (words) for the retrieval-style chunker: 40-word
+    * chunks every 30 words = 25% overlap, the common RAG recipe shape. */
+  private val ChunkW = 40
+  private val ChunkS = 30
+
+  /** Overlapping document chunking — the step that turns documents into
+    * retrieval/training units (RAG indexing, context packing): fixed-width
+    * word windows at a fixed stride, each identified by (doc_id, chunk_id)
+    * and fingerprinted. Deterministic: chunk boundaries are pure word-index
+    * arithmetic, so reruns and both engines produce identical chunks.
+    *
+    * Scale shape: a narrow map — split, per-row index sequence, slice,
+    * hash; zero shuffle before the output sort, embarrassingly parallel at
+    * any corpus size. Chunks leave the operator as 60-bit fingerprints plus
+    * counts, not text, so downstream chunk-level joins (q77-style dedup,
+    * inverted indexes) shuffle ids+longs only. Trailing chunks may be
+    * shorter than [[ChunkW]] (suffix semantics, mirrored exactly in the
+    * oracle's list slicing). */
+  val q89DocChunks = QueryDef(
+    "q89_doc_chunks",
+    s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+       |s AS (SELECT doc_id, ws,
+       |    unnest(range(1, len(ws) + 1, $ChunkS)) AS start FROM w),
+       |c AS (SELECT doc_id,
+       |    CAST((start - 1) // $ChunkS AS INTEGER) AS chunk_id,
+       |    array_to_string(ws[start : start + ${ChunkW - 1}], ' ')
+       |      AS chunk,
+       |    CAST(len(ws[start : start + ${ChunkW - 1}]) AS INTEGER)
+       |      AS n_words
+       |  FROM s)
+       |SELECT doc_id, chunk_id, n_words,
+       |  ${sqlHash60("chunk")} AS chunk_hash
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), lit(ChunkS)))
+          .as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / ChunkS).cast("int").as("chunk_id"),
+        slice(col("ws"), col("start"), lit(ChunkW)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).as("n_words"),
+        hash60(array_join(col("cw"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
-      q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards)
+      q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
+      q89DocChunks)
 }

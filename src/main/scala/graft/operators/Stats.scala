@@ -448,8 +448,52 @@ object Stats {
       .orderBy(col("cohort_week"), col("week_no"))
   }
 
+  /** First-order event-type transition matrix (the Markov-chain view of
+    * user behavior): for every consecutive event pair within a user's
+    * timeline, count prev→next transitions and their conditional
+    * probability P(next | prev).
+    *
+    * Scale shape: ONE window pass partitioned by user (lag over
+    * (ts, event_id) order — per-user history sorts in parallel, never a
+    * global sort), then two shrinking aggregations: pair counts (output
+    * bounded by |event types|², not events) and per-prev totals (a
+    * broadcast-sized model table). The probability is a single int/int
+    * IEEE division, bit-exact in both engines (the q79 rational-math
+    * convention — no log/float accumulation). */
+  val q90EventTransitions = QueryDef(
+    "q90_event_transitions",
+    """WITH t AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT prev, event_type, COUNT(*) AS n FROM t
+      |  WHERE prev IS NOT NULL GROUP BY prev, event_type),
+      |tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS total
+      |  FROM c GROUP BY prev)
+      |SELECT c.prev, c.event_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(tot.total AS DOUBLE) AS p
+      |FROM c JOIN tot USING (prev)
+      |ORDER BY prev, event_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev"))
+      .agg(sum(col("n")).as("total"))
+    pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("event_type"), col("n"),
+        (col("n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("p"))
+      .orderBy(col("prev"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
     q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp,
     q80TokenBudgetSample, q85RollingActiveUsers, q87FunnelStages,
-    q88CohortRetention)
+    q88CohortRetention, q90EventTransitions)
 }

@@ -86,6 +86,62 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1) == viewers)
   }
 
+  test("q89: chunking covers every word exactly and strides correctly") {
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Corpus.q89DocChunks.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val chunks = byDoc(id).sortBy(_._2)
+      // chunk count = number of stride starts <= len
+      assert(chunks.size == (ws.length - 1) / 30 + 1, s"doc $id")
+      chunks.foreach { case (_, cid, nw, h) =>
+        val expect = ws.slice(cid * 30, cid * 30 + 40)
+        assert(nw == expect.length, s"doc $id chunk $cid")
+        // fingerprint matches a driver-side recompute of the same slice
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(expect.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(h == java.lang.Long.parseLong(md5.take(15), 16),
+          s"doc $id chunk $cid")
+      }
+      // full coverage: every word index falls in some chunk
+      assert(chunks.map(c => c._2 * 30 + c._3).max >= ws.length)
+    }
+  }
+
+  test("q90: transition matrix equals a driver-side recount") {
+    val events = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    def us(t: java.sql.Timestamp) =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupBy(_._1).values.foreach { evs =>
+      evs.sortBy(e => (us(e._2), e._3)).map(_._4)
+        .sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1))
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+        }
+    }
+    val got = Stats.q90EventTransitions.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (k, n) =>
+      assert(got(k)._1 == n, s"$k")
+      val total = counts.filter(_._1._1 == k._1).values.sum
+      assert(got(k)._2 == n.toDouble / total.toDouble, s"$k")
+    }
+  }
+
   test("q88: cohort retention covers every user at week 0") {
     val rows = Stats.q88CohortRetention.fn(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
