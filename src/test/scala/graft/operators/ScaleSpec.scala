@@ -284,6 +284,42 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runtime bloom filter from a selective dim reaches the fact side") {
+    // the 100 TB lever AQE skew-split doesn't cover: when a dimension
+    // carries a selective predicate, Spark can build a bloom filter on the
+    // join keys that survive it and semi-prune the fact scan BEFORE the
+    // shuffle — rows that would die in the join never leave the mappers.
+    // Thresholds are sized for real clusters (fact side >= 10 GB), so the
+    // test lowers them; production inherits the defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = graft.Tables(spark, sfDir, "lineitem")
+      val part = graft.Tables(spark, sfDir, "part")
+        .filter(col("p_partkey") % 50 === 0) // selective, not pushable
+      val joined = lineitem.join(part,
+        col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the filter must guard the FACT side's join key (a Filter node in
+      // the fact subtree, below its shuffle — tree printing puts parents
+      // first, so assert on the guarded key, not on string positions)
+      assert("might_contain[^\\n]*l_partkey".r.findFirstIn(plan).isDefined,
+        s"no bloom filter on the fact key:\n$plan")
+      // built from the creation side's SELECTIVE rows (the filtered dim)
+      assert(plan.contains("bloom_filter_agg"), plan)
+      joined.collect() // executes with the filter in place
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q85/q88 collapse to distinct user-days before any fan-out") {
     // both rolling-active-users and cohort retention must aggregate the
     // raw event stream down to (user, day) FIRST — partial aggregation
