@@ -352,9 +352,39 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Hopping (sliding) window aggregation — q12's tumbling variant with
+    * overlap: 10-minute windows every 5 minutes, so every event lands in
+    * exactly two windows. Spark's `window(ts, len, slide)` generates the
+    * window set per row (a narrow expansion before the hash agg, map-side
+    * partials intact — the fan-out factor is len/slide, fixed and small);
+    * the oracle mirrors it by unnesting each event's two bucket starts.
+    * The streaming form is identical (SURVEY §2.9 T4: same expression on
+    * a watermarked stream). */
+  val q92HoppingWindow = QueryDef(
+    "q92_hopping_window",
+    s"""WITH e AS (SELECT ts, event_type, value,
+       |    time_bucket(INTERVAL '5 minutes', ts) AS b FROM events),
+       |h AS (SELECT event_type, value,
+       |    unnest([b, b - INTERVAL 5 MINUTE]) AS w_start FROM e)
+       |SELECT w_start, event_type,
+       |  COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM h
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02TopkCustomers, q03JoinBroadcast, q04JoinMultiway,
     q05SemiJoin, q06AntiJoin, q07FilterProject, q08WindowTrailing,
     q09WindowLagGrowth, q10RankTopn, q11DedupFirstRow, q12WindowedAgg,
-    q13DailyRollup)
+    q13DailyRollup, q92HoppingWindow)
 }

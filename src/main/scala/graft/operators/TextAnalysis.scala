@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -306,7 +307,48 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  private val CurationK = 5
+
+  /** Per-source curation shortlist: the [[CurationK]] highest-stop-ratio
+    * (most natural-language-like) documents of every source — the "pick
+    * the best docs per provider" step of corpus curation.
+    *
+    * Deliberately written in the `row_number() <= k` window shape:
+    * with [[graft.functions.GraftExtensions]] registered (the Verify and
+    * Bench sessions), the [[graft.plans.TopKRewrite]] optimizer rule
+    * replaces the full per-source sort with the native bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — each partition keeps k rows
+    * per source instead of sorting every document, the difference between
+    * O(n) + k·log k and O(n log n) per source at corpus scale. Score is a
+    * single int/int IEEE division (bit-exact cross-engine); doc_id breaks
+    * ties deterministically. */
+  val q91TopQualityPerSource = QueryDef(
+    "q91_top_quality_per_source",
+    s"""WITH s AS (SELECT source, doc_id,
+       |    CAST(${sqlCountIn(stopEn)} AS DOUBLE)
+       |      / CAST(len($sqlWords) AS DOUBLE) AS score
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+       |  FROM s)
+       |SELECT source, doc_id, score, rn FROM r
+       |WHERE rn <= $CurationK
+       |ORDER BY source, rn""".stripMargin) { (spark, dir) =>
+    val w = words(col("text"))
+    val score = countIn(w, stopEn).cast(DoubleType) /
+      size(w).cast(DoubleType)
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), score.as("score"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= CurationK)
+      .orderBy(col("source"), col("rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
-      q58TfSalient, q79WordCooccurrence, q86BpePairCounts)
+      q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
+      q91TopQualityPerSource)
 }

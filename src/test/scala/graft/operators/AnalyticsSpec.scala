@@ -142,6 +142,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q92: every event lands in exactly len/slide hopping windows") {
+    val nEvents = Tables(spark, sfDir, "events").count()
+    val windowed = Relational.q92HoppingWindow.fn(spark, sfDir).collect()
+    // 10-min windows every 5 min => each event is counted exactly twice
+    assert(windowed.map(_.getLong(2)).sum == 2 * nEvents)
+    // window starts are 5-minute aligned
+    windowed.foreach { r =>
+      assert(r.getTimestamp(0).getTime % (5 * 60 * 1000) == 0, r)
+    }
+  }
+
   test("q88: cohort retention covers every user at week 0") {
     val rows = Stats.q88CohortRetention.fn(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))

@@ -226,6 +226,12 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       // the per-stratum sort is gone: bounded heaps instead of a window
       assert(plan.contains("TopKPerKey"), plan)
       assert(df.count() > 0)
+      // q91's per-source curation shortlist is written in the same
+      // row_number()<=k shape and must get the same native operator
+      val q91 = TextAnalysis.q91TopQualityPerSource.fn(spark, sfDir)
+      val p91 = q91.queryExecution.executedPlan.toString
+      assert(p91.contains("TopKPerKey"), p91)
+      assert(q91.count() > 0)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
