@@ -903,7 +903,87 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q93's centroid source honoring the engine-wide exactness switch. */
+  private def centroidsFor(spark: SparkSession, dir: String): DataFrame =
+    if (exactMeans(Tables(spark, dir, "embeddings")))
+      centroidByPos(spark, dir)
+    else centroidByPosApprox(spark, dir)
+
+  /** Embedding outlier detection for data curation: every vector's squared
+    * euclidean distance to its own label's centroid, flagged when it
+    * exceeds the label's 95th-percentile distance — the "find mislabeled /
+    * anomalous embeddings" screening step before training on a labeled
+    * corpus.
+    *
+    * Scale shape: centroids are MODEL state (labels × dims rows → one
+    * array per label, broadcast), distances are a narrow codegen fold per
+    * vector (zero shuffle), and the p95 cut is the q67 exact
+    * order-statistic — a per-label window whose sort parallelizes across
+    * labels; the threshold index is pure integer math (ceil(0.95·n) =
+    * (19n+19) div 20, no float rounding at the cut). The outlier compare
+    * is strict (> p95 value), so distance ties at the threshold resolve
+    * identically in both engines. At extreme per-label cardinality swap
+    * the exact percentile for approx_percentile; the exact form is kept
+    * for the oracle. Centroid means use the [[centroidByPos]] ordered
+    * fold (oracle-exact; production flips to the O(1)-state avg via
+    * `spark.graft.centroids.exact=false` — same switch as q48). */
+  val q93EmbeddingOutliers = QueryDef(
+    "q93_embedding_outliers",
+    s"""WITH e AS (
+       |  SELECT label, vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |g AS (SELECT label, pos, list(CAST(x AS DOUBLE) ORDER BY vec_id) AS xs,
+       |    COUNT(*) AS n
+       |  FROM e GROUP BY label, pos),
+       |c AS (SELECT label, pos, ${sqlFoldSum("xs")} / CAST(n AS DOUBLE)
+       |    AS centroid FROM g),
+       |ca AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+       |  FROM c GROUP BY label),
+       |d AS (SELECT v.label, v.vec_id,
+       |    ${sqlFoldSum("list_transform(list_zip(v.embedding, ca.cvec), " +
+            "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))")}
+       |      AS dist2
+       |  FROM embeddings v JOIN ca USING (label)),
+       |r AS (SELECT label, vec_id, dist2,
+       |    row_number() OVER (PARTITION BY label ORDER BY dist2, vec_id)
+       |      AS rn,
+       |    COUNT(*) OVER (PARTITION BY label) AS n
+       |  FROM d),
+       |t AS (SELECT label, dist2 AS thr FROM r WHERE rn = (19 * n + 19) // 20)
+       |SELECT d.vec_id, d.label, d.dist2, d.dist2 > t.thr AS is_outlier
+       |FROM d JOIN t USING (label)
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val centArr = centroidsFor(spark, dir)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("centroid"))))
+        .as("cs"))
+      .select(col("label"),
+        transform(col("cs"), c => c.getField("centroid")).as("cvec"))
+    val dist = Tables(spark, dir, "embeddings")
+      .join(broadcast(centArr), "label")
+      .select(col("label"), col("vec_id"),
+        sqDist(col("embedding"), col("cvec")).as("dist2"))
+    // one pass: rank + count + threshold via windows over the SAME label
+    // partitioning (one shuffle total) — a threshold self-join would
+    // re-execute the whole centroid+distance subtree for the second branch
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2"), col("vec_id"))
+    val lbl = Window.partitionBy(col("label"))
+    dist
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(lbl))
+      .withColumn("thr",
+        max(when(col("rn") === expr("(19 * n + 19) div 20"),
+          col("dist2"))).over(lbl))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2") > col("thr")).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
-      q48AnnKmeansIvf, q64AnnInt8, q68AnnPq, q81SemanticContamination)
+      q48AnnKmeansIvf, q64AnnInt8, q68AnnPq, q81SemanticContamination,
+      q93EmbeddingOutliers)
 }

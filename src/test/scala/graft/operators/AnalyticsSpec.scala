@@ -153,6 +153,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q93: outlier flags equal a driver-side exact recount") {
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    // centroids: per (label, pos) left fold over vec_id order, / n
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.map { case (lbl, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val dim = sorted.head._3.length
+      lbl -> Array.tabulate(dim) { p =>
+        sorted.foldLeft(0.0)((acc, v) => acc + v._3(p).toDouble) /
+          sorted.length.toDouble
+      }
+    }
+    // dist2: left fold over pos of (x - c)^2
+    val dist = vecs.map { case (id, lbl, emb) =>
+      val c = cents(lbl)
+      val d = emb.indices.foldLeft(0.0) { (acc, p) =>
+        val diff = emb(p).toDouble - c(p); acc + diff * diff
+      }
+      (id, lbl, d)
+    }
+    val expected = byLabel.keys.flatMap { lbl =>
+      val ds = dist.filter(_._2 == lbl).sortBy(t => (t._3, t._1))
+      val n = ds.length
+      val thr = ds((19 * n + 19) / 20 - 1)._3
+      ds.map(t => t._1 -> (t._3, t._3 > thr))
+    }.toMap
+    val got = Similarity.q93EmbeddingOutliers.fn(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, (d, o)) =>
+      assert(got(id) == ((d, o)), s"vec $id")
+    }
+  }
+
   test("q88: cohort retention covers every user at week 0") {
     val rows = Stats.q88CohortRetention.fn(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
