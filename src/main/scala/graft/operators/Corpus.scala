@@ -1042,10 +1042,62 @@ object Corpus {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** The dedup report: duplicate-cluster size distribution over the q59
+    * connected components — how many singletons, pairs, triples, … the
+    * near-dup graph contains, with the document and removal counts each
+    * bucket contributes. This is the summary a 100 TB dedup run prints to
+    * justify its deletions (and the first place a too-aggressive
+    * threshold shows up, as a fat tail of giant clusters).
+    *
+    * Scale shape: derived entirely from the component labeling (ids only
+    * — text is never touched), then two shrinking aggregations: per-
+    * component sizes (output = #clusters) and the size histogram (output
+    * bounded by the LARGEST cluster size, a handful of rows at any
+    * corpus scale). docs_removed = (size-1)·clusters is exact integer
+    * math. */
+  val q94ClusterSizeDist = QueryDef(
+    "q94_cluster_size_dist",
+    s"""WITH RECURSIVE ${Dedup.sqlNearDupBody},
+       |pairs AS (${Dedup.sqlNearDupPairs}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+       |lab AS (SELECT COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |sz AS (SELECT component, COUNT(*) AS comp_size FROM lab
+       |  GROUP BY component)
+       |SELECT comp_size, COUNT(*) AS n_clusters,
+       |  CAST(comp_size * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST((comp_size - 1) * COUNT(*) AS BIGINT) AS docs_removed
+       |FROM sz
+       |GROUP BY comp_size
+       |ORDER BY comp_size""".stripMargin) { (spark, dir) =>
+    val comp = connectedComponents(
+      Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .join(comp.select(col("v").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("component"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("comp_size"))
+      .groupBy(col("comp_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("comp_size"),
+        col("n_clusters"),
+        (col("comp_size") * col("n_clusters")).as("n_docs"),
+        ((col("comp_size") - 1) * col("n_clusters")).as("docs_removed"))
+      .orderBy(col("comp_size"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
-      q89DocChunks)
+      q89DocChunks, q94ClusterSizeDist)
 }

@@ -192,6 +192,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q94: size distribution is consistent with the q59 labeling") {
+    val dist = Corpus.q94ClusterSizeDist.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    // every document is in exactly one cluster; removals = docs - clusters
+    assert(dist.map(_._3).sum == nDocs)
+    dist.foreach { case (size, nc, nd, rem) =>
+      assert(nd == size * nc && rem == (size - 1) * nc)
+    }
+    // cross-check against q59's per-doc comp_size column
+    val q59Sizes = Corpus.q59DedupComponents.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).distinct // (component, size)
+    val expected = q59Sizes.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    assert(dist.map(d => d._1 -> d._2).toMap == expected)
+  }
+
   test("q88: cohort retention covers every user at week 0") {
     val rows = Stats.q88CohortRetention.fn(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
