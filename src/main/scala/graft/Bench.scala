@@ -48,8 +48,17 @@ object Bench {
     // measured ones — without this pass, iteration 1 of every query pays
     // its sf-specific codegen + JIT and min-of-3 never reaches the floor
     // (measured: q19 min-of-3 4.5 s cold vs 0.93 s floor on the same host).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // A few queries' fragment-heavy codegen (NGram/vector folds) JITs in
+    // monotonically over several executions (BENCH_GATE.txt addendum:
+    // q82-class queries need >3 runs to reach their floor when fragments
+    // land cold) — give those extra untimed target-SF repetitions so the
+    // timed min measures execution, not warm-in.
+    val extraWarm = Set("q82_span_dedup", "q83_containment")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val reps = if (extraWarm(name)) 3 else 1
+      (1 to reps).foreach { _ =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min-of-N: each iteration re-executes the full plan (count() is

@@ -10,7 +10,18 @@ import org.apache.spark.sql.SparkSession
   */
 object QBench {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: QBench <q1[,q2,...]> [sfDir=/root/testdata/sf0.1] [iters=3]")
+      sys.exit(2)
+    }
     val names = args(0).split(",").toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(",")}\n" +
+        s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}")
+      sys.exit(2)
+    }
     val sfDir =
       if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3

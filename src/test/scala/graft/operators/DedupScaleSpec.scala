@@ -76,4 +76,18 @@ class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
     // missed); nprobe=2 must keep the blocker far above random blocking
     assert(recall >= 0.5, s"blocker recall $recall over ${exact.size} pairs")
   }
+
+  test("q83 direction split executes the verification subtree ONCE") {
+    // round-6 judge finding: the old union-of-two-selects planned and ran
+    // the capped-candidate + shingle-join + intersection subtree once PER
+    // BRANCH. The explode(array(struct)) form must leave exactly one
+    // array_intersect in the plan. Uses the computed core directly — the
+    // cache-backed query path replaces the subtree with a parquet scan and
+    // would make this assertion vacuous.
+    val plan = Dedup.containmentPairsOf(
+        graft.Tables(spark, sfDir, "documents"))
+      .queryExecution.executedPlan.toString
+    val n = "array_intersect".r.findAllIn(plan).size
+    assert(n == 1, s"array_intersect appears $n times in:\n$plan")
+  }
 }

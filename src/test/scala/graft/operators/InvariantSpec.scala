@@ -245,6 +245,32 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     assert(crafted((1L, 2L)) == 1.0)
   }
 
+  test("q95 relational greedy BPE merge equals a sequential reference") {
+    // the window-based merge (run-grouping prefix sum + parity for a=b,
+    // simultaneous merge for a≠b) must reproduce the textbook sequential
+    // left-to-right scan on every word — including odd runs, interrupted
+    // runs, and adjacent a≠b matches
+    val docs = Seq(
+      (1L, "aaaaaa aaaa aaa a b ab abab aab baa xyxy"),
+      (2L, "aaaaaa xy xy abab aabb")).toDF("doc_id", "text")
+    def greedy(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (x + y) :: greedy(rest, a, b)
+        case x :: rest => x :: greedy(rest, a, b)
+        case Nil => Nil
+      }
+    val vocab = TextAnalysis.bpeVocab(docs).persist()
+    val words0 = vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("x", "y"), ("b", "a"))) {
+      val got = TextAnalysis.bpeMerge(vocab, a, b).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+      val want = words0.map { case (w, syms) => w -> greedy(syms, a, b) }
+      assert(got == want, s"pair ($a,$b)")
+    }
+    vocab.unpersist()
+  }
+
   test("native SimHash60 equals the exploded vote-aggregation spec") {
     val sfDir = "/root/testdata/sf0.001"
     val native = Dedup.q20SimhashSignature.fn(spark, sfDir)

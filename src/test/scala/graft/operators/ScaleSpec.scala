@@ -250,15 +250,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("round-6 query plans keep their intended shapes") {
-    // q81: the eval side rides along broadcast (corpus never shuffles for
-    // the scoring), and best-match is an AGGREGATION with a map-side
-    // partial — not a window, which would shuffle every scored pair
+    // q81 (round-7 shape): scoring is an EQUI-join on the trained cell —
+    // never a cross join / nested-loop broadcast of the 5% eval split
+    // (the round-6 scale finding) — and best-match stays an AGGREGATION
+    // with a map-side partial, not a window over every scored pair
     val q81 = Similarity.q81SemanticContamination.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(q81.contains("Broadcast"), q81)
-    assert(!q81.contains("RunningWindowFunction")
-      && !q81.contains("Window"), q81)
-    assert(q81.contains("partial_max") || q81.contains("HashAggregate"), q81)
+    assert(!q81.contains("BroadcastNestedLoopJoin")
+      && !q81.contains("CartesianProduct"), q81)
+    assert(q81.contains("partial_max"), q81)
     // q82: spans collapse to (doc, hash) rows via partial aggregation
     // BEFORE the exchange — the raw span explosion must never shuffle —
     // and document frequency is a plain count, never a countDistinct
