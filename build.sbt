@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // The bench/verify session compiles thousands of whole-stage-codegen
+  // fragments (95 queries x 5 suite passes, all pinned live by the sized
+  // codegen cache); JDK 17's default 240 MB reserved code cache fills
+  // mid-run, the JIT silently disables, and whichever queries execute
+  // next run interpreted 20-75x slower (observed as random per-run
+  // outliers: q11 17s / q86 22s on different runs, same binary). 1 GB
+  // keeps the JIT alive for the whole session.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_JVM_LOG").map(f =>
+  s"-Xlog:gc*,safepoint=info,codecache=info:file=$f:time,uptime").toSeq

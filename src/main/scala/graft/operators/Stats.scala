@@ -372,15 +372,22 @@ object Stats {
 
   val q87FunnelStages = QueryDef(
     "q87_funnel_stages",
-    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+    // ts IS NOT NULL mirrors FunnelProcessor's null-row drop, so the
+    // stream/batch parity contract holds even on a source whose schema
+    // permits null timestamps (a MIN() funnel would otherwise silently
+    // ignore them here but the streaming fold never sees them — same
+    // outcome, now written identically on both paths)
+    """WITH ev AS (SELECT user_id, event_type, ts FROM events
+      |    WHERE ts IS NOT NULL),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
       |    WHERE event_type = 'view' GROUP BY user_id),
       |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
-      |    FROM events e JOIN s1 USING (user_id)
+      |    FROM ev e JOIN s1 USING (user_id)
       |    WHERE e.event_type = 'click' AND e.ts > s1.t1
       |      AND e.ts <= s1.t1 + INTERVAL 2 HOUR
       |    GROUP BY e.user_id),
       |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
-      |    FROM events e JOIN s2 USING (user_id)
+      |    FROM ev e JOIN s2 USING (user_id)
       |    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       |      AND e.ts <= s2.t2 + INTERVAL 2 HOUR
       |    GROUP BY e.user_id)
@@ -393,6 +400,7 @@ object Stats {
       |ORDER BY stage""".stripMargin) { (spark, dir) =>
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("ts").isNotNull) // mirror of FunnelProcessor's drop
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val s2 = ev.filter(col("event_type") === "click")

@@ -236,6 +236,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.exists(_.getBoolean(3)) && got.exists(!_.getBoolean(3)))
   }
 
+  test("centroid model memo: distinct inputs never share a model") {
+    def embOf(dir: String) = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // sf0.001 and sf0.01 embeddings have the identical SHAPE (500 rows,
+    // same vec_ids) but different values — exactly the collision a
+    // shape-keyed memo would hit (one bench session reads several SFs);
+    // the file-path component of the memo key must keep them apart
+    val c1 = Similarity.lloydCentroids(embOf("/root/testdata/sf0.001"),
+      Similarity.KmeansIters)
+    val c2 = Similarity.lloydCentroids(embOf("/root/testdata/sf0.01"),
+      Similarity.KmeansIters)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    assert(!c1.zip(c2).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "different inputs must train different models")
+    // a repeat call is memoized and, training being deterministic, equal
+    val c1b = Similarity.lloydCentroids(embOf("/root/testdata/sf0.001"),
+      Similarity.KmeansIters)
+    assert(c1.zip(c1b).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+
   test("q81 plan: no cross join, no corpus-sized broadcast nested loop") {
     val plan = Similarity.q81SemanticContamination.fn(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -5,8 +5,8 @@ Compares a fresh `graft.Bench` result against the committed baseline
 (`bench_result.json`) and FAILS (exit 1) on any per-query regression that
 clears BOTH bars:
 
-  new >= RATIO * old       (default 1.5x — the judge's gate)
-  new - old >= MIN_ABS     (default 0.6 s)
+  new >= RATIO * old                     (default 1.5x — the judge's gate)
+  new - old >= clamp(old, MIN_ABS_LO, MIN_ABS)   (tiered absolute floor)
 
 Why two bars: rounds 4 and 5 ran the IDENTICAL binary and still spread
 +-25% per query at sub-second magnitudes (e.g. q43 +46% on a 0.12 s base,
@@ -14,10 +14,17 @@ q04 -12%) with a +-5% total swing, and two back-to-back identical-binary
 runs in round 6 spread +-55% / +-0.48 s on sub-1.5 s queries (q19 0.80 <->
 1.23 s, q58 0.61 <-> 1.09 s) with a 1.07x total swing — that is this
 host's measured noise band. A pure ratio gate on a 0.1 s query flags pure
-noise; the absolute floor (sized just above the worst observed same-binary
-swing) keeps the gate quiet inside the band while still catching a
-2 s -> 3 s real regression. The total is gated at TOTAL_RATIO (default
-1.25x) — totals average out per-query noise, so a tighter bound holds.
+noise; the absolute floor keeps the gate quiet inside the band while still
+catching a 2 s -> 3 s real regression.
+
+Why the floor is TIERED (clamp(old, 0.2, 0.6), round-6 advice): a flat
+0.6 s floor was blind to a 0.15 s -> 0.65 s (4.3x) regression on a fast
+query. Scaling the floor to the baseline keeps sub-0.5 s queries gated at
+max(0.2 s, old) — a 4x blowup on a 0.2 s query now flags — while queries
+in the 0.6-1.5 s noise band keep the 0.6 s cap that the measured
++-0.48 s same-binary swing requires. The total is gated at TOTAL_RATIO
+(default 1.25x) — totals average out per-query noise, so a tighter bound
+holds and several sub-floor creeps can't hide simultaneously.
 
 Usage:
   python3 tools/bench_gate.py <baseline.json> <current.json> \
@@ -52,7 +59,10 @@ def main():
     ap.add_argument("baseline")
     ap.add_argument("current")
     ap.add_argument("--ratio", type=float, default=1.5)
-    ap.add_argument("--min-abs", type=float, default=0.6)
+    ap.add_argument("--min-abs", type=float, default=0.6,
+                    help="upper clamp of the tiered absolute floor")
+    ap.add_argument("--min-abs-lo", type=float, default=0.2,
+                    help="lower clamp of the tiered absolute floor")
     ap.add_argument("--total-ratio", type=float, default=1.25)
     args = ap.parse_args()
 
@@ -75,14 +85,15 @@ def main():
             notes.append(f"  fixed:   {name} (errored in baseline)")
             continue
         ratio = new / old
-        if ratio >= args.ratio and (new - old) >= args.min_abs:
+        floor = max(args.min_abs_lo, min(args.min_abs, old))
+        if ratio >= args.ratio and (new - old) >= floor:
             fails.append(
                 f"  FAIL {name}: {old:.3f}s -> {new:.3f}s "
-                f"({ratio:.2f}x, +{new - old:.3f}s)")
+                f"({ratio:.2f}x, +{new - old:.3f}s >= {floor:.2f}s floor)")
         elif ratio >= args.ratio:
             notes.append(
                 f"  noise:   {name} {old:.3f}s -> {new:.3f}s "
-                f"({ratio:.2f}x but +{new - old:.3f}s < {args.min_abs}s floor)")
+                f"({ratio:.2f}x but +{new - old:.3f}s < {floor:.2f}s floor)")
 
     told, tnew = float(base.get("value", 0)), float(cur.get("value", 0))
     if told > 0 and tnew / told >= args.total_ratio:
@@ -98,12 +109,14 @@ def main():
         print(n)
     if fails:
         print(f"== GATE FAILED: {len(fails)} regression(s) "
-              f"(>= {args.ratio}x and >= {args.min_abs}s) ==")
+              f"(>= {args.ratio}x and over the tiered "
+              f"[{args.min_abs_lo}, {args.min_abs}]s floor) ==")
         for f_ in fails:
             print(f_)
         sys.exit(1)
     print(f"== GATE PASS: no per-query regression >= {args.ratio}x "
-          f"over +{args.min_abs}s, total < {args.total_ratio}x ==")
+          f"over the tiered [{args.min_abs_lo}, {args.min_abs}]s floor, "
+          f"total < {args.total_ratio}x ==")
 
 
 if __name__ == "__main__":
