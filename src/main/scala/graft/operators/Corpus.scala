@@ -1194,10 +1194,67 @@ object Corpus {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** Dedup shrinkage report: per source, document and token counts
+    * before/after near-dup survivorship (q59's min-id rule, singletons
+    * kept) and the token-keep fraction — the "how much training data do
+    * I actually have left per provider" accounting that sizes a training
+    * run and prices a data source.
+    *
+    * Scale shape: one artifact-backed CC labeling, one narrow token
+    * count per doc (size of the split — no shuffle), one LEFT join on
+    * doc_id, one partial-pushed aggregation to |sources| rows. The
+    * keep fraction is a single IEEE divide of two exact integer sums —
+    * bit-exact cross-engine (no float accumulation). */
+  val q98DedupShrinkage = QueryDef(
+    "q98_dedup_shrinkage",
+    s"""WITH RECURSIVE ${Dedup.sqlNearDupBody},
+       |pairs AS (${Dedup.sqlNearDupPairs}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+       |lab AS (SELECT d.doc_id, d.source,
+       |    CAST(len(${Mirror.sqlWords}) AS BIGINT) AS toks,
+       |    (d.doc_id = COALESCE(c.component, d.doc_id)) AS surv
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS docs_before,
+       |  CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       |  CAST(SUM(toks) AS BIGINT) AS tokens_before,
+       |  CAST(SUM(CASE WHEN surv THEN toks ELSE 0 END) AS BIGINT)
+       |    AS tokens_after,
+       |  CAST(SUM(CASE WHEN surv THEN toks ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(toks) AS DOUBLE) AS token_keep_frac
+       |FROM lab GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val comp = connectedComponents(
+      Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Mirror.words(col("text"))).cast(LongType).as("toks"))
+      .join(comp.select(col("v").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("source"), col("toks"),
+        (col("doc_id") === coalesce(col("component"), col("doc_id")))
+          .as("surv"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(col("surv"), 1).otherwise(0)).as("docs_after"),
+        sum(col("toks")).as("tokens_before"),
+        sum(when(col("surv"), col("toks")).otherwise(0L))
+          .as("tokens_after"))
+      .withColumn("token_keep_frac",
+        col("tokens_after").cast(DoubleType)
+          / col("tokens_before").cast(DoubleType))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
-      q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap)
+      q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
+      q98DedupShrinkage)
 }

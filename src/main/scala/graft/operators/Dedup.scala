@@ -653,8 +653,65 @@ object Dedup {
         col("d.containment").as("containment"))
       .filter(col("containment") >= ContainmentThreshold)
 
+  /** Candidate banding configurations for 16 minhashes: bands × rows. */
+  private val LshSweepConfigs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** Integer power as an explicit left-fold product — the bit-exact
+    * cross-engine form (library pow() implementations may differ in the
+    * last ulp between engines; a chain of IEEE multiplies cannot). */
+  private def powN(e: Column, n: Int): Column = Seq.fill(n)(e).reduce(_ * _)
+  private def sqlPowN(e: String, n: Int): String =
+    Seq.fill(n)(s"($e)").mkString(" * ")
+
+  /** LSH banding parameter sweep: for each (bands b, rows r) split of the
+    * 16 minhashes, the EXPECTED recall of that index over the verified
+    * near-dup pair set — avg over pairs of the banding S-curve
+    * P(candidate) = 1 − (1 − j^r)^b (Broder; the MMDS ch.3 tuning
+    * formula) evaluated at each pair's exact jaccard. This is the report
+    * that picks the production banding: it quantifies the recall you buy
+    * (or lose) before re-indexing a 100 TB corpus.
+    *
+    * Scale shape: a pure projection of the pair artifact — the input is
+    * O(verified pairs), already tiny, so the ordered per-pair fold (for
+    * bit-exact cross-engine summation) costs nothing; no corpus access
+    * at all. Exponents expand to literal multiply chains ([[powN]]), so
+    * every engine computes the identical IEEE op sequence. */
+  val q99LshParamSweep = QueryDef(
+    "q99_lsh_param_sweep",
+    s"""WITH $sqlNearDupBody,
+       |pairs AS ($sqlNearDupPairs),
+       |g AS (SELECT list(jaccard ORDER BY doc_a, doc_b) AS js,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+       |SELECT * FROM (${LshSweepConfigs.map { case (b, r) =>
+          val p = s"1.0 - (${sqlPowN(s"1.0 - (${sqlPowN("j", r)})", b)})"
+          s"SELECT CAST($b AS INTEGER) AS bands, " +
+            s"CAST($r AS INTEGER) AS rows_per_band, n_pairs, " +
+            s"${Mirror.sqlFoldSum(s"list_transform(js, j -> $p)")} " +
+            s"/ CAST(n_pairs AS DOUBLE) AS est_recall FROM g"
+        }.mkString("\nUNION ALL\n")})
+       |ORDER BY bands""".stripMargin) { (spark, dir) =>
+    val g = nearDupPairs(spark, dir)
+      .agg(sort_array(collect_list(
+        struct(col("doc_a"), col("doc_b"), col("jaccard")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("jaccard")).as("js"))
+    val recCols = LshSweepConfigs.map { case (b, r) =>
+      (Mirror.foldSum(transform(col("js"), j =>
+        lit(1.0) - powN(lit(1.0) - powN(j, r), b)))
+        / size(col("js")).cast(DoubleType)).as(s"rec_${b}_$r")
+    }
+    g.select(recCols :+ size(col("js")).cast(LongType).as("n_pairs"): _*)
+      .select(explode(array(LshSweepConfigs.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col(s"rec_${b}_$r").as("est_recall"))
+      }: _*)).as("c"), col("n_pairs"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"), col("n_pairs"),
+        col("c.est_recall").as("est_recall"))
+      .orderBy(col("bands"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
-    q73SemanticDedup, q83Containment)
+    q73SemanticDedup, q83Containment, q99LshParamSweep)
 }

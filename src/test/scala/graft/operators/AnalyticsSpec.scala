@@ -209,6 +209,49 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(dist.map(d => d._1 -> d._2).toMap == expected)
   }
 
+  test("q96-q98: artifact-consumer reports agree with q59's clustering") {
+    val q59 = Corpus.q59DedupComponents.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // q96: one medoid per multi-member cluster, member of that cluster
+    val clusters = q59.filter(_._3 >= 2).groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val medoids = Corpus.q96MedoidSurvivor.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(medoids.map(_._1).toSet == clusters.keySet)
+    medoids.foreach { case (comp, mid, n, deg) =>
+      assert(clusters(comp).contains(mid))
+      assert(n == clusters(comp).size)
+      assert(deg >= 1 && deg < n) // degree counts OTHER members matched
+    }
+    // q98: per-source doc shrinkage must total q59's survivor count
+    val shrink = Corpus.q98DedupShrinkage.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(shrink.map(_._2).sum == q59.length)
+    assert(shrink.map(_._3).sum == q59.count(_._4))
+    shrink.foreach { case (_, db, da, tb, ta, frac) =>
+      assert(da <= db && ta <= tb)
+      assert(frac == ta.toDouble / tb.toDouble)
+    }
+  }
+
+  test("q99: banding S-curve estimates are monotone in bands, within [0,1]") {
+    val rows = Dedup.q99LshParamSweep.fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((2, 8), (4, 4), (8, 2), (16, 1)))
+    assert(rows.map(_._3).distinct.size == 1) // same pair set throughout
+    rows.foreach { case (_, _, n, est) =>
+      assert(n > 0 && est > 0.0 && est <= 1.0)
+    }
+    // splitting the same 16 hashes into more, shorter bands can only
+    // raise collision probability (proved: 2j^8 <= 2j^4 on [0,1])
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+    // the verified pairs all sit at jaccard >= 0.5, where 4x4 banding is
+    // designed to catch nearly everything — sanity floor
+    assert(rows.find(t => t._1 == 4).get._4 >= 0.9)
+  }
+
   test("q88: cohort retention covers every user at week 0") {
     val rows = Stats.q88CohortRetention.fn(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
