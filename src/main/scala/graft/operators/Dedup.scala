@@ -710,8 +710,58 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
+  /** Jaccard cuts swept by [[q100JaccardThresholdSweep]]. */
+  private val SweepThresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Verification-threshold sweep over ALL capped LSH candidates (the
+    * artifact stores candidate stats pre-threshold, so thresholds below
+    * the production 0.5 are visible too): pairs retained and distinct
+    * documents touched at each jaccard cut — q99's precision/volume
+    * counterpart. Together they answer the two tuning questions before
+    * re-indexing a corpus: "what recall does my banding buy" (q99) and
+    * "how much does each verification cut actually remove" (this).
+    *
+    * Scale shape: two shrinking aggregations over the O(candidates)
+    * artifact — a 7-way literal threshold fan-out (narrow), then
+    * count / count-distinct with map-side partials; no corpus access.
+    * Thresholds are literal doubles (never DECIMAL — DuckDB types bare
+    * `[0.3]` list literals DECIMAL(2,1), which would compare and hash
+    * differently, hence the explicit CASTs in the oracle). */
+  val q100JaccardThresholdSweep = QueryDef(
+    "q100_jaccard_threshold_sweep",
+    s"""WITH $sqlNearDupBody,
+       |st AS (SELECT doc_a, doc_b, inter / (tot - inter) AS j FROM jac),
+       |th AS (SELECT unnest(${SweepThresholds
+          .map(t => s"CAST($t AS DOUBLE)").mkString("[", ", ", "]")})
+       |    AS thr),
+       |p AS (SELECT t.thr, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM st CROSS JOIN th t WHERE st.j >= t.thr GROUP BY t.thr),
+       |d AS (SELECT t.thr, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+       |  FROM (SELECT j, unnest([doc_a, doc_b]) AS doc FROM st) e
+       |  CROSS JOIN th t WHERE e.j >= t.thr GROUP BY t.thr)
+       |SELECT p.thr AS threshold, p.n_pairs, d.n_docs
+       |FROM p JOIN d ON d.thr = p.thr
+       |ORDER BY threshold""".stripMargin) { (spark, dir) =>
+    val st = PairCache.pairStats(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("la") + col("lb") - col("inter"))).as("j"))
+    val thrCol = explode(array(SweepThresholds.map(lit): _*)).as("thr")
+    val p = st.select(col("j"), thrCol)
+      .filter(col("j") >= col("thr"))
+      .groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+    val d = st
+      .select(col("j"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .select(col("j"), col("doc"), thrCol)
+      .filter(col("j") >= col("thr"))
+      .groupBy(col("thr")).agg(countDistinct(col("doc")).as("n_docs"))
+    p.join(d, "thr")
+      .select(col("thr").as("threshold"), col("n_pairs"), col("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
-    q73SemanticDedup, q83Containment, q99LshParamSweep)
+    q73SemanticDedup, q83Containment, q99LshParamSweep,
+    q100JaccardThresholdSweep)
 }

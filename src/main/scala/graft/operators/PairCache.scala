@@ -76,11 +76,36 @@ object PairCache {
         val tmp = new File(cacheRoot,
           path.getName + ".tmp." + System.nanoTime())
         compute.write.mode("overwrite").parquet(tmp.getPath)
+        // input tag: lets a later publish for the SAME input prune the
+        // fingerprints this one supersedes (code rebuilds change the
+        // fingerprint, and without pruning every rebuild would leak one
+        // artifact dir into tmp forever)
+        java.nio.file.Files.writeString(
+          new File(tmp, "_graft_input").toPath,
+          new File(dir).getCanonicalPath)
         if (!tmp.renameTo(path)) deleteRec(tmp) // lost a cross-JVM race
+        else pruneSuperseded(dir, keep = path.getName)
       }
     }
     if (new File(path, "_SUCCESS").exists())
       spark.read.parquet(path.getPath)
     else compute // rename raced AND the winner vanished — never serve junk
+  }
+
+  /** Delete published artifacts for the same input under an outdated
+    * fingerprint (older build / regenerated data). Called under `lock`
+    * right after a successful publish; concurrent sbt sessions never
+    * overlap here (project lock), and a reader in THIS JVM has already
+    * resolved its fingerprint to the fresh entry. */
+  private def pruneSuperseded(dir: String, keep: String): Unit = {
+    val want = new File(dir).getCanonicalPath
+    val entries = new File(cacheRoot).listFiles()
+    if (entries != null) entries.foreach { e =>
+      val tag = new File(e, "_graft_input")
+      if (e.getName != keep && tag.exists() &&
+        (try java.nio.file.Files.readString(tag.toPath) == want
+        catch { case _: Throwable => false }))
+        deleteRec(e)
+    }
   }
 }
