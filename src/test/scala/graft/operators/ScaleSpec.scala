@@ -275,6 +275,29 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       && !q83.contains("BroadcastNestedLoopJoin"), q83)
   }
 
+  test("round-7 query plans keep their intended shapes") {
+    // the artifact-consumer family: equi-joins + bounded windows only —
+    // never a cartesian / nested-loop join, at any member
+    Seq(Corpus.q96MedoidSurvivor, Corpus.q97SourceOverlap,
+      Corpus.q98DedupShrinkage, Dedup.q99LshParamSweep,
+      Dedup.q100JaccardThresholdSweep).foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
+    }
+    // with the pair cache on (the default — this suite's session), the
+    // consumers read the materialized artifact: no minhash signature
+    // pipeline (no md5 over shingles) may appear in their plans
+    val q97 = Corpus.q97SourceOverlap.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q97.contains("md5"), q97)
+    // q96's top-1-per-cluster must plan the bounded WindowGroupLimit,
+    // not a full per-partition sort+filter of every member
+    val q96 = Corpus.q96MedoidSurvivor.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q96.contains("WindowGroupLimit"), q96)
+  }
+
   test("q84 ranks inside hash-range buckets, never one global window") {
     val plan = Corpus.q84BalancedShards.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
