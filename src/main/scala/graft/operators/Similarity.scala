@@ -900,7 +900,7 @@ object Similarity {
   /** Cosine floor above which a train vector counts as semantically
     * contaminated by the eval split (the fixture's intra-label cosines top
     * out near 0.47, so 0.35 keeps the flag non-vacuous at every SF). */
-  private val ContamThreshold = 0.35
+  private[graft] val ContamThreshold = 0.35
 
   /** Eval split floor: hash buckets >= 95 (5%) hold out the benchmark. */
   private val EvalBucket = 95
@@ -972,25 +972,12 @@ object Similarity {
        |WHERE t.bucket < $EvalBucket
        |ORDER BY t.vec_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types.StringType
-    import graft.functions.{FloatVector, NearestCentroid, NearestCentroids}
+    import graft.functions.FloatVector
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val k = semanticK(emb.count())
-    val cents = lloydCentroids(emb, KmeansIters, k)
+    val (cents, evalIdx) = contamIndex(spark, dir)
     val bucket = hash60(col("vec_id").cast(StringType)) % 100
-    val evalIdx = emb.filter(bucket >= EvalBucket)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
-        FloatVector.norm(col("embedding")).as("en"),
-        NearestCentroid(col("embedding"), cents).as("cell"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("cell")).orderBy(col("eval_id"))))
-      .filter(col("crn") <= Buckets.MaxBucket)
-      .drop("crn")
-    val probes = emb.filter(bucket < EvalBucket)
-      .select(col("vec_id"), col("embedding"),
-        FloatVector.norm(col("embedding")).as("nrm"),
-        explode(NearestCentroids(col("embedding"), cents, ContamNProbe))
-          .as("cell"))
+    val probes = contamProbes(emb.filter(bucket < EvalBucket), cents)
     val best = probes.join(evalIdx, Seq("cell"))
       .select(col("vec_id"),
         struct(
@@ -1006,6 +993,44 @@ object Similarity {
         coalesce(col("m.sim") >= ContamThreshold, lit(false))
           .as("contaminated"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q81's contamination model: the trained quantizer (corpus-scaled K)
+    * plus the capped per-cell index of the eval split — the STATIC side a
+    * decontamination pass (batch q81 or the streaming
+    * [[graft.streaming.ContamStream]]) probes. Model + benchmark index,
+    * both bounded; built once per (dir, conf) thanks to the centroid
+    * memo. */
+  private[graft] def contamIndex(spark: SparkSession,
+      dir: String): (Array[(Long, Array[Double])], DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.{FloatVector, NearestCentroid}
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = lloydCentroids(emb, KmeansIters, semanticK(emb.count()))
+    val bucket = hash60(col("vec_id").cast(StringType)) % 100
+    val evalIdx = emb.filter(bucket >= EvalBucket)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+        FloatVector.norm(col("embedding")).as("en"),
+        NearestCentroid(col("embedding"), cents).as("cell"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("eval_id"))))
+      .filter(col("crn") <= Buckets.MaxBucket)
+      .drop("crn")
+    (cents, evalIdx)
+  }
+
+  /** Multi-probe (cell, norm) expansion of any (vec_id, embedding)
+    * relation against a trained quantizer — q81's probe side, shared with
+    * the streaming scorer (works unchanged on a streaming DataFrame: a
+    * narrow map + explode, no state). */
+  private[graft] def contamProbes(vecs: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import graft.functions.{FloatVector, NearestCentroids}
+    vecs.select(col("vec_id"), col("embedding"),
+      FloatVector.norm(col("embedding")).as("nrm"),
+      explode(NearestCentroids(col("embedding"), cents, ContamNProbe))
+        .as("cell"))
   }
 
   /** q93's centroid source honoring the engine-wide exactness switch. */

@@ -38,6 +38,37 @@ class PairCacheSpec extends AnyFunSuite with SparkTestSession {
     assert(again == computed)
   }
 
+  test("publishing prunes superseded artifacts for the same input") {
+    import java.io.File
+    val root = new File(sys.props("java.io.tmpdir"), "graft-paircache")
+    def deleteRec(f: File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec)
+      f.delete(); ()
+    }
+    val want = new File(sfDir).getCanonicalPath
+    def entriesFor(input: String) =
+      Option(root.listFiles()).getOrElse(Array.empty[File]).filter { e =>
+        val t = new File(e, "_graft_input")
+        t.exists() &&
+          (try java.nio.file.Files.readString(t.toPath) == input
+          catch { case _: Throwable => false })
+      }
+    // materialize, then plant a stale sibling claiming the same input
+    withCache(on = true)(Dedup.nearDupPairs(spark, sfDir).count())
+    assert(entriesFor(want).nonEmpty)
+    val stale = new File(root, "deadbeef-stale-spec")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(stale, "_graft_input").toPath, want)
+    java.nio.file.Files.writeString(new File(stale, "_SUCCESS").toPath, "")
+    // force a fresh publish (remove the real artifact) — publishing must
+    // sweep the superseded sibling
+    entriesFor(want).filterNot(_ == stale).foreach(deleteRec)
+    withCache(on = true)(Dedup.nearDupPairs(spark, sfDir).count())
+    assert(!stale.exists(), "stale artifact must be pruned at publish")
+    assert(entriesFor(want).nonEmpty)
+  }
+
   test("q83 containment: cached artifact identical to the computed pipeline") {
     def run() = Dedup.q83Containment.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
