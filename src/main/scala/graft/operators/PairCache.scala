@@ -35,13 +35,22 @@ object PairCache {
 
   private val lock = new Object
 
-  /** Mtime of the compiled pipeline class — changes on every rebuild, so
-    * code changes auto-invalidate without a hand-bumped version string. */
-  private lazy val codeStamp: Long =
-    try {
-      val url = getClass.getResource("/graft/operators/Dedup.class")
-      if (url == null) 0L else url.openConnection().getLastModified
-    } catch { case _: Throwable => 0L }
+  /** Mtimes of EVERY compiled class the cached pipeline's semantics flow
+    * through — not just Dedup: the bucket cap lives in Buckets, the
+    * shingle/hash primitives in Mirror and the native expressions. A
+    * rebuild touching any of them must invalidate, or a changed constant
+    * (say MaxBucket) would silently serve the old artifact while the
+    * oracle recomputes with the new code. */
+  private lazy val codeStamp: String =
+    Seq("/graft/operators/Dedup.class", "/graft/operators/Buckets.class",
+      "/graft/operators/Mirror.class", "/graft/functions/ShingleGen.class",
+      "/graft/functions/Md5Hash60.class")
+      .map { r =>
+        try {
+          val url = getClass.getResource(r)
+          if (url == null) 0L else url.openConnection().getLastModified
+        } catch { case _: Throwable => 0L }
+      }.mkString(",")
 
   private def fingerprint(dir: String): String = {
     val doc = new File(s"$dir/documents.parquet")
@@ -72,6 +81,11 @@ object PairCache {
     if (!enabled(spark)) return compute
     val path = new File(cacheRoot, fingerprint(dir))
     lock.synchronized {
+      // a fingerprint dir without _SUCCESS is a corpse (killed writer,
+      // partial delete): it would make every renameTo below fail forever,
+      // degrading to compute-twice-per-call — repair it first
+      if (path.exists() && !new File(path, "_SUCCESS").exists())
+        deleteRec(path)
       if (!new File(path, "_SUCCESS").exists()) {
         val tmp = new File(cacheRoot,
           path.getName + ".tmp." + System.nanoTime())

@@ -431,7 +431,13 @@ object Similarity {
     val leaves = df.queryExecution.analyzed.collectLeaves()
     val paths = leaves.flatMap {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fs.location.rootPaths.mkString(","))
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths.map { p =>
+          // stamp the DATA too (mtime+length, like PairCache): a file
+          // regenerated at the same path mid-JVM must retrain, not serve
+          // the model trained on the old bytes
+          val f = new java.io.File(p.toUri.getPath)
+          s"$p@${f.lastModified}:${f.length}"
+        }.mkString(","))
         case _ => None
       }
       case _ => None
@@ -449,7 +455,12 @@ object Similarity {
           iters, k, exact)
         modelCache.computeIfAbsent(key,
           _ => trainLloyd(emb, iters, k, exact))
-      case None => trainLloyd(emb, iters, k, exact)
+      case None =>
+        // uncacheable input (crafted/local data): nothing downstream can
+        // reuse the training persist either — release it, or every
+        // distinct test input pins a cache entry for the JVM lifetime
+        try trainLloyd(emb, iters, k, exact)
+        finally { emb.unpersist(false); () }
     }
   }
 

@@ -380,13 +380,24 @@ object TextAnalysis {
     var vocab = bpeVocab(Tables(spark, dir, "documents"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    (1 to BpeMerges).foreach { r =>
-      val (a, b, cnt) = bpeTopPair(vocab)
-      merges += ((r, a, b, cnt))
-      val next = bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the parent generation
-      vocab.unpersist(false)
-      vocab = next
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMerges && !exhausted) {
+      bpeTopPair(vocab) match {
+        case None =>
+          // degenerate corpus: no adjacent pair left to merge. The
+          // oracle's empty bp$r CTE contributes zero rows to every later
+          // round's output too, so stopping here keeps output parity.
+          exhausted = true
+        case Some((a, b, cnt)) =>
+          merges += ((r, a, b, cnt))
+          val next =
+            bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before releasing the parent
+          vocab.unpersist(false)
+          vocab = next
+          r += 1
+      }
     }
     vocab.unpersist(false)
     import spark.implicits._
@@ -417,14 +428,16 @@ object TextAnalysis {
       .withColumn("nxt", lead(col("s"), 1).over(wWin))
 
   /** Corpus-weighted argmax adjacent pair (count desc, then lexicographic
-    * — fully deterministic). One tiny driver row per round: the MODEL. */
-  private[operators] def bpeTopPair(vocab: DataFrame): (String, String, Long) = {
-    val top = bpePairRows(vocab).filter(col("nxt").isNotNull)
+    * — fully deterministic), or None when no adjacent pair exists (every
+    * word already a single symbol). One tiny driver row per round: the
+    * MODEL. */
+  private[operators] def bpeTopPair(
+      vocab: DataFrame): Option[(String, String, Long)] =
+    bpePairRows(vocab).filter(col("nxt").isNotNull)
       .groupBy(col("s"), col("nxt")).agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("s"), col("nxt"))
-      .limit(1).collect()(0)
-    (top.getString(0), top.getString(1), top.getLong(2))
-  }
+      .limit(1).collect().headOption
+      .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
 
   /** Greedy left-to-right merge of pair (a,b) across every vocabulary
     * word. a ≠ b: matches can't overlap, all merge at once. a = b: greedy

@@ -271,6 +271,11 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     vocab.unpersist()
   }
 
+  test("bpeTopPair: single-symbol vocabulary yields no merge, not a crash") {
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTopPair(TextAnalysis.bpeVocab(docs)).isEmpty)
+  }
+
   test("native SimHash60 equals the exploded vote-aggregation spec") {
     val sfDir = "/root/testdata/sf0.001"
     val native = Dedup.q20SimhashSignature.fn(spark, sfDir)
