@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Fingerprinted on-disk artifact directories with a rename-free commit
+  * protocol, expressed entirely through the Hadoop `FileSystem` API so the
+  * same code publishes to local disk, HDFS, or an object store (s3a://)
+  * unchanged. Shared by [[PairCache]] (the materialized near-dup pair
+  * table) and [[ModelCache]] (trained quantizer centroids).
+  *
+  * Layout per artifact:
+  * {{{
+  *   <root>/<fingerprint>/attempt-<uuid>/ ...payload...
+  *   <root>/<fingerprint>/_graft_input      (canonical input id, for prune)
+  *   <root>/<fingerprint>/_COMMITTED        (pointer naming the attempt)
+  * }}}
+  *
+  * Commit = write the payload into a fresh attempt directory, then PUT the
+  * single-object pointer file naming that attempt. No rename anywhere:
+  * object stores have no atomic directory rename (S3A "rename" is a
+  * copy-then-delete that readers can observe half-done), but a single-key
+  * PUT is atomic on every store Hadoop targets — a reader sees the old
+  * pointer, no pointer, or the new pointer, never a torn payload.
+  * Concurrent writers race benignly: the payload is a deterministic
+  * function of the fingerprint, so last-pointer-wins still names a valid,
+  * identical artifact, and the loser's attempt directory is garbage swept
+  * by the grace-period prune.
+  *
+  * Staleness safety (round-7 advice):
+  *  - input identity is CONTENT-hashed (length + first/last 64 KiB of every
+  *    data file), not mtime — a same-size regeneration within filesystem
+  *    timestamp granularity changes the fingerprint;
+  *  - an unresolvable class resource in the code stamp FAILS CLOSED (the
+  *    caller disables its cache) instead of degrading to a constant stamp;
+  *  - pruning skips directories modified within [[pruneGraceMs]], so a
+  *    concurrent JVM (or a lazy DataFrame created just before an input
+  *    regeneration) keeps its artifact readable for the grace window.
+  */
+private[graft] object ArtifactStore {
+
+  /** Serializes intra-JVM publishes; cross-JVM races are benign (above). */
+  val lock = new Object
+
+  private val BlockBytes = 64 * 1024
+
+  /** Don't prune artifact dirs modified within this window: another JVM
+    * (QBench/Bench run directly) or an already-planned DataFrame in this
+    * one may still be scanning them. Overridable for tests only. */
+  def pruneGraceMs: Long =
+    sys.props.get("graft.artifact.prune.grace.ms").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
+
+  def fileSystem(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Content identity of an input file or one-level directory: per data
+    * file, its name, length, and an MD5 over the first and last 64 KiB.
+    * Strictly stronger than mtime+length (catches same-size regeneration);
+    * reads at most 128 KiB per file — footer-cheap even on object stores.
+    * None when the path is missing or unreadable → caller fails closed. */
+  def contentStamp(fs: FileSystem, p: Path): Option[String] =
+    try {
+      if (!fs.exists(p)) return None
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(p).filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.sortBy(_.getPath.getName).toSeq
+        else Seq(st)
+      val md = MessageDigest.getInstance("MD5")
+      files.foreach { s =>
+        md.update(s"${s.getPath.getName}:${s.getLen}:".getBytes("UTF-8"))
+        val in = fs.open(s.getPath)
+        try {
+          val head = new Array[Byte](math.min(s.getLen, BlockBytes.toLong).toInt)
+          in.readFully(0L, head)
+          md.update(head)
+          if (s.getLen > BlockBytes) {
+            val tail = new Array[Byte](BlockBytes)
+            in.readFully(s.getLen - BlockBytes, tail)
+            md.update(tail)
+          }
+        } finally in.close()
+      }
+      Some(md.digest().map("%02x".format(_)).mkString)
+    } catch { case _: Throwable => None }
+
+  /** Build stamp over every compiled class a cached pipeline's semantics
+    * flow through. None (→ caller disables its cache) when ANY resource is
+    * unresolvable — an unusual classloader must never stamp 0 and serve a
+    * stale artifact across a code change. */
+  def codeStamp(resources: Seq[String]): Option[String] =
+    try {
+      val stamps = resources.map { r =>
+        val url = getClass.getResource(r)
+        if (url == null) return None
+        url.openConnection().getLastModified
+      }
+      Some(stamps.mkString(","))
+    } catch { case _: Throwable => None }
+
+  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](
+          math.min(fs.getFileStatus(p).getLen, 64L * 1024).toInt)
+        in.readFully(0L, bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true) // single-object PUT; last writer wins
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The committed payload directory under `fpDir`, or None. A resolved
+    * attempt exists and was fully written before its pointer (commit
+    * order), so readers never see a partial payload. */
+  def resolve(fs: FileSystem, fpDir: Path): Option[Path] =
+    readSmall(fs, new Path(fpDir, "_COMMITTED")).flatMap { name =>
+      val att = new Path(fpDir, name.trim)
+      if (try fs.exists(att) catch { case _: Throwable => false }) Some(att)
+      else None
+    }
+
+  /** Publish a payload for `fpDir`: payload → input tag → pointer. The
+    * `write` callback fills a fresh attempt directory (e.g. a parquet
+    * write); only after it returns does the pointer PUT make the artifact
+    * visible. Returns the committed payload dir (re-resolved, so a lost
+    * benign race still returns the winner's valid attempt). */
+  def publish(fs: FileSystem, fpDir: Path, inputTag: String)(
+      write: Path => Unit): Option[Path] = {
+    val attempt = new Path(fpDir,
+      "attempt-" + java.util.UUID.randomUUID().toString)
+    fs.mkdirs(attempt)
+    write(attempt)
+    writeSmall(fs, new Path(fpDir, "_graft_input"), inputTag)
+    writeSmall(fs, new Path(fpDir, "_COMMITTED"), attempt.getName)
+    resolve(fs, fpDir)
+  }
+
+  /** Delete artifacts under `root` tagged with the same input but a
+    * different (superseded) fingerprint — older build, regenerated data.
+    * Grace-period guarded: entries modified within [[pruneGraceMs]] are
+    * skipped, so concurrent readers (other JVMs, lazily-planned
+    * DataFrames) don't lose their files mid-scan; the next publish sweeps
+    * them once they age out. */
+  def pruneSuperseded(fs: FileSystem, root: Path, inputTag: String,
+      keep: String): Unit = {
+    val cutoff = System.currentTimeMillis() - pruneGraceMs
+    val entries =
+      try fs.listStatus(root) catch { case _: Throwable => return }
+    entries.foreach { e =>
+      if (e.isDirectory && e.getPath.getName != keep &&
+        e.getModificationTime < cutoff &&
+        readSmall(fs, new Path(e.getPath, "_graft_input"))
+          .contains(inputTag)) {
+        try { fs.delete(e.getPath, true); () }
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+}

@@ -416,6 +416,10 @@ object Similarity {
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Boolean), Array[(Long, Array[Double])]]()
 
+  /** Test hook: drop the per-JVM memo so specs can simulate a cold session
+    * against the [[ModelCache]] disk tier. */
+  private[graft] def clearModelMemoForTest(): Unit = modelCache.clear()
+
   /** The input's file-scan root paths — or None when ANY leaf is not a
     * file relation. A canonicalized plan string identifies projections
     * and literals (q68's 8 subspace slices stay distinct) but NOT leaf
@@ -431,13 +435,18 @@ object Similarity {
     val leaves = df.queryExecution.analyzed.collectLeaves()
     val paths = leaves.flatMap {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fs.location.rootPaths.map { p =>
-          // stamp the DATA too (mtime+length, like PairCache): a file
-          // regenerated at the same path mid-JVM must retrain, not serve
-          // the model trained on the old bytes
-          val f = new java.io.File(p.toUri.getPath)
-          s"$p@${f.lastModified}:${f.length}"
-        }.mkString(","))
+        case rel: HadoopFsRelation =>
+          // stamp the DATA too (content-hashed, like PairCache): a file
+          // regenerated at the same path mid-JVM — even same-size, within
+          // fs timestamp granularity — must retrain, not serve the model
+          // trained on the old bytes. Hadoop FS API: works off local disk.
+          val stamps = rel.location.rootPaths.map { p =>
+            ArtifactStore
+              .contentStamp(ArtifactStore.fileSystem(df.sparkSession, p), p)
+              .map(c => s"$p@$c")
+          }
+          if (stamps.forall(_.isDefined)) Some(stamps.flatten.mkString(","))
+          else None
         case _ => None
       }
       case _ => None
@@ -453,8 +462,14 @@ object Similarity {
         val key = (p + "\n" +
           emb.queryExecution.analyzed.canonicalized.toString,
           iters, k, exact)
+        // memo miss → disk tier ([[ModelCache]]): a cold JVM reloads the
+        // persisted quantizer bit-exactly instead of re-paying the Lloyd
+        // training scans. The memo key string IS the disk key basis (leaf
+        // paths carry content stamps, so data identity is covered).
         modelCache.computeIfAbsent(key,
-          _ => trainLloyd(emb, iters, k, exact))
+          _ => ModelCache.loadOrTrain(emb.sparkSession,
+            Seq(key._1, iters, k, exact).mkString("|"))(
+            () => trainLloyd(emb, iters, k, exact)))
       case None =>
         // uncacheable input (crafted/local data): nothing downstream can
         // reuse the training persist either — release it, or every
