@@ -15,6 +15,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Exact row count of `dir/name.parquet` from parquet FOOTER metadata —
+    * the sizing path for model hyperparameters (q73/q81's corpus-scaled
+    * quantizer K). A `df.count()` here would launch an extra full-corpus
+    * job per invocation just to pick K; footers already carry the exact
+    * row count, so this reads O(files) footers instead of O(rows) data.
+    * Up to `distributeAbove` files the footers are read on the driver
+    * (zero Spark jobs — the common case: one sizing call, few files); a
+    * larger table fans the footer reads out as one tiny Spark job over
+    * the file list (100 TB ≈ 10⁵ files — not a driver-side loop). */
+  def metaCount(spark: SparkSession, dir: String, name: String,
+      distributeAbove: Int = 64): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, s"$name.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath.toString).toSeq
+      else Seq(p.toString)
+    if (files.length <= distributeAbove) files.map(footerRowCount).sum
+    else
+      spark.sparkContext
+        .parallelize(files, math.max(1, files.length / 32))
+        .map(footerRowCount).sum().toLong
+  }
+
+  /** Row count from one parquet footer. Runs driver- or executor-side;
+    * builds a default Hadoop `Configuration` (fs.defaultFS etc. come from
+    * core-site.xml on the executor classpath in a real deployment). */
+  private def footerRowCount(file: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try r.getRecordCount finally r.close()
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively.
     // Read it as epoch-nanos long, then truncate to micros — exactly what

@@ -251,6 +251,24 @@ object Dedup {
     nearDupPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q19's pipeline computed FRESH every run — [[PairCache]] bypassed by
+    * construction (calls [[candidateStatsOf]] directly). Semantically
+    * identical to q19 (same oracle); exists so the LSH+verify subtree —
+    * the suite's most expensive compute — stays VISIBLE to the bench
+    * regression gate (round-7 advice: with the artifact cache on, every
+    * timed iteration of q19 and its six siblings measures a parquet scan
+    * of the artifact, so a regression in the pipeline itself would
+    * otherwise never trip the gate; this entry times the publish-path
+    * cost each round). */
+  val q102NearDupPipeline = QueryDef(
+    "q102_neardup_pipeline",
+    s"""WITH $sqlNearDupBody
+       |$sqlNearDupPairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    jaccardPairs(candidateStatsOf(Tables(spark, dir, "documents")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** doc_id → 60-bit SimHash over md5-derived word hashes (frequency
     * weighted), as a single native scalar expression
     * ([[graft.functions.SimHash60]]) — a narrow map with NO explode, word
@@ -528,7 +546,9 @@ object Dedup {
     import graft.functions.NearestCentroid
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val k = Similarity.semanticK(emb.count())
+    // K from the parquet FOOTER count — the previous emb.count() burned a
+    // full-corpus job per invocation just to size the quantizer
+    val k = Similarity.semanticK(Tables.metaCount(spark, dir, "embeddings"))
     val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters, k)
     // primary cell (rn=1) labels the output row, as in the original
     val assigned = emb.select(col("vec_id"),
@@ -687,17 +707,29 @@ object Dedup {
           s"SELECT CAST($b AS INTEGER) AS bands, " +
             s"CAST($r AS INTEGER) AS rows_per_band, n_pairs, " +
             s"${Mirror.sqlFoldSum(s"list_transform(js, j -> $p)")} " +
-            s"/ CAST(n_pairs AS DOUBLE) AS est_recall FROM g"
+            // NULLIF: zero verified pairs must yield NULL est_recall in
+            // BOTH engines (Spark's 0/0 would be NaN, DuckDB's list() NULL)
+            s"/ CAST(NULLIF(n_pairs, 0) AS DOUBLE) AS est_recall FROM g"
         }.mkString("\nUNION ALL\n")})
        |ORDER BY bands""".stripMargin) { (spark, dir) =>
-    val g = nearDupPairs(spark, dir)
+    lshSweepOf(nearDupPairs(spark, dir))
+  }
+
+  /** q99's sweep body over any (doc_a, doc_b, jaccard) pair relation —
+    * factored so the zero-pair degenerate case (NULL est_recall, never
+    * NaN) is pinned in InvariantSpec. */
+  private[operators] def lshSweepOf(pairs: DataFrame): DataFrame = {
+    val g = pairs
       .agg(sort_array(collect_list(
         struct(col("doc_a"), col("doc_b"), col("jaccard")))).as("ps"))
       .select(transform(col("ps"), p => p.getField("jaccard")).as("js"))
     val recCols = LshSweepConfigs.map { case (b, r) =>
+      // divide by NULL (when-without-otherwise) on an empty pair set so
+      // est_recall is NULL, matching the oracle's NULLIF — never NaN
       (Mirror.foldSum(transform(col("js"), j =>
         lit(1.0) - powN(lit(1.0) - powN(j, r), b)))
-        / size(col("js")).cast(DoubleType)).as(s"rec_${b}_$r")
+        / when(size(col("js")) > 0, size(col("js")).cast(DoubleType)))
+        .as(s"rec_${b}_$r")
     }
     g.select(recCols :+ size(col("js")).cast(LongType).as("n_pairs"): _*)
       .select(explode(array(LshSweepConfigs.map { case (b, r) =>
@@ -763,5 +795,5 @@ object Dedup {
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
     q73SemanticDedup, q83Containment, q99LshParamSweep,
-    q100JaccardThresholdSweep)
+    q100JaccardThresholdSweep, q102NearDupPipeline)
 }

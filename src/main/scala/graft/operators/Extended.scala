@@ -205,16 +205,43 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
-  /** HLL sketch distinct (no DuckDB oracle — approximate by nature; the
-    * ScalaTest suite bounds its error against the exact count). This is the
-    * at-scale replacement for q12/q13's exact countDistinct. */
-  val q39ApproxDistinct = QueryDef.noOracle("q39_approx_distinct") {
-    (spark, dir) =>
-      Tables(spark, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n_events"))
-        .orderBy(col("event_type"))
+  /** HLL sketch distinct — the at-scale replacement for q12/q13's exact
+    * countDistinct — reformulated so DuckDB CAN oracle-check it (round-7
+    * verdict item 6): the sketch estimates themselves differ engine to
+    * engine (Spark HLL++ vs DuckDB's HLL), so the HASHED columns are the
+    * deterministic exact count plus `within_bound`, each engine's own
+    * verdict on whether ITS estimate lands within 5% relative error of
+    * exact. Both engines' sketches are far inside 5% at these
+    * cardinalities (Spark runs rsd=0.01), so the boolean agrees and the
+    * row hashes match; a broken sketch on either side flips its flag and
+    * fails the gate. The ScalaTest error-bound check stays as the direct
+    * numeric assertion on Spark's estimate. Production keeps only the
+    * sketch column — the exact countDistinct here is the verification
+    * harness, not the operator. */
+  val q39ApproxDistinct = QueryDef(
+    "q39_approx_distinct",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CASE WHEN COUNT(DISTINCT user_id) = 0
+      |       THEN approx_count_distinct(user_id) = 0
+      |       ELSE CAST(ABS(approx_count_distinct(user_id)
+      |                     - COUNT(DISTINCT user_id)) AS DOUBLE)
+      |            / COUNT(DISTINCT user_id) <= 0.05
+      |  END AS within_bound
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        when(col("exact_users") === 0, col("approx") === 0)
+          .otherwise(abs(col("approx") - col("exact_users"))
+            .cast(DoubleType) / col("exact_users") <= 0.05)
+          .as("within_bound"))
+      .orderBy(col("event_type"))
   }
 
   /** Full CUBE over two dimensions (all four grouping sets). */

@@ -941,34 +941,79 @@ object Similarity {
     * 0.77 (SimilaritySpec prints both). */
   private val ContamNProbe = 3
 
-  /** Semantic benchmark contamination: for every TRAIN vector, its nearest
-    * EVAL vector by cosine WITHIN the trained-quantizer candidate cells,
-    * and a contamination flag — the embedding-space counterpart of q62's
-    * shingle-overlap contamination check (catches paraphrased benchmark
-    * leakage that exact n-gram overlap misses; the decontamination pass
-    * frontier labs run before training). The split reuses q53/q72's
-    * deterministic md5 buckets (eval = bucket >= [[EvalBucket]]).
+  /** Eval rows at or below which q81 takes the EXACT path (round-7 advice:
+    * cell blocking silently missed ~24% of truly contaminated vectors on
+    * the fixture — false negatives that leak benchmark data into
+    * training). A benchmark eval split is normally small — thousands of
+    * rows —
+    * so the exact broadcast scoring (corpus × eval dot products, eval side
+    * a few MB broadcast) is both affordable and recall-1.0; the blocked
+    * path remains the escape hatch for an outsized eval split. The
+    * decision reads the corpus row count from parquet FOOTERS
+    * ([[graft.Tables.metaCount]] × the 5% split fraction) — no scan — and
+    * the oracle mirrors it with `COUNT(*)`.
+    * `spark.graft.contam.exactmax` overrides (tests force the blocked
+    * path with 0). */
+  private[graft] val ContamExactMaxEval = 10000L
+
+  private def contamExactMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.contam.exactmax").map(_.toLong)
+      .getOrElse(ContamExactMaxEval)
+
+  /** True → q81 scores train×eval exactly; false → cell-blocked ANN. */
+  private[graft] def contamUseExact(spark: SparkSession,
+      dir: String): Boolean =
+    graft.Tables.metaCount(spark, dir, "embeddings") *
+      (100L - EvalBucket) <= contamExactMax(spark) * 100L
+
+  /** Per-cell cap on the blocked path's eval index — sized for the eval
+    * split (bounded, benchmark-sized) rather than [[Buckets.MaxBucket]]
+    * (sized for corpus-scale hot buckets). Round-7 advice: the tight cap
+    * bought nothing on an already-bounded side and cost recall in hot
+    * cells; this one only guards the degenerate all-eval-in-one-cell
+    * case. */
+  private[graft] val ContamEvalCellCap = 10000
+
+  /** Semantic benchmark contamination (q81): for every TRAIN vector, its
+    * nearest EVAL vector by cosine, and a contamination flag — the
+    * embedding-space counterpart of q62's shingle-overlap contamination
+    * check (catches paraphrased benchmark leakage that exact n-gram
+    * overlap misses; the decontamination pass frontier labs run before
+    * training). The split reuses q53/q72's deterministic md5 buckets
+    * (eval = bucket >= [[EvalBucket]]).
     *
-    * Scale shape (round-6 judge fix — the original broadcast the whole 5%
-    * eval split against a corpus cross join, a multi-TB driver broadcast
-    * at 100 TB): both sides now block through the SAME trained k-means
-    * cells as semantic dedup (q73) — the eval split is indexed by its
-    * primary cell (capped at [[Buckets.MaxBucket]] per cell), each train
-    * vector probes its [[ContamNProbe]] nearest cells (multi-probe
-    * recovers boundary-split neighbors), and scoring is an equi-join on
-    * cell: no cross join, no corpus-sized broadcast, pair work bounded at
-    * O(N · nprobe · cell fill). K scales with the corpus ([[semanticK]])
-    * so fill stays constant. The eval-cap window shuffles only the 5%
-    * eval split, never the corpus. Best-match stays the
-    * map-side-combinable `max(struct(sim, -eval_id))` aggregation (O(N)
-    * shuffle); ties break to the smaller eval_id, matching the oracle's
-    * `ORDER BY sim DESC, eval_id`. Train vectors whose probed cells hold
-    * no eval member surface with NULL match and contaminated = FALSE —
-    * the recall/NULL trade is measured against the exact brute force in
-    * SimilaritySpec (the brute force stays the spec's ground truth). */
-  val q81SemanticContamination = QueryDef(
-    "q81_semantic_contamination",
-    s"""WITH ${sqlKmeansAssignK(sqlSemanticK)},
+    * ADAPTIVE path choice (round-7 advice — the pure cell-blocked form
+    * silently missed ~24% of truly contaminated vectors on the fixture;
+    * for a recall-critical check those are benchmark rows leaking into
+    * training):
+    *  - eval estimate <= [[ContamExactMaxEval]] (metadata count × 5%, no
+    *    scan): EXACT scoring — every train vector against the broadcast
+    *    eval split, recall 1.0 by construction. A benchmark split is
+    *    normally thousands of rows, so this is the common case; the
+    *    broadcast stays a few MB and the cross product is
+    *    O(corpus × eval) narrow codegen work, not a shuffle.
+    *  - larger eval: the BLOCKED path — both sides block through the SAME
+    *    trained k-means cells as semantic dedup (q73): the eval split is
+    *    indexed by its primary cell (capped at [[ContamEvalCellCap]] per
+    *    cell — sized for the bounded eval side, not Buckets.MaxBucket),
+    *    each train vector probes its [[ContamNProbe]] nearest cells, and
+    *    scoring is an equi-join on cell: no cross join, no corpus-sized
+    *    broadcast, pair work bounded at O(N · nprobe · cell fill).
+    *    K scales with the corpus ([[semanticK]]) so fill stays constant.
+    *
+    * Both branches share the best-match assembly: map-side-combinable
+    * `max(struct(sim, -eval_id))` (ties break to the smaller eval_id,
+    * matching the oracle's `ORDER BY sim DESC, eval_id`); train vectors
+    * with no candidate surface with NULL match and contaminated = FALSE.
+    * The oracle mirrors the branch decision with a COUNT(*) scalar
+    * subquery over the same UNION ALL of both branch plans, so the SQL
+    * stays faithful at any SF; q101 keeps the blocked machinery
+    * oracle-gated at the test SFs (where adaptive q81 is exact). */
+  /** Shared CTE block of the BLOCKED contamination path (trained cells,
+    * capped eval index, multi-probe candidates, per-train best) — used by
+    * q81's blocked branch and verbatim by the always-blocked q101. */
+  private def sqlContamBlockedCtes: String =
+    s"""${sqlKmeansAssignK(sqlSemanticK)},
        |bk AS (SELECT vec_id,
        |    ${sqlHash60("CAST(vec_id AS VARCHAR)")} % 100 AS bucket
        |  FROM embeddings),
@@ -979,7 +1024,7 @@ object Similarity {
        |                         ORDER BY a.vec_id) AS crn
        |    FROM afin a JOIN bk ON bk.vec_id = a.vec_id
        |    WHERE bk.bucket >= $EvalBucket)
-       |  WHERE crn <= ${Buckets.MaxBucket}),
+       |  WHERE crn <= $ContamEvalCellCap),
        |pr AS (SELECT r.vec_id, r.embedding,
        |    ${sqlNormD("r.embedding")} AS nrm, r.cell
        |  FROM rfin r JOIN bk ON bk.vec_id = r.vec_id
@@ -990,26 +1035,71 @@ object Similarity {
        |best AS (SELECT vec_id, eval_id, sim,
        |    row_number() OVER (PARTITION BY vec_id
        |                       ORDER BY sim DESC, eval_id) AS rn
-       |  FROM sc)
-       |SELECT t.vec_id, b.eval_id AS nearest_eval_id, b.sim AS max_sim,
+       |  FROM sc)""".stripMargin
+
+  /** Final projection over a best-match CTE `b` (rn = 1 rows). */
+  private def sqlContamFinal(bestCte: String, extraPred: String = ""): String =
+    s"""SELECT t.vec_id, b.eval_id AS nearest_eval_id, b.sim AS max_sim,
        |  COALESCE(b.sim >= $ContamThreshold, FALSE) AS contaminated
-       |FROM bk t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |FROM bk t LEFT JOIN (SELECT * FROM $bestCte WHERE rn = 1) b
        |  ON b.vec_id = t.vec_id
-       |WHERE t.bucket < $EvalBucket
-       |ORDER BY t.vec_id""".stripMargin) { (spark, dir) =>
+       |WHERE t.bucket < $EvalBucket$extraPred""".stripMargin
+
+  /** All eval-split rows with norms — the exact path's broadcast side. */
+  private[graft] def contamEvalRows(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.FloatVector
+    val bucket = hash60(col("vec_id").cast(StringType)) % 100
+    emb.filter(bucket >= EvalBucket)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+        FloatVector.norm(col("embedding")).as("en"))
+  }
+
+  /** EXACT candidate scoring: every train vector against EVERY eval
+    * vector, eval side broadcast (bounded — the exact path only runs when
+    * the eval estimate clears [[ContamExactMaxEval]]). The intentional
+    * broadcast nested loop: candidate generation by enumeration. */
+  private def contamExactCand(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.FloatVector
+    val bucket = hash60(col("vec_id").cast(StringType)) % 100
+    emb.filter(bucket < EvalBucket)
+      .select(col("vec_id"), col("embedding"),
+        FloatVector.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(contamEvalRows(emb)))
+      .select(col("vec_id"), col("eval_id"),
+        (FloatVector.dot(col("embedding"), col("ev"))
+          / (col("nrm") * col("en"))).as("sim"))
+  }
+
+  /** BLOCKED candidate scoring: multi-probe train vectors equi-joined to
+    * the capped per-cell eval index — the scale path (no cross join, no
+    * corpus-sized broadcast). */
+  private def contamBlockedCand(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.types.StringType
     import graft.functions.FloatVector
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val (cents, evalIdx) = contamIndex(spark, dir)
     val bucket = hash60(col("vec_id").cast(StringType)) % 100
-    val probes = contamProbes(emb.filter(bucket < EvalBucket), cents)
-    val best = probes.join(evalIdx, Seq("cell"))
+    contamProbes(emb.filter(bucket < EvalBucket), cents)
+      .join(evalIdx, Seq("cell"))
+      .select(col("vec_id"), col("eval_id"),
+        (FloatVector.dot(col("embedding"), col("ev"))
+          / (col("nrm") * col("en"))).as("sim"))
+  }
+
+  /** Best-match + flag assembly over (vec_id, eval_id, sim) candidates:
+    * map-side-combinable `max(struct(sim, -eval_id))` (ties → smaller
+    * eval_id, matching the oracle's ORDER BY sim DESC, eval_id), LEFT
+    * join back so every train vector surfaces (NULL match → FALSE). */
+  private def contamAssemble(emb: DataFrame, cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val bucket = hash60(col("vec_id").cast(StringType)) % 100
+    val best = cand
       .select(col("vec_id"),
-        struct(
-          (FloatVector.dot(col("embedding"), col("ev"))
-            / (col("nrm") * col("en"))).as("sim"),
-          (-col("eval_id")).as("neg_id")).as("cand"))
+        struct(col("sim"), (-col("eval_id")).as("neg_id")).as("cand"))
       .groupBy(col("vec_id"))
       .agg(max(col("cand")).as("m"))
     emb.filter(bucket < EvalBucket).select(col("vec_id"))
@@ -1019,6 +1109,56 @@ object Similarity {
         coalesce(col("m.sim") >= ContamThreshold, lit(false))
           .as("contaminated"))
       .orderBy(col("vec_id"))
+  }
+
+  val q81SemanticContamination = QueryDef(
+    "q81_semantic_contamination",
+    s"""WITH $sqlContamBlockedCtes,
+       |xev AS (SELECT a.vec_id AS eval_id, a.embedding AS ev,
+       |    ${sqlNormD("a.embedding")} AS en
+       |  FROM embeddings a JOIN bk ON bk.vec_id = a.vec_id
+       |  WHERE bk.bucket >= $EvalBucket),
+       |xtr AS (SELECT r.vec_id, r.embedding,
+       |    ${sqlNormD("r.embedding")} AS nrm
+       |  FROM embeddings r JOIN bk ON bk.vec_id = r.vec_id
+       |  WHERE bk.bucket < $EvalBucket),
+       |xsc AS (SELECT t.vec_id, e.eval_id,
+       |    ${sqlDotD("t.embedding", "e.ev")} / (t.nrm * e.en) AS sim
+       |  FROM xtr t CROSS JOIN xev e),
+       |xbest AS (SELECT vec_id, eval_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, eval_id) AS rn
+       |  FROM xsc),
+       |nrows AS (SELECT COUNT(*) AS c FROM embeddings)
+       |${sqlContamFinal("xbest", extraPred = s"""
+       |  AND (SELECT c FROM nrows) * ${100 - EvalBucket}
+       |      <= $ContamExactMaxEval * 100""")}
+       |UNION ALL
+       |${sqlContamFinal("best", extraPred = s"""
+       |  AND (SELECT c FROM nrows) * ${100 - EvalBucket}
+       |      > $ContamExactMaxEval * 100""")}
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cand =
+      if (contamUseExact(spark, dir)) contamExactCand(emb)
+      else contamBlockedCand(spark, dir)
+    contamAssemble(emb, cand)
+  }
+
+  /** The blocked contamination path, unconditionally — q81's 100 TB branch
+    * kept oracle-gated at every SF (the adaptive q81 takes the exact
+    * branch on benchmark-sized eval splits, which covers all test SFs).
+    * Also the batch twin of the blocked streaming scorer
+    * ([[graft.streaming.ContamStream]]). */
+  val q101ContamBlocked = QueryDef(
+    "q101_contam_blocked",
+    s"""WITH $sqlContamBlockedCtes
+       |${sqlContamFinal("best")}
+       |ORDER BY t.vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    contamAssemble(emb, contamBlockedCand(spark, dir))
   }
 
   /** q81's contamination model: the trained quantizer (corpus-scaled K)
@@ -1033,7 +1173,8 @@ object Similarity {
     import graft.functions.{FloatVector, NearestCentroid}
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val cents = lloydCentroids(emb, KmeansIters, semanticK(emb.count()))
+    val cents = lloydCentroids(emb, KmeansIters,
+      semanticK(Tables.metaCount(spark, dir, "embeddings")))
     val bucket = hash60(col("vec_id").cast(StringType)) % 100
     val evalIdx = emb.filter(bucket >= EvalBucket)
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
@@ -1041,7 +1182,7 @@ object Similarity {
         NearestCentroid(col("embedding"), cents).as("cell"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("eval_id"))))
-      .filter(col("crn") <= Buckets.MaxBucket)
+      .filter(col("crn") <= ContamEvalCellCap)
       .drop("crn")
     (cents, evalIdx)
   }
@@ -1141,5 +1282,5 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
       q48AnnKmeansIvf, q64AnnInt8, q68AnnPq, q81SemanticContamination,
-      q93EmbeddingOutliers)
+      q93EmbeddingOutliers, q101ContamBlocked)
 }

@@ -90,4 +90,29 @@ class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
     val n = "array_intersect".r.findAllIn(plan).size
     assert(n == 1, s"array_intersect appears $n times in:\n$plan")
   }
+
+  test("q73/q81 sizing count comes from parquet footers — exact, and " +
+    "zero Spark jobs on the driver branch") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val meta = graft.Tables.metaCount(spark, sfDir, "embeddings")
+      // listener bus is async: give any (unexpected) job event time to land
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"metaCount must read footers driver-side, not run ${jobs.get()} job(s)")
+      val exact = graft.Tables(spark, sfDir, "embeddings").count()
+      assert(meta == exact, s"footer count $meta != scan count $exact")
+      // the distributed branch (forced) must agree too — the 100 TB path
+      val dist =
+        graft.Tables.metaCount(spark, sfDir, "embeddings", distributeAbove = 0)
+      assert(dist == exact)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -304,4 +304,17 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
       assert(math.abs(s - 1.0) < 2e-6, s"sum $s") // two round(,6) calls
     }
   }
+
+  test("q99 sweep on ZERO verified pairs: est_recall is NULL, never NaN " +
+    "(cross-engine degenerate-input parity)") {
+    val empty = Seq.empty[(Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "jaccard")
+    val rows = Dedup.lshSweepOf(empty).collect()
+    assert(rows.length == 4) // one per banding config, even with no pairs
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, "n_pairs")
+      assert(r.isNullAt(3),
+        s"est_recall must be NULL on an empty pair set, got ${r.get(3)}")
+    }
+  }
 }

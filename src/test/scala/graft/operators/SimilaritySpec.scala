@@ -165,7 +165,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"recall $recall")
   }
 
-  test("q81: blocked contamination vs exact brute force — recall + score exactness") {
+  test("q101: blocked contamination vs exact brute force — recall + score exactness") {
     def bucket(id: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
@@ -194,7 +194,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
         .maxBy { case (s, eid) => (s, -eid) }
     }.toMap
     val trainM = train.toMap
-    val got = Similarity.q81SemanticContamination.fn(spark, sfDir).collect()
+    val got = Similarity.q101ContamBlocked.fn(spark, sfDir).collect()
     // contract: EVERY train vector surfaces exactly once, match or not
     assert(got.length == train.length)
     var hit = 0; var flagHit = 0; var flagWant = 0
@@ -256,10 +256,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(c1.zip(c1b).forall { case ((_, a), (_, b)) => a.sameElements(b) })
   }
 
-  test("q81 plan: no cross join, no corpus-sized broadcast nested loop") {
-    val plan = Similarity.q81SemanticContamination.fn(spark, sfDir)
+  test("q101 plan: no cross join, no corpus-sized broadcast nested loop") {
+    val plan = Similarity.q101ContamBlocked.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q81 adaptive: exact branch on a benchmark-sized eval split — " +
+    "recall 1.0 vs brute force; broadcast, never a shuffled cartesian") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (eval, train) = vecs.partition { case (id, _) => bucket(id) >= 95 }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val want = train.map { case (id, tv) =>
+      id -> eval.map { case (eid, ev) =>
+        (dot(tv, ev) / (nrm(tv) * nrm(ev)), eid)
+      }.maxBy { case (s, eid) => (s, -eid) }
+    }.toMap
+    assert(Similarity.contamUseExact(spark, sfDir),
+      "fixture eval split must select the exact branch")
+    val got = Similarity.q81SemanticContamination.fn(spark, sfDir).collect()
+    assert(got.length == train.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (wSim, wEid) = want(id)
+      // the exact branch IS the brute force: argmax, score and flag all
+      // equal, bit for bit — the ~24% blocked-path false negatives from
+      // the round-7 advice are gone at this scale
+      assert(r.getLong(1) == wEid, s"train $id argmax")
+      assert(r.getDouble(2) == wSim, s"train $id score")
+      assert(r.getBoolean(3) == (wSim >= 0.35), s"train $id flag")
+    }
+    // the cross product must ride the few-MB eval broadcast (an intended
+    // BroadcastNestedLoopJoin), never a shuffled CartesianProduct
+    val plan = Similarity.q81SemanticContamination.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q81 adaptive: forcing the threshold to 0 flips to the blocked " +
+    "branch (≡ q101)") {
+    try {
+      spark.conf.set("spark.graft.contam.exactmax", "0")
+      val forced = Similarity.q81SemanticContamination.fn(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      val blocked = Similarity.q101ContamBlocked.fn(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(forced == blocked)
+    } finally spark.conf.unset("spark.graft.contam.exactmax")
   }
 }
