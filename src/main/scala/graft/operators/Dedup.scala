@@ -157,10 +157,23 @@ object Dedup {
     * band/shingle tables of the base side are PERSISTED once (bucketed by
     * band_hash) and only the new-batch side is computed per run. */
   private[graft] def incrementalMatches(newDocs: DataFrame,
-      baseDocs: DataFrame): DataFrame = {
+      baseDocs: DataFrame): DataFrame =
+    incrementalMatchesPre(newDocs,
+      minhashBandsOf(baseDocs), shingleSetsOf(baseDocs))
+
+  /** [[incrementalMatches]] against a PRECOMPUTED index side — `baseBands`
+    * (doc_id, band_idx, band_hash) and `baseShingles` (doc_id, sh) — the
+    * form the streaming ingest path uses, where the index tables are
+    * persisted once and APPENDED per micro-batch
+    * ([[graft.streaming.StreamingDedup.startIncremental]]) rather than
+    * re-derived from the text. The capped-bucket window is applied here,
+    * at probe time, ordered by doc_id — so an index maintained by
+    * appending equals a from-scratch rebuild row for row. */
+  private[graft] def incrementalMatchesPre(newDocs: DataFrame,
+      baseBands: DataFrame, baseShingles: DataFrame): DataFrame = {
     val baseW = Window.partitionBy(col("band_idx"), col("band_hash"))
       .orderBy(col("doc_id"))
-    val base = minhashBandsOf(baseDocs)
+    val base = baseBands
       .withColumn("rn", row_number().over(baseW))
       .filter(col("rn") <= Buckets.MaxBucket)
       .select(col("doc_id").as("base_id"), col("band_idx"), col("band_hash"))
@@ -172,7 +185,7 @@ object Dedup {
     val verified = cand
       .join(shingleSetsOf(newDocs)
         .select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(shingleSetsOf(baseDocs)
+      .join(baseShingles
         .select(col("doc_id").as("base_id"), col("sh").as("sh_b")), "base_id")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       .cast(DoubleType)

@@ -41,4 +41,61 @@ object StreamingDedup {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Incremental-index variant (round-7 verdict item 5): each micro-batch
+    * probes the PERSISTED band/shingle index built from the base corpus
+    * plus every PRIOR batch, then appends its own bands and shingles — so
+    * a new document also matches documents that arrived on the stream
+    * after the offline index build, not only the daily base.
+    *
+    * Index layout under `indexDir`: `bands/epoch=N/` and
+    * `shingles/epoch=N/` parquet (the base corpus loads as `epoch=-1`).
+    * Per-epoch subdirectories make the append IDEMPOTENT: a replayed
+    * micro-batch overwrites its own epoch directory rather than
+    * duplicating rows, so the at-least-once replay contract of
+    * `foreachBatch` keeps the index exactly-once. At 100 TB this is the
+    * production shape — the index is a partitioned table appended per
+    * ingest window, compacted offline; the capped-bucket window is
+    * applied at probe time ([[Dedup.incrementalMatchesPre]]), which makes
+    * the appended index equal a from-scratch rebuild row for row
+    * (StreamingDedupSpec proves it after N batches).
+    *
+    * `publish` must MATERIALIZE its matches (write/collect) before
+    * returning — it runs before the batch's own bands are appended, which
+    * keeps the probe one-sided (a batch never matches itself; in-batch
+    * duplicates are the batch dedup operators' job). */
+  def startIncremental(newDocs: DataFrame, baseDocs: DataFrame,
+      indexDir: String, checkpoint: String)(
+      publish: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = baseDocs.sparkSession
+    val bandsRoot = s"$indexDir/bands"
+    val shRoot = s"$indexDir/shingles"
+    def epochDir(root: String, epoch: Long) = s"$root/epoch=$epoch"
+    // seed the persisted index from the offline base corpus exactly once
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        epochDir(bandsRoot, -1L), "_SUCCESS"))) {
+      Dedup.minhashBandsOf(baseDocs)
+        .write.mode("overwrite").parquet(epochDir(bandsRoot, -1L))
+      Dedup.shingleSetsOf(baseDocs)
+        .write.mode("overwrite").parquet(epochDir(shRoot, -1L))
+    }
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val b = batch.toDF()
+        b.persist() // probe + two index appends all scan the batch
+        try {
+          val idxBands = spark.read.parquet(bandsRoot).drop("epoch")
+          val idxSh = spark.read.parquet(shRoot).drop("epoch")
+          publish(Dedup.incrementalMatchesPre(b, idxBands, idxSh), epochId)
+          Dedup.minhashBandsOf(b)
+            .write.mode("overwrite").parquet(epochDir(bandsRoot, epochId))
+          Dedup.shingleSetsOf(b)
+            .write.mode("overwrite").parquet(epochDir(shRoot, epochId))
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 }
