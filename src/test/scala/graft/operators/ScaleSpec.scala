@@ -250,15 +250,18 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("round-6 query plans keep their intended shapes") {
-    // q81 (round-7 shape): scoring is an EQUI-join on the trained cell —
-    // never a cross join / nested-loop broadcast of the 5% eval split
-    // (the round-6 scale finding) — and best-match stays an AGGREGATION
-    // with a map-side partial, not a window over every scored pair
-    val q81 = Similarity.q81SemanticContamination.fn(spark, sfDir)
+    // Blocked contamination (q101 = round-8 home of the round-7 q81
+    // shape): scoring is an EQUI-join on the trained cell — never a cross
+    // join / nested-loop broadcast of the 5% eval split (the round-6
+    // scale finding) — and best-match stays an AGGREGATION with a
+    // map-side partial, not a window over every scored pair. (Adaptive
+    // q81 intentionally broadcasts on the fixture's tiny eval split —
+    // its exact-branch plan is pinned in SimilaritySpec.)
+    val q101 = Similarity.q101ContamBlocked.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!q81.contains("BroadcastNestedLoopJoin")
-      && !q81.contains("CartesianProduct"), q81)
-    assert(q81.contains("partial_max"), q81)
+    assert(!q101.contains("BroadcastNestedLoopJoin")
+      && !q101.contains("CartesianProduct"), q101)
+    assert(q101.contains("partial_max"), q101)
     // q82: spans collapse to (doc, hash) rows via partial aggregation
     // BEFORE the exchange — the raw span explosion must never shuffle —
     // and document frequency is a plain count, never a countDistinct

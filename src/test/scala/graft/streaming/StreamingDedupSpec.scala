@@ -111,6 +111,25 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestSession {
       val rebuiltSh = Dedup.shingleSetsOf(allDocs).collect()
         .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
       assert(storedSh == rebuiltSh)
+
+      // compaction folds the per-epoch partitions into one generation
+      // with identical content (probe-visible rows unchanged)
+      query.stop()
+      StreamingDedup.compactIndex(spark, indexDir)
+      def epochDirs(t: String) = new java.io.File(s"$indexDir/$t")
+        .listFiles().filter(_.getName.startsWith("epoch=")).toSeq
+      assert(epochDirs("bands").size == 1 && epochDirs("shingles").size == 1)
+      val compacted = spark.read.parquet(s"$indexDir/bands")
+        .drop("epoch").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(compacted == rebuiltBands)
+      // and the compacted index still probes identically
+      val probe = Dedup.incrementalMatchesPre(
+          Seq(Doc(301L, novel.replace("nova2 ", "zeta "))).toDF(),
+          spark.read.parquet(s"$indexDir/bands").drop("epoch"),
+          spark.read.parquet(s"$indexDir/shingles").drop("epoch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probe == Set((301L, 103L)))
     } finally query.stop()
   }
 }
