@@ -17,18 +17,23 @@ host's measured noise band. A pure ratio gate on a 0.1 s query flags pure
 noise; the absolute floor keeps the gate quiet inside the band while still
 catching a 2 s -> 3 s real regression.
 
-Why the floor is TIERED (clamp(old, 0.2, 0.6), round-6 advice): a flat
-0.6 s floor was blind to a 0.15 s -> 0.65 s (4.3x) regression on a fast
-query. Scaling the floor to the baseline keeps sub-0.5 s queries gated at
-max(0.2 s, old) — a 4x blowup on a 0.2 s query now flags — while queries
-in the 0.6-1.5 s noise band keep the 0.6 s cap that the measured
-+-0.48 s same-binary swing requires. The total is gated at TOTAL_RATIO
-(default 1.25x) — totals average out per-query noise, so a tighter bound
-holds and several sub-floor creeps can't hide simultaneously.
+Why the floor is TIERED (clamp(old, 0.1, 0.3), re-sized round 8): a flat
+floor is blind to big-ratio regressions on fast queries; scaling it to
+the baseline gates each query at its own magnitude. The clamp window was
+[0.2, 0.6] while the JIT code-cache bug made same-binary swings of
++-0.48 s routine; with the fix in, three back-to-back full runs (round
+8, BENCH_GATE.txt) spread at most 1.24x / +0.42 s on a 1.8 s query and
++-0.13 s on everything under 1.5 s — so the window shrinks to
+[0.1, 0.3]: a 2x blowup on a 0.2 s query now flags, and the 0.3 s cap
+still sits >2x above the worst observed sub-1.5 s swing (the 1.5x ratio
+bar alone already screens the big-query noise, whose worst observed
+ratio is 1.24x). The total is gated at TOTAL_RATIO (default 1.25x) —
+totals average out per-query noise, so a tighter bound holds and several
+sub-floor creeps can't hide simultaneously.
 
 Usage:
   python3 tools/bench_gate.py <baseline.json> <current.json> \
-      [--ratio 1.5] [--min-abs 0.6] [--total-ratio 1.25]
+      [--ratio 1.5] [--min-abs 0.3] [--total-ratio 1.25]
 
 Both files are `graft.Bench` output lines:
   {"metric":"total","value":N,"unit":"sec","queries":{"qNN_name":sec,...}}
@@ -59,9 +64,9 @@ def main():
     ap.add_argument("baseline")
     ap.add_argument("current")
     ap.add_argument("--ratio", type=float, default=1.5)
-    ap.add_argument("--min-abs", type=float, default=0.6,
+    ap.add_argument("--min-abs", type=float, default=0.3,
                     help="upper clamp of the tiered absolute floor")
-    ap.add_argument("--min-abs-lo", type=float, default=0.2,
+    ap.add_argument("--min-abs-lo", type=float, default=0.1,
                     help="lower clamp of the tiered absolute floor")
     ap.add_argument("--total-ratio", type=float, default=1.25)
     args = ap.parse_args()
