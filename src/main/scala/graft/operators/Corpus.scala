@@ -668,6 +668,114 @@ object Corpus {
       .orderBy(col("event_type"))
   }
 
+  /** Percentile levels checked by [[q104ApproxPercentileBound]]:
+    * (suffix, p as double, ceil-index numerator/denominator). */
+  private val PctLevels = Seq(("50", 0.5, 1L, 2L), ("90", 0.9, 9L, 10L),
+    ("99", 0.99, 99L, 100L))
+
+  /** Sketch-percentile verification — q39's oracle-gating pattern applied
+    * to the OTHER big approximate family: per event_type and p ∈
+    * {.5, .9, .99}, the exact order-statistic value (q67's machinery)
+    * plus `within_bound`, each engine's own verdict on whether ITS sketch
+    * estimate (Spark percentile_approx at accuracy 10000, DuckDB
+    * approx_quantile) lands within the sketch's RANK-error contract —
+    * |rank(approx)/n − p| ≤ max(0.02, 1.5/n). Rank error, not value
+    * error, is what a quantile sketch actually guarantees (a value bound
+    * would be meaningless on skewed data), and rank-of-estimate is
+    * computable exactly in plain SQL as count(value ≤ approx)/n. The
+    * sketch estimates themselves differ engine to engine, so — as in
+    * q39 — only the exact value and the boolean verdict are hashed.
+    *
+    * Scale shape: the exact side is q67's one shuffle + per-group sort
+    * (parallel across groups); the sketch side is a map-side-combinable
+    * agg; the rank-of-estimate pass is one broadcast-joined conditional
+    * count. At 100 TB production keeps ONLY the sketch agg — the exact
+    * column here is the verification harness. */
+  val q104ApproxPercentileBound = QueryDef(
+    "q104_approx_percentile_bound",
+    s"""WITH r AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |x AS (SELECT event_type, n,
+       |${PctLevels.map { case (s, _, num, den) =>
+          s"    MAX(CASE WHEN rn = ($num * n + ${den - 1}) // $den " +
+            s"THEN value END) AS e$s"
+        }.mkString(",\n")}
+       |  FROM r GROUP BY event_type, n),
+       |a AS (SELECT event_type,
+       |${PctLevels.map { case (s, p, _, _) =>
+          s"    approx_quantile(value, CAST($p AS FLOAT)) AS a$s"
+        }.mkString(",\n")}
+       |  FROM events GROUP BY event_type),
+       |le AS (SELECT e.event_type,
+       |${PctLevels.map { case (s, _, _, _) =>
+          s"    SUM(CASE WHEN e.value <= a.a$s THEN 1 ELSE 0 END) AS le$s"
+        }.mkString(",\n")}
+       |  FROM events e JOIN a USING (event_type) GROUP BY e.event_type),
+       |j AS (SELECT x.event_type, x.n,
+       |    ${PctLevels.map { case (s, _, _, _) => s"x.e$s, le.le$s" }
+          .mkString(", ")}
+       |  FROM x JOIN le USING (event_type))
+       |SELECT * FROM (
+       |${PctLevels.map { case (s, p, _, _) =>
+          s"SELECT event_type, CAST($p AS DOUBLE) AS p, n, " +
+            s"e$s AS exact_value,\n" +
+            s"  ABS(CAST(le$s AS DOUBLE) / CAST(n AS DOUBLE) " +
+            s"- CAST($p AS DOUBLE))\n" +
+            s"    <= GREATEST(CAST(0.02 AS DOUBLE), " +
+            s"CAST(1.5 AS DOUBLE) / CAST(n AS DOUBLE)) AS within_bound " +
+            s"FROM j"
+        }.mkString("\nUNION ALL\n")})
+       |ORDER BY event_type, p""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val r = ev
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("value"), col("event_id")))
+          .cast(LongType))
+      .withColumn("n", count(lit(1)).over(byType))
+    def at(num: Long, den: Long) =
+      max(when(
+        col("rn") === ((col("n") * num + (den - 1L)) / den).cast(LongType),
+        col("value")))
+    val exact = r.groupBy(col("event_type"), col("n"))
+      .agg(PctLevels.map { case (s, _, num, den) =>
+        at(num, den).as(s"e$s")
+      }.head, PctLevels.tail.map { case (s, _, num, den) =>
+        at(num, den).as(s"e$s")
+      }: _*)
+    val apx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(PctLevels.map { case (_, p, _, _) => lit(p) }: _*),
+        lit(10000)).as("apx"))
+    val le = ev.join(apx, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(PctLevels.zipWithIndex.map { case ((s, _, _, _), i) =>
+        sum(when(col("value") <= col("apx")(i), 1L).otherwise(0L))
+          .as(s"le$s")
+      }.head, PctLevels.zipWithIndex.tail.map { case ((s, _, _, _), i) =>
+        sum(when(col("value") <= col("apx")(i), 1L).otherwise(0L))
+          .as(s"le$s")
+      }: _*)
+    def bound(s: String, p: Double) =
+      abs(col(s"le$s").cast(DoubleType) / col("n").cast(DoubleType)
+        - lit(p)) <=
+        greatest(lit(0.02), lit(1.5) / col("n").cast(DoubleType))
+    exact.join(le, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        explode(array(PctLevels.map { case (s, p, _, _) =>
+          struct(lit(p).as("p"), col(s"e$s").as("exact_value"),
+            bound(s, p).as("within_bound"))
+        }: _*)).as("c"))
+      .select(col("event_type"), col("c.p").as("p"), col("n"),
+        col("c.exact_value").as("exact_value"),
+        col("c.within_bound").as("within_bound"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
   /** Corpus-trained bigram language-model scoring: every document is scored
     * by the mean conditional probability of its word transitions,
     * P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_prefix(w_{i-1}), with counts
@@ -1256,5 +1364,5 @@ object Corpus {
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
-      q98DedupShrinkage)
+      q98DedupShrinkage, q104ApproxPercentileBound)
 }

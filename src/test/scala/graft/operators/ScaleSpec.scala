@@ -301,6 +301,24 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(q96.contains("WindowGroupLimit"), q96)
   }
 
+  test("round-8 query plans keep their intended shapes") {
+    // q102 (the cache-off pipeline representative), q103 (tokenizer
+    // application: vocab equi-join, never a cartesian over doc words),
+    // q104 (sketch verification: equi-joins + partial aggs only)
+    Seq(graft.operators.Dedup.q102NearDupPipeline,
+      TextAnalysis.q103BpeEncode,
+      Corpus.q104ApproxPercentileBound).foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
+    }
+    // q104's sketch side must partial-aggregate map-side (the production
+    // path keeps only this agg at 100 TB)
+    val q104 = Corpus.q104ApproxPercentileBound.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q104.contains("partial_percentile_approx"), q104)
+  }
+
   test("q84 ranks inside hash-range buckets, never one global window") {
     val plan = Corpus.q84BalancedShards.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
