@@ -776,6 +776,117 @@ object Corpus {
       .orderBy(col("event_type"), col("p"))
   }
 
+  /** Winsorized robust moments per event_type — the outlier-robust
+    * normalization pass a feature/mixing pipeline runs before weighting
+    * metrics that heavy-tailed telemetry would otherwise dominate: exact
+    * p05/p95 order statistics (q67's ceil-index machinery), the mean with
+    * values CLAMPED into [p05, p95] (winsorized mean), the raw mean for
+    * contrast, and how many rows each tail clipped.
+    *
+    * Shape at scale: one per-group sort for the order statistics (q67's
+    * plan — parallel across event_type groups), then ONE more pass over
+    * events with the group-level cut points joined back (a handful of
+    * rows — AQE broadcasts it); the clamped mean is map-side combinable.
+    * Both means go through [[Exact.davg]]'s fixed-scale decimal sum, so
+    * the result is order-independent — stable under AQE re-planning and
+    * partition count, and bit-equal to the oracle's mirrored cast chain. */
+  val q107WinsorizedStats = QueryDef(
+    "q107_winsorized_stats",
+    s"""WITH r AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |x AS (SELECT event_type, n,
+       |    MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+       |    MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+       |  FROM r GROUP BY event_type, n)
+       |SELECT e.event_type, x.n, x.p05, x.p95,
+       |  ${Exact.sqlAvg("e.value", 4)} AS mean_raw,
+       |  ${Exact.sqlAvg("GREATEST(LEAST(e.value, x.p95), x.p05)", 4)}
+       |    AS mean_winsor,
+       |  CAST(SUM(CASE WHEN e.value < x.p05 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lo,
+       |  CAST(SUM(CASE WHEN e.value > x.p95 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hi
+       |FROM events e JOIN x ON x.event_type = e.event_type
+       |GROUP BY e.event_type, x.n, x.p05, x.p95
+       |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val r = ev
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("value"), col("event_id")))
+          .cast(LongType))
+      .withColumn("n", count(lit(1)).over(byType))
+    def at(num: Long, den: Long) =
+      max(when(
+        col("rn") === ((col("n") * num + (den - 1L)) / den).cast(LongType),
+        col("value")))
+    val x = r.groupBy(col("event_type"), col("n"))
+      .agg(at(1, 20).as("p05"), at(19, 20).as("p95"))
+    val clamped = greatest(least(col("value"), col("p95")), col("p05"))
+    ev.join(x, "event_type")
+      .groupBy(col("event_type"), col("n"), col("p05"), col("p95"))
+      .agg(
+        Exact.davg(col("value"), 4).as("mean_raw"),
+        Exact.davg(clamped, 4).as("mean_winsor"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("event_type"), col("n"), col("p05"), col("p95"),
+        col("mean_raw"), col("mean_winsor"), col("n_lo"), col("n_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-document n-gram NOVELTY — what fraction of a doc's distinct
+    * 3-shingles appear for the FIRST time (min doc_id over the corpus,
+    * doc_id = ingest order) in that doc. The marginal-contribution score a
+    * curation pipeline uses to drop late near-copies and to read corpus
+    * saturation (novelty decaying toward 0 = the source is mined out) —
+    * the per-doc refinement of q97's source-level overlap matrix.
+    * (Reference has only exact drop-duplicates, covid_streaming.py:153 —
+    * this is the 100 TB extension surface.)
+    *
+    * Shape at scale: NO pair generation at all — first-owner is one
+    * map-side-combinable `min` per shingle (the same explode + hash-agg
+    * as the dedup signature pass), and per-doc novel counts are a second
+    * count agg over the owner table (shingle-distinct sized, sublinear in
+    * the corpus); the big exploded relation is never joined back. The
+    * final per-doc join is doc-count sized. Novelty is an int/int double
+    * division (bit-exact cross-engine); zero-shingle docs yield NULL in
+    * both engines (when-without-otherwise / ELSE-less CASE). */
+  val q105NgramNovelty = QueryDef(
+    "q105_ngram_novelty",
+    s"""WITH ws AS (SELECT doc_id, $sqlShingles3 AS sg FROM documents),
+       |own AS (SELECT s, MIN(doc_id) AS owner
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM ws) GROUP BY s),
+       |nov AS (SELECT owner AS doc_id, COUNT(*) AS n_novel
+       |  FROM own GROUP BY owner)
+       |SELECT w.doc_id, CAST(len(w.sg) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CASE WHEN len(w.sg) > 0
+       |    THEN CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+       |      / CAST(len(w.sg) AS DOUBLE) END AS novelty_frac
+       |FROM ws w LEFT JOIN nov n USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin) { (spark, dir) =>
+    val ws = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sg"))
+    val own = ws
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+    val nov = own.groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    ws.join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("sg")).cast(LongType).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(size(col("sg")) > 0,
+          coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+            size(col("sg")).cast(DoubleType)).as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-trained bigram language-model scoring: every document is scored
     * by the mean conditional probability of its word transitions,
     * P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_prefix(w_{i-1}), with counts
@@ -1364,5 +1475,6 @@ object Corpus {
       q66MixtureResample, q67ExactPercentiles, q69BigramLm,
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
-      q98DedupShrinkage, q104ApproxPercentileBound)
+      q98DedupShrinkage, q104ApproxPercentileBound, q105NgramNovelty,
+      q107WinsorizedStats)
 }

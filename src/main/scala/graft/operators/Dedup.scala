@@ -126,17 +126,24 @@ object Dedup {
     * (MinHash of a multiset equals the set's — duplicates can't change a
     * min — so the non-distinct explode is safe.) Only ids + 32-char band
     * hashes leave this stage, never text or shingles. */
-  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
-    val hs = docs
+  /** Wide per-doc minhash signature (doc_id, mh_0..mh_15) — the single
+    * hash aggregation [[minhashBandsOf]] folds into band hashes, exposed
+    * so the calibration report (q106) can compare raw signature
+    * components. */
+  private[graft] def minhashSigWide(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(shingleGen(col("text"))).as("s"))
       .select(col("doc_id"), hash60(col("s")).as("h1"),
         hash60b(col("s")).as("h2"))
-    val sig = hs.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(
         min(col("h1") + lit(0L) * (col("h2") % HashP)).as("mh_0"),
         (1 until NumHashes).map { j =>
           min(col("h1") + lit(j.toLong) * (col("h2") % HashP)).as(s"mh_$j")
         }: _*)
+
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSigWide(docs)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",",
@@ -280,6 +287,73 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     jaccardPairs(candidateStatsOf(Tables(spark, dir, "documents")))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash sketch CALIBRATION — the q104-family verification report for
+    * the LSH estimator itself: every capped-bucket candidate pair, binned
+    * by exact-Jaccard decile, with the signature-level estimate (matching
+    * minhash components / [[NumHashes]]) aggregated next to the exact
+    * micro-averaged Jaccard and the estimator bias per bin. This is the
+    * report that justifies the [[Bands]]×[[Rows]] banding choice on REAL
+    * data (q99 is the theoretical S-curve; this measures the deployed
+    * sketch against ground truth on the corpus), and it is fully
+    * oracle-checkable because both engines derive the SAME md5-based
+    * signatures.
+    *
+    * Determinism + scale: per-bin aggregates are sums of INTEGERS (match
+    * counts, intersection/union sizes as integer-valued doubles), which
+    * add exactly in any order — no decimal detour needed; each ratio is
+    * then a single division. The pair relation is the [[PairCache]]
+    * artifact (bucket-capped, O(near-dup pairs)); the signature table
+    * re-derives in one narrow pass + hash-agg and joins pair-side —
+    * nothing corpus-scale shuffles twice. */
+  val q106MinhashCalibration = QueryDef(
+    "q106_minhash_calibration",
+    s"""WITH $sqlNearDupBody,
+       |m AS (SELECT j.inter, j.tot - j.inter AS un,
+       |    CAST(len(list_filter(range($NumHashes),
+       |      i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS matches
+       |  FROM jac j JOIN sig sa ON sa.doc_id = j.doc_a
+       |             JOIN sig sb ON sb.doc_id = j.doc_b),
+       |g AS (SELECT CAST(FLOOR(10 * inter / un) AS BIGINT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(matches) AS BIGINT) AS sum_matches,
+       |    SUM(inter) AS sum_inter, SUM(un) AS sum_union
+       |  FROM m WHERE un > 0 GROUP BY 1)
+       |SELECT bin, n_pairs,
+       |  CAST(sum_matches AS DOUBLE)
+       |    / CAST($NumHashes * n_pairs AS DOUBLE) AS mean_est,
+       |  sum_inter / sum_union AS micro_jaccard,
+       |  CAST(sum_matches AS DOUBLE)
+       |    / CAST($NumHashes * n_pairs AS DOUBLE)
+       |    - sum_inter / sum_union AS bias
+       |FROM g ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val sig = minhashSigWide(Tables(spark, dir, "documents"))
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"mh_$j").as(s"a_$j")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"mh_$j").as(s"b_$j")): _*)
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val m = PairCache.pairStats(spark, dir)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("inter"),
+        (col("la") + col("lb") - col("inter")).as("un"),
+        matches.as("matches"))
+      .filter(col("un") > 0)
+    val g = m
+      .groupBy(floor(lit(10) * col("inter") / col("un")).as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("matches")).as("sum_matches"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("un")).as("sum_union"))
+    val meanEst = col("sum_matches").cast(DoubleType) /
+      (lit(NumHashes) * col("n_pairs")).cast(DoubleType)
+    val micro = col("sum_inter") / col("sum_union")
+    g.select(col("bin"), col("n_pairs"), meanEst.as("mean_est"),
+        micro.as("micro_jaccard"), (meanEst - micro).as("bias"))
+      .orderBy(col("bin"))
   }
 
   /** doc_id → 60-bit SimHash over md5-derived word hashes (frequency
@@ -808,5 +882,6 @@ object Dedup {
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
     q73SemanticDedup, q83Containment, q99LshParamSweep,
-    q100JaccardThresholdSweep, q102NearDupPipeline)
+    q100JaccardThresholdSweep, q102NearDupPipeline,
+    q106MinhashCalibration)
 }

@@ -468,6 +468,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer FERTILITY datasheet — per source, how efficiently the
+    * trained BPE (q95's merges) encodes that provider's text: words,
+    * subword tokens, characters, fertility = tokens/word, and
+    * chars-per-token. The per-source compression report a tokenizer/data
+    * team reads before fixing a token budget (a source with outlier
+    * fertility is mis-tokenized or not natural language) — the source
+    * rollup of q103's per-doc counts.
+    *
+    * Shape at scale: identical to q103 (the trained vocabulary IS the
+    * segmentation — broadcast-sized join, per-source agg map-side
+    * combinable), and the persisted final generation is SHARED with
+    * q95/q103 through CacheManager canonicalization, so the merge loop
+    * trains once per corpus however many reports read it. All sums are
+    * integers (exact in any order); each ratio is one division. */
+  val q108BpeFertility = QueryDef(
+    "q108_bpe_fertility",
+    s"""WITH v0 AS (SELECT w, freq,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+       |      AS syms
+       |  FROM (SELECT w, COUNT(*) AS freq FROM
+       |      (SELECT unnest($sqlWords) AS w FROM documents)
+       |    WHERE len(w) >= 1 GROUP BY w)),
+       |${(0 until BpeMerges).map(sqlBpeRound).mkString(",\n")},
+       |wt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub
+       |  FROM v$BpeMerges),
+       |dw AS (SELECT source, w FROM
+       |    (SELECT source, unnest($sqlWords) AS w FROM documents)
+       |  WHERE len(w) >= 1)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(t.n_sub) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(strlen(d.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(t.n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS fertility,
+       |  CAST(SUM(strlen(d.w)) AS DOUBLE) / CAST(SUM(t.n_sub) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM dw d JOIN wt t ON t.w = d.w
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val (vocab, _) = bpeTrain(docs)
+    val wt = vocab.select(col("w"),
+      size(col("syms")).cast(LongType).as("n_sub"))
+    docs
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wt, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("bpe_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars"))
+      .select(col("source"), col("n_words"), col("bpe_tokens"),
+        col("n_chars"),
+        (col("bpe_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("fertility"),
+        (col("n_chars").cast(DoubleType) /
+          col("bpe_tokens").cast(DoubleType)).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** (w, freq, syms = characters) vocabulary of any (text) relation — the
     * BPE training state's generation 0. */
   private[operators] def bpeVocab(docs: DataFrame): DataFrame =
@@ -572,5 +631,6 @@ object TextAnalysis {
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
       q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
-      q91TopQualityPerSource, q95BpeMerges, q103BpeEncode)
+      q91TopQualityPerSource, q95BpeMerges, q103BpeEncode,
+      q108BpeFertility)
 }

@@ -305,9 +305,17 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     // q102 (the cache-off pipeline representative), q103 (tokenizer
     // application: vocab equi-join, never a cartesian over doc words),
     // q104 (sketch verification: equi-joins + partial aggs only)
+    // q105 (novelty: two hash aggs over the shingle explode, doc-sized
+    // final join), q106 (calibration: pair-artifact × signature equi-
+    // joins), q107 (order-stat window + one broadcast-joined pass),
+    // q108 (vocab equi-join, per-source agg)
     Seq(graft.operators.Dedup.q102NearDupPipeline,
       TextAnalysis.q103BpeEncode,
-      Corpus.q104ApproxPercentileBound).foreach { q =>
+      Corpus.q104ApproxPercentileBound,
+      Corpus.q105NgramNovelty,
+      graft.operators.Dedup.q106MinhashCalibration,
+      Corpus.q107WinsorizedStats,
+      TextAnalysis.q108BpeFertility).foreach { q =>
       val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
