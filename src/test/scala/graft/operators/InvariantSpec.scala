@@ -305,6 +305,73 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q105 novelty: owners partition the shingle space exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Corpus.q105NgramNovelty.fn(spark, sfDir).collect()
+    // every distinct shingle is owned by exactly one doc, so per-doc novel
+    // counts must sum to the global distinct-shingle count
+    val globalDistinct = graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        Mirror.shingles3(org.apache.spark.sql.functions.col("text")))
+        .as("s"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == globalDistinct)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_novel <= n_shingles")
+      if (r.getLong(1) == 0) assert(r.isNullAt(3), "zero shingles -> NULL")
+      else {
+        val f = r.getDouble(3)
+        assert(f >= 0.0 && f <= 1.0, s"novelty_frac $f")
+      }
+    }
+    // doc_id ordering ascending means the FIRST doc is all-novel
+    assert(rows.head.getDouble(3) == 1.0, "first doc must be fully novel")
+  }
+
+  test("q106 calibration: micro Jaccard stays inside its decile bin and " +
+    "bias is the exact difference of the reported columns") {
+    val rows = Dedup.q106MinhashCalibration.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bin, est, micro, bias) =
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(est >= 0.0 && est <= 1.0, s"mean_est $est")
+      // the micro average (mediant) of per-pair ratios in [bin/10,(bin+1)/10)
+      // cannot leave that interval
+      assert(micro >= bin / 10.0 && micro <= (bin + 1) / 10.0,
+        s"micro_jaccard $micro outside bin $bin")
+      assert(bias == est - micro, "bias identity")
+    }
+  }
+
+  test("q107 winsorized mean is clamped into [p05, p95] and tails are " +
+    "consistent") {
+    val rows = Corpus.q107WinsorizedStats.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p05, p95) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (mw, nLo, nHi) = (r.getDouble(5), r.getLong(6), r.getLong(7))
+      assert(p05 <= p95)
+      assert(mw >= p05 && mw <= p95, s"mean_winsor $mw outside cut points")
+      assert(nLo + nHi < n, "winsorizing must keep interior mass")
+    }
+  }
+
+  test("q108 fertility: every word is at least one token of at least one " +
+    "char") {
+    val rows = TextAnalysis.q108BpeFertility.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "bpe_tokens >= n_words")
+      assert(r.getLong(3) >= r.getLong(2), "n_chars >= bpe_tokens")
+      assert(r.getDouble(4) >= 1.0, "fertility >= 1")
+      assert(r.getDouble(5) >= 1.0, "chars_per_token >= 1")
+    }
+  }
+
   test("q99 sweep on ZERO verified pairs: est_recall is NULL, never NaN " +
     "(cross-engine degenerate-input parity)") {
     val empty = Seq.empty[(Long, Long, Double)]
