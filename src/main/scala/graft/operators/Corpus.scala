@@ -887,6 +887,65 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus SATURATION curve — q105's novelty signal aggregated over ten
+    * ingest-order buckets (doc_id is the monotonic ingest id): new-shingle
+    * rate per decile of the ingest timeline. The "marginal value of more
+    * data from this pipe" curve — when the tail buckets' novelty rate
+    * approaches zero, the source is mined out and further crawl budget is
+    * wasted. Decile = integer range bucketing on doc_id (min/max come from
+    * one tiny agg, broadcast back) — NOT a global row_number, so no
+    * single-partition sort exists at any corpus size; both engines
+    * compute the bucket as exact BIGINT floor-division.
+    *
+    * Shape at scale: q105's two hash aggs (owner = min per shingle, then
+    * counts over the shingle-distinct owner table) plus two decile
+    * rollups and a 10-row join. Novelty rate is an int/int double
+    * division. */
+  val q110SaturationCurve = QueryDef(
+    "q110_saturation_curve",
+    s"""WITH ws AS (SELECT doc_id, $sqlShingles3 AS sg FROM documents),
+       |mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+       |db AS (SELECT (w.doc_id - mm.mn) * 10 // (mm.mx - mm.mn + 1)
+       |      AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(w.sg)) AS BIGINT) AS n_shingles
+       |  FROM ws w CROSS JOIN mm GROUP BY 1),
+       |own AS (SELECT s, MIN(doc_id) AS owner
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM ws) GROUP BY s),
+       |ob AS (SELECT (o.owner - mm.mn) * 10 // (mm.mx - mm.mn + 1) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_novel
+       |  FROM own o CROSS JOIN mm GROUP BY 1)
+       |SELECT d.bin, d.n_docs, d.n_shingles,
+       |  CAST(COALESCE(ob.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CASE WHEN d.n_shingles > 0
+       |    THEN CAST(COALESCE(ob.n_novel, 0) AS DOUBLE)
+       |      / CAST(d.n_shingles AS DOUBLE) END AS novelty_rate
+       |FROM db d LEFT JOIN ob USING (bin)
+       |ORDER BY d.bin""".stripMargin) { (spark, dir) =>
+    val ws = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sg"))
+    val mm = Tables(spark, dir, "documents")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val binOf = expr("((doc_id - mn) * 10) DIV (mx - mn + 1)")
+    val db = ws.crossJoin(broadcast(mm))
+      .groupBy(binOf.as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("sg")).cast(LongType)).as("n_shingles"))
+    val ob = ws
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+      .crossJoin(broadcast(mm))
+      .groupBy(expr("((owner - mn) * 10) DIV (mx - mn + 1)").as("bin"))
+      .agg(count(lit(1)).as("n_novel"))
+    db.join(ob, Seq("bin"), "left")
+      .select(col("bin"), col("n_docs"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+            col("n_shingles").cast(DoubleType)).as("novelty_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** Corpus-trained bigram language-model scoring: every document is scored
     * by the mean conditional probability of its word transitions,
     * P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_prefix(w_{i-1}), with counts
@@ -1476,5 +1535,5 @@ object Corpus {
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
       q98DedupShrinkage, q104ApproxPercentileBound, q105NgramNovelty,
-      q107WinsorizedStats)
+      q107WinsorizedStats, q110SaturationCurve)
 }

@@ -413,13 +413,12 @@ object Dedup {
       simhashDf(spark, dir).orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 15-bit blocks
-    * (pigeonhole: exact for hamming distance <= 3), verified by bit_count of
-    * xor. */
-  val q21DedupSimhashPairs = QueryDef(
-    "q21_dedup_simhash_pairs",
-    s"""WITH $sqlSimhash,
-       |blk AS (SELECT doc_id, simhash, k.range AS k,
+  /** DuckDB CTE chain `blk` → `ranked` → `cand` producing the capped
+    * block-pigeonhole candidate pairs with both signatures — shared by
+    * q21 (hamming-filtered pairs) and q109 (hamming calibration, no
+    * filter). Expects the [[sqlSimhash]] `sim` CTE in scope. */
+  private val sqlSimhashCand: String =
+    s"""blk AS (SELECT doc_id, simhash, k.range AS k,
        |    (simhash >> CAST(k.range * 15 AS INTEGER)) & 32767 AS blk
        |  FROM sim CROSS JOIN range(4) k),
        |ranked AS (SELECT doc_id, simhash, k, blk,
@@ -429,12 +428,14 @@ object Dedup {
        |    a.simhash AS sim_a, b.simhash AS sim_b
        |  FROM ranked a JOIN ranked b ON a.k = b.k AND a.blk = b.blk
        |    AND a.doc_id < b.doc_id
-       |    AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket})
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT)
-       |  AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(sim_a, sim_b)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+       |    AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket})"""
+      .stripMargin
+
+  /** All capped block-pigeonhole candidate pairs with their hamming
+    * distance, UNFILTERED — q21 applies the ≤ 3 cutoff; q109 measures
+    * what each cutoff would mean in exact-Jaccard terms. */
+  private def simhashCandPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     val sim = simhashDf(spark, dir)
     val blockStructs = (0 until 4).map { k =>
       struct(lit(k).as("k"),
@@ -457,8 +458,80 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType)
           .as("hamming"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 15-bit blocks
+    * (pigeonhole: exact for hamming distance <= 3), verified by bit_count of
+    * xor. */
+  val q21DedupSimhashPairs = QueryDef(
+    "q21_dedup_simhash_pairs",
+    s"""WITH $sqlSimhash,
+       |$sqlSimhashCand
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT)
+       |  AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    simhashCandPairs(spark, dir)
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash cutoff CALIBRATION — q106's measured-sketch report for the
+    * OTHER signature family: every capped block-pigeonhole candidate
+    * pair, grouped by hamming distance, with the micro-averaged exact
+    * shingle Jaccard and the fraction of pairs that clear the near-dup
+    * threshold — the evidence behind q21's `hamming <= 3` cutoff (each
+    * extra hamming bit admits measurably-less-similar pairs; the report
+    * shows exactly how much less on THIS corpus).
+    *
+    * Determinism + scale: per-bin sums are integers (exact in any order);
+    * ratios are single divisions. The candidate relation is the same
+    * bucket-capped pair generation as q21 (never an all-pairs join), and
+    * the shingle verification join is the q19 shape — candidate-pair
+    * sized, with AQE broadcasting the small pair side. */
+  val q109SimhashCalibration = QueryDef(
+    "q109_simhash_calibration",
+    s"""WITH $sqlSimhash,
+       |$sqlSimhashCand,
+       |sh AS ($sqlShingleSets),
+       |m AS (SELECT
+       |    CAST(bit_count(xor(c.sim_a, c.sim_b)) AS BIGINT) AS hamming,
+       |    CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))
+       |      AS DOUBLE) AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |              JOIN sh sb ON sb.doc_id = c.doc_b),
+       |g AS (SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    SUM(inter) AS si, SUM(tot - inter) AS su,
+       |    CAST(SUM(CASE WHEN inter / (tot - inter) >= $JaccardThreshold
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+       |  FROM m WHERE tot - inter > 0 GROUP BY hamming)
+       |SELECT hamming, n_pairs, si / su AS micro_jaccard, n_near,
+       |  CAST(n_near AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS frac_near
+       |FROM g ORDER BY hamming""".stripMargin) { (spark, dir) =>
+    val sh = shingleSetsOf(Tables(spark, dir, "documents"))
+    val m = simhashCandPairs(spark, dir)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("hamming"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          .as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("tot"))
+      .withColumn("un", col("tot") - col("inter"))
+      .filter(col("un") > 0)
+    val g = m.groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("si"), sum(col("un")).as("su"),
+        sum(when(col("inter") / col("un") >= JaccardThreshold, 1L)
+          .otherwise(0L)).as("n_near"))
+    g.select(col("hamming"), col("n_pairs"),
+        (col("si") / col("su")).as("micro_jaccard"), col("n_near"),
+        (col("n_near").cast(DoubleType) / col("n_pairs").cast(DoubleType))
+          .as("frac_near"))
+      .orderBy(col("hamming"))
   }
 
   // Max intra-label cosine in the synthetic fixture is ~0.47; 0.35 keeps a
@@ -883,5 +956,5 @@ object Dedup {
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
     q73SemanticDedup, q83Containment, q99LshParamSweep,
     q100JaccardThresholdSweep, q102NearDupPipeline,
-    q106MinhashCalibration)
+    q106MinhashCalibration, q109SimhashCalibration)
 }

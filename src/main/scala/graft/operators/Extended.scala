@@ -518,9 +518,98 @@ object Extended {
       .orderBy(col("user_id"), col("event_type"), col("day"))
   }
 
+  /** One skew profile of `df` grouped by `key`: the full distribution of
+    * per-key row counts via the COUNTS-OF-COUNTS trick — exact p50/p99
+    * order statistics WITHOUT any per-key global sort: per-key counts
+    * (one shuffle), then a histogram of counts (the distinct-count table
+    * is tiny — at most one row per distinct group size), and the
+    * percentile is the first histogram cell whose running total clears
+    * the ceil-rank. The only windowed relation is the histogram. */
+  private def skewProfile(df: org.apache.spark.sql.DataFrame,
+      key: String, name: String): org.apache.spark.sql.DataFrame = {
+    val c1 = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    val st = c1.agg(count(lit(1)).as("nk"), sum(col("c")).as("nr"),
+      max(col("c")).as("mx"))
+    val cum = c1.groupBy(col("c")).agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum(col("f")).over(Window.orderBy(col("c"))))
+    def rank(num: Long, den: Long) =
+      ((col("nk") * num + (den - 1L)) / den).cast(LongType)
+    val pp = cum.crossJoin(broadcast(st)).agg(
+      min(when(col("cum") >= rank(1L, 2L), col("c"))).as("p50"),
+      min(when(col("cum") >= rank(99L, 100L), col("c"))).as("p99"))
+    val tk = c1.crossJoin(broadcast(st))
+      .filter(col("c") === col("mx"))
+      .agg(min(col("k")).as("top_key"))
+    st.crossJoin(pp).crossJoin(tk)
+      .select(lit(name).as("key_name"), col("nk").as("n_keys"),
+        col("nr").as("n_rows"),
+        (col("nr").cast(DoubleType) / col("nk").cast(DoubleType))
+          .as("mean_rows"),
+        col("mx").as("max_rows"), col("p50"), col("p99"),
+        ((col("mx") * col("nk")).cast(DoubleType) /
+          col("nr").cast(DoubleType)).as("skew"),
+        col("top_key"))
+  }
+
+  /** DuckDB mirror of one [[skewProfile]] — emits a one-row SELECT. */
+  private def sqlSkewProfile(table: String, key: String): String = {
+    val name = s"$table.$key"
+    s"""SELECT '$name' AS key_name, st.nk AS n_keys, st.nr AS n_rows,
+       |  CAST(st.nr AS DOUBLE) / CAST(st.nk AS DOUBLE) AS mean_rows,
+       |  st.mx AS max_rows, pp.p50, pp.p99,
+       |  CAST(st.mx * st.nk AS DOUBLE) / CAST(st.nr AS DOUBLE) AS skew,
+       |  tk.top_key
+       |FROM
+       |  (SELECT CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(c) AS BIGINT)
+       |      AS nr, MAX(c) AS mx
+       |    FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key)) st,
+       |  (SELECT MIN(CASE WHEN cum >= (st2.nk + 1) // 2 THEN c END)
+       |      AS p50,
+       |    MIN(CASE WHEN cum >= (99 * st2.nk + 99) // 100 THEN c END)
+       |      AS p99
+       |    FROM (SELECT c, SUM(f) OVER (ORDER BY c) AS cum FROM
+       |        (SELECT c, COUNT(*) AS f FROM
+       |          (SELECT COUNT(*) AS c FROM $table GROUP BY $key)
+       |         GROUP BY c)),
+       |      (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM
+       |        (SELECT COUNT(*) AS c FROM $table GROUP BY $key)) st2) pp,
+       |  (SELECT MIN(k) AS top_key FROM
+       |      (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY $key)
+       |        ck,
+       |      (SELECT MAX(c) AS mx FROM
+       |        (SELECT COUNT(*) AS c FROM $table GROUP BY $key)) m
+       |    WHERE ck.c = m.mx) tk""".stripMargin
+  }
+
+  /** Shuffle-key SKEW datasheet — the pre-flight diagnostic a 100 TB
+    * pipeline runs before committing a partitioning: for each candidate
+    * shuffle key, the exact distribution of per-key row counts (key
+    * cardinality, mean/max rows per key, exact p50/p99 group sizes, and
+    * skew = max/mean — the straggler factor a plain hash-partitioned
+    * shuffle would suffer on that key). q38/q71 are the salting
+    * TREATMENTS; this is the measurement that says which keys need them
+    * (and feeds AQE skew-join thresholds). p50/p99 come from the
+    * counts-of-counts histogram — no per-key global sort at any scale;
+    * ties in `top_key` break to the smallest key id. */
+  val q111KeySkewReport = QueryDef(
+    "q111_key_skew_report",
+    Seq(("events", "user_id"), ("lineitem", "l_orderkey"),
+      ("lineitem", "l_partkey"), ("orders", "o_custkey"))
+      .map { case (t, k) => sqlSkewProfile(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")) {
+    (spark, dir) =>
+      Seq(("events", "user_id"), ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"), ("orders", "o_custkey"))
+        .map { case (t, k) =>
+          skewProfile(Tables(spark, dir, t), k, s"$t.$k")
+        }
+        .reduce(_.unionByName(_))
+        .orderBy(col("key_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q33UnionAll, q34Intersect, q35Except, q36Rollup, q37NgramJaccard,
     q38SaltedAgg, q39ApproxDistinct, q41Cube, q42EditDistance,
     q43ExactMedian, q44AsofJoin, q45RangeJoin, q46GroupingSets,
-    q47TopkNative, q71SaltedSkewJoin, q74IntervalJoin)
+    q47TopkNative, q71SaltedSkewJoin, q74IntervalJoin, q111KeySkewReport)
 }
