@@ -79,9 +79,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Total sums SUCCESSFUL queries only: a -1 failure sentinel must not
+    // subtract from (i.e. flatter) the total. `failed` lists the failures
+    // explicitly so a partial run is never compared 1:1 against a full one.
+    val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
@@ -105,7 +110,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f3(v))
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

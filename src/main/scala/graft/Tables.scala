@@ -56,15 +56,25 @@ object Tables {
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively.
-    // Read it as epoch-nanos long, then truncate to micros — exactly what
-    // DuckDB (the oracle) does when it reads the same file, so both engines
-    // see identical timestamp values.
+    // The driver has generated events.ts under three parquet annotations
+    // across rounds: TIMESTAMP(NANOS) (Spark rejects natively — read as
+    // epoch-nanos long and truncate to micros), TIMESTAMP_LTZ (passes
+    // through), and TIMESTAMP_NTZ(micros) (isAdjustedToUTC=false, which
+    // Spark 4 loads as TimestampNTZType). Normalize every shape to
+    // session-TZ TIMESTAMP here so downstream code (`unix_micros`,
+    // window(), Row.getTimestamp) sees one type. The session timezone is
+    // pinned UTC, so the NTZ→LTZ cast is value-preserving and matches what
+    // DuckDB (the oracle) reads from the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -29,13 +29,53 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Schema-drift guard: fingerprint every table's RAW physical schema
+    // (pre-normalization — the annotation Tables.apply papers over is
+    // exactly what we want to watch) and diff against the committed
+    // baseline. Round 9 lost three queries to a silent annotation change;
+    // this turns the next one into a single loud, named diagnostic
+    // instead of a per-query analysis error.
+    val fingerprints: Map[String, String] = Tables.names.flatMap { n =>
+      try {
+        val sch = spark.read.parquet(s"$sfDir/$n.parquet").schema
+        Some(n -> sch.fields.map(f => s"${f.name}:${f.dataType.sql}")
+          .mkString(","))
+      } catch { case _: Throwable => None }
+    }.toMap
+    val drift: Map[String, String] = {
+      val baselinePath = Paths.get("tools/schema_baseline.json")
+      if (!Files.exists(baselinePath)) Map.empty
+      else {
+        // flat {"table": "col:TYPE,..."} JSON written by this same code —
+        // parse with a regex rather than pulling in a JSON dependency
+        val txt = Files.readString(baselinePath)
+        val entry = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+        val baseline = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        fingerprints.flatMap { case (t, fp) =>
+          baseline.get(t) match {
+            case Some(b) if b != fp =>
+              System.err.println(
+                s"[verify] SCHEMA DRIFT table=$t expected=$b actual=$fp")
+              Some(t -> s"expected $b, actual $fp")
+            case _ => None
+          }
+        }
+      }
+    }
+    // A query that fails (analysis error, runtime crash) must leave a
+    // visible trace, not silently shrink the suite: errors.json records
+    // every failure and the expected/covered counts, so "all present
+    // entries green" can never mask "three queries vanished".
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +94,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.map { case (k, v) =>
+      s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    val driftJson = drift.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      s"""{"expected":${selected.size},"covered":${selected.size - failures.size},"schema_drift":$driftJson,"failures":$errJson}""")
+    val fpJson = fingerprints.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schema_fingerprint.json"), fpJson)
     spark.stop()
   }
 }
