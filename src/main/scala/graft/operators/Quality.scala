@@ -1,0 +1,359 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-QA operators a production training-data pipeline runs before
+  * (and after) the filter/dedup stages: a rule-attribution quality funnel,
+  * distribution-drift reports, embedding-table health checks, split-leakage
+  * detection, and a language-metadata confusion matrix.
+  *
+  * Reference scope: the reference has no corpus QA at all (its quality
+  * surface is the null/zero guards in covid_streaming.py:119-127) — this
+  * module is part of the LLM-pipeline tier the builder prompt makes
+  * first-class.
+  *
+  * Every aggregate here is integer-exact (counts, integer cross-
+  * multiplications for threshold rules) or a deterministic scalar double
+  * over exact integers, so the DuckDB oracle comparison is bit-exact —
+  * and, at cluster scale, results do not vary with partition merge order.
+  */
+object Quality {
+
+  import Mirror._
+
+  /** Union of all per-language marker words (quality rule R4: a natural-
+    * language doc should contain at least two distinct markers). */
+  private val stopAll: Seq[String] =
+    (TextAnalysis.stopEn ++ TextAnalysis.stopDe ++ TextAnalysis.stopFr ++
+      TextAnalysis.stopEs).distinct
+
+  private def sqlInList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Gopher-style quality-filter funnel with per-rule drop attribution.
+    *
+    * Rules are applied SEQUENTIALLY (a doc is charged to the FIRST rule it
+    * fails — funnel semantics, so drops sum to docs − kept):
+    *   R1 length:      10 ≤ n_words ≤ 5000
+    *   R2 word length: mean word length in [2, 12] — evaluated as the
+    *                   integer cross-multiplication
+    *                   `2·n_words ≤ sum_chars ≤ 12·n_words` (exact; no
+    *                   float division anywhere near the threshold)
+    *   R3 repetition:  most frequent word ≤ 20% of tokens (`5·top ≤ n`)
+    *   R4 naturalness: ≥ 2 distinct language-marker stopwords
+    *
+    * Shape at scale: one shuffle on (doc_id, word) with map-side partial
+    * counts, a narrow per-doc reduction, then a tiny per-source rollup —
+    * the same two-level aggregation a 100 TB corpus profile runs. No
+    * arrays are materialized across rows and no rule needs a second scan.
+    */
+  val q112QualityFunnel = QueryDef(
+    "q112_quality_funnel",
+    s"""WITH wc AS (
+       |  SELECT doc_id, source, word, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  GROUP BY doc_id, source, word),
+       |m AS (
+       |  SELECT doc_id, source,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+       |    CAST(SUM(cnt * strlen(word)) AS BIGINT) AS sum_chars,
+       |    CAST(COUNT(DISTINCT CASE WHEN word IN ${sqlInList(stopAll)}
+       |      THEN word END) AS BIGINT) AS n_stop
+       |  FROM wc GROUP BY doc_id, source),
+       |r AS (
+       |  SELECT source, n_words,
+       |    (n_words BETWEEN 10 AND 5000) AS p1,
+       |    (sum_chars >= 2 * n_words AND sum_chars <= 12 * n_words) AS p2,
+       |    (top_cnt * 5 <= n_words) AS p3,
+       |    (n_stop >= 2) AS p4
+       |  FROM m)
+       |SELECT source, COUNT(*) AS docs,
+       |  CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_len,
+       |  CAST(SUM(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_word_len,
+       |  CAST(SUM(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS drop_repetition,
+       |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS drop_stopword,
+       |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS kept,
+       |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN n_words ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens
+       |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val wc = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = wc.groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt") * length(col("word"))).as("sum_chars"),
+        countDistinct(when(col("word").isInCollection(stopAll), col("word")))
+          .as("n_stop"))
+    val p1 = col("n_words").between(10, 5000)
+    val p2 = col("sum_chars") >= lit(2) * col("n_words") &&
+      col("sum_chars") <= lit(12) * col("n_words")
+    val p3 = col("top_cnt") * 5 <= col("n_words")
+    val p4 = col("n_stop") >= 2
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    m.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        cnt(!p1).as("drop_len"),
+        cnt(p1 && !p2).as("drop_word_len"),
+        cnt(p1 && p2 && !p3).as("drop_repetition"),
+        cnt(p1 && p2 && p3 && !p4).as("drop_stopword"),
+        cnt(p1 && p2 && p3 && p4).as("kept"),
+        sum(when(p1 && p2 && p3 && p4, col("n_words")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source token-length distribution drift vs the whole corpus.
+    *
+    * Each (source, 16-token-wide length bin) row reports the source's
+    * in-bin fraction, the corpus-wide fraction, and their ratio — the
+    * report that catches one source skewing short/long before it is mixed
+    * in. All fractions divide EXACT integer counts (window sums over
+    * longs), so the doubles are single deterministic IEEE divisions —
+    * no float accumulation anywhere.
+    *
+    * Shape at scale: one narrow map to (source, bin), one count shuffle,
+    * then window sums over the tiny (sources × bins) aggregate — the big
+    * table is touched once.
+    */
+  val q113LengthDrift = QueryDef(
+    "q113_length_drift",
+    """WITH b AS (
+      |  SELECT source, len(string_split(text, ' ')) // 16 AS bin,
+      |    COUNT(*) AS docs
+      |  FROM documents GROUP BY source, bin),
+      |t AS (
+      |  SELECT source, bin, CAST(docs AS BIGINT) AS docs,
+      |    CAST(SUM(docs) OVER (PARTITION BY source) AS BIGINT) AS src_total,
+      |    CAST(SUM(docs) OVER (PARTITION BY bin) AS BIGINT) AS bin_total,
+      |    CAST(SUM(docs) OVER () AS BIGINT) AS corpus_total
+      |  FROM b)
+      |SELECT source, CAST(bin AS BIGINT) AS bin, docs,
+      |  CAST(docs AS DOUBLE) / CAST(src_total AS DOUBLE) AS src_frac,
+      |  CAST(bin_total AS DOUBLE) / CAST(corpus_total AS DOUBLE)
+      |    AS corpus_frac,
+      |  (CAST(docs AS DOUBLE) / CAST(src_total AS DOUBLE))
+      |    / (CAST(bin_total AS DOUBLE) / CAST(corpus_total AS DOUBLE))
+      |    AS drift_ratio
+      |FROM t ORDER BY source, bin""".stripMargin) { (spark, dir) =>
+    val b = Tables(spark, dir, "documents")
+      .select(col("source"),
+        (size(words(col("text"))) / 16).cast(LongType).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("docs"))
+    val t = b
+      .withColumn("src_total",
+        sum(col("docs")).over(Window.partitionBy(col("source"))))
+      .withColumn("bin_total",
+        sum(col("docs")).over(Window.partitionBy(col("bin"))))
+      .withColumn("corpus_total", sum(col("docs")).over(Window.partitionBy()))
+    val srcFrac = col("docs").cast(DoubleType) /
+      col("src_total").cast(DoubleType)
+    val corpusFrac = col("bin_total").cast(DoubleType) /
+      col("corpus_total").cast(DoubleType)
+    t.select(col("source"), col("bin"), col("docs"),
+      srcFrac.as("src_frac"), corpusFrac.as("corpus_frac"),
+      (srcFrac / corpusFrac).as("drift_ratio"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Embedding-table health datasheet, per label: vector count, dimension
+    * range (a dim that isn't constant is a broken table), zero-vector
+    * count, and min / lower-median / max L2 norm.
+    *
+    * Norms are bit-exact across engines: a fixed-order left fold of
+    * Σx² inside each vector (Mirror.dotD ≡ its DuckDB mirror) followed by
+    * IEEE sqrt. min/max/median are selections, not accumulations, so no
+    * cross-row float summation exists in the query — the reason mean-norm
+    * is deliberately absent (a running double mean varies with partition
+    * merge order at cluster scale; the median is the robust stat anyway).
+    *
+    * Shape at scale: one narrow map computes (label, dim, norm), the
+    * median runs as a per-label window rank — one shuffle on label.
+    */
+  val q114EmbeddingQa = QueryDef(
+    "q114_embedding_qa",
+    s"""WITH n AS (
+       |  SELECT label, vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       |    sqrt(${sqlDotD("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |r AS (
+       |  SELECT label, dim, norm,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY norm, vec_id)
+       |      AS rn,
+       |    COUNT(*) OVER (PARTITION BY label) AS cnt
+       |  FROM n)
+       |SELECT label, CAST(MAX(cnt) AS BIGINT) AS n_vecs,
+       |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+       |  CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS zero_vecs,
+       |  MIN(norm) AS norm_min,
+       |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN norm END) AS norm_median,
+       |  MAX(norm) AS norm_max
+       |FROM r GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
+    val n = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("norm"))
+    val w = Window.partitionBy(col("label")).orderBy(col("norm"), col("vec_id"))
+    val wc = Window.partitionBy(col("label"))
+    n.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy(col("label"))
+      .agg(
+        max(col("cnt")).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("zero_vecs"),
+        min(col("norm")).as("norm_min"),
+        max(when(col("rn") === ((col("cnt") + 1) / 2).cast(LongType),
+          col("norm"))).as("norm_median"),
+        max(col("norm")).as("norm_max"))
+      .orderBy(col("label"))
+  }
+
+  /** Train/valid/test leakage check: exact-content fingerprints (md5 of
+    * whitespace-normalized text, the q17 fingerprint) that appear in MORE
+    * than one split of the deterministic q53 hash split. Every (split_a,
+    * split_b) pair gets a row — an explicit 0 when clean — with the number
+    * of leaked fingerprints and the affected documents on each side: the
+    * report a pipeline must drive to all-zeros before training.
+    *
+    * Shape at scale: fingerprints collapse to (fp, split, count) first —
+    * the leak join then runs on the DISTINCT fingerprint set (bounded by
+    * corpus cardinality, not corpus size), and only fingerprints present
+    * in ≥2 splits survive the self-join's inequality. The pair scaffold is
+    * a ≤3-row broadcast. No row-level pairs are ever enumerated.
+    */
+  val q115SplitLeakage = QueryDef(
+    "q115_split_leakage",
+    s"""WITH f AS (
+       |  SELECT md5(trim(regexp_replace(text, '[ ]+', ' ', 'g'))) AS fp,
+       |    CASE WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+       |         THEN 'train'
+       |         WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+       |         THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS (SELECT fp, split, COUNT(*) AS docs FROM f GROUP BY fp, split),
+       |leaks AS (
+       |  SELECT a.split AS split_a, b.split AS split_b,
+       |    COUNT(*) AS leaked_fps,
+       |    CAST(SUM(a.docs) AS BIGINT) AS docs_a,
+       |    CAST(SUM(b.docs) AS BIGINT) AS docs_b
+       |  FROM g a JOIN g b ON a.fp = b.fp AND a.split < b.split
+       |  GROUP BY a.split, b.split),
+       |s AS (SELECT DISTINCT split FROM g),
+       |pairs AS (SELECT s1.split AS split_a, s2.split AS split_b
+       |          FROM s s1 JOIN s s2 ON s1.split < s2.split)
+       |SELECT p.split_a, p.split_b,
+       |  CAST(COALESCE(l.leaked_fps, 0) AS BIGINT) AS leaked_fps,
+       |  CAST(COALESCE(l.docs_a, 0) AS BIGINT) AS docs_a,
+       |  CAST(COALESCE(l.docs_b, 0) AS BIGINT) AS docs_b
+       |FROM pairs p LEFT JOIN leaks l
+       |  ON p.split_a = l.split_a AND p.split_b = l.split_b
+       |ORDER BY p.split_a, p.split_b""".stripMargin) {
+    (spark, dir) =>
+      val g = Tables(spark, dir, "documents")
+        .select(
+          md5(trim(regexp_replace(col("text"), "[ ]+", " "))).as("fp"),
+          when(hash60(col("doc_id").cast(StringType)) % 100 < 80, "train")
+            .when(hash60(col("doc_id").cast(StringType)) % 100 < 90, "valid")
+            .otherwise("test").as("split"))
+        .groupBy(col("fp"), col("split"))
+        .agg(count(lit(1)).as("docs"))
+      val a = g.select(col("fp"), col("split").as("split_a"),
+        col("docs").as("docs_va"))
+      val b = g.select(col("fp").as("fp_b"), col("split").as("split_b"),
+        col("docs").as("docs_vb"))
+      val leaks = a
+        .join(b, col("fp") === col("fp_b") && col("split_a") < col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("leaked_fps"),
+          sum(col("docs_va")).as("docs_a"),
+          sum(col("docs_vb")).as("docs_b"))
+      val s = g.select(col("split")).distinct()
+      val pairs = s.select(col("split").as("split_a"))
+        .join(s.select(col("split").as("split_b")),
+          col("split_a") < col("split_b"))
+      pairs.join(leaks, Seq("split_a", "split_b"), "left")
+        .select(col("split_a"), col("split_b"),
+          coalesce(col("leaked_fps"), lit(0L)).as("leaked_fps"),
+          coalesce(col("docs_a"), lit(0L)).as("docs_a"),
+          coalesce(col("docs_b"), lit(0L)).as("docs_b"))
+        .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Language-metadata audit: confusion matrix between the declared `lang`
+    * column and the q16 content-based language-ID heuristic, with the
+    * per-cell share of the declared language's documents. Off-diagonal
+    * mass is mislabeled metadata — the first thing to check before
+    * per-language sampling decisions. Counts are exact; the share is one
+    * deterministic division per output row (sources × langs cells).
+    */
+  val q116LangidConfusion = QueryDef(
+    "q116_langid_confusion",
+    s"""WITH p AS (
+       |  SELECT lang,
+       |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS predicted_lang
+       |  FROM (
+       |    SELECT lang,
+       |      CAST(len(list_filter($sqlWords,
+       |        w -> w IN ${sqlInList(TextAnalysis.stopEn)})) AS BIGINT) AS s_en,
+       |      CAST(len(list_filter($sqlWords,
+       |        w -> w IN ${sqlInList(TextAnalysis.stopDe)})) AS BIGINT) AS s_de,
+       |      CAST(len(list_filter($sqlWords,
+       |        w -> w IN ${sqlInList(TextAnalysis.stopFr)})) AS BIGINT) AS s_fr,
+       |      CAST(len(list_filter($sqlWords,
+       |        w -> w IN ${sqlInList(TextAnalysis.stopEs)})) AS BIGINT) AS s_es
+       |    FROM documents)),
+       |c AS (SELECT lang, predicted_lang, COUNT(*) AS docs
+       |      FROM p GROUP BY lang, predicted_lang)
+       |SELECT lang, predicted_lang, docs,
+       |  CAST(docs AS DOUBLE)
+       |    / CAST(SUM(docs) OVER (PARTITION BY lang) AS DOUBLE) AS lang_share
+       |FROM c ORDER BY lang, predicted_lang""".stripMargin) { (spark, dir) =>
+    def score(ws: Seq[String]): Column =
+      size(filter(words(col("text")), x => x.isInCollection(ws)))
+        .cast(LongType)
+    val p = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        score(TextAnalysis.stopEn).as("s_en"),
+        score(TextAnalysis.stopDe).as("s_de"),
+        score(TextAnalysis.stopFr).as("s_fr"),
+        score(TextAnalysis.stopEs).as("s_es"))
+      .select(col("lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es").as("predicted_lang"))
+    val c = p.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("docs"))
+    c.withColumn("lang_share",
+      col("docs").cast(DoubleType) /
+        sum(col("docs")).over(Window.partitionBy(col("lang")))
+          .cast(DoubleType))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q112QualityFunnel, q113LengthDrift,
+    q114EmbeddingQa, q115SplitLeakage, q116LangidConfusion)
+}
