@@ -1279,8 +1279,138 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** ANN quality evaluation: recall@k of two LSH index variants against
+    * exact brute-force ground truth (q23) — the "measure, don't guess"
+    * loop for the approximate path, run as a query so an index change
+    * shows up as a recall number, not an anecdote. Variants:
+    * `sig8` = q24's exact 8-bit-signature blocking (high precision,
+    * starved candidate sets — measured recall ≈ 0 at sf0.01, which is
+    * exactly what this query exists to expose), and `band4x2` = the
+    * banded relaxation (candidates share EITHER 4-bit half — the
+    * OR-of-bands construction every production LSH uses), which widens
+    * the candidate set and lifts recall. Everything is deterministic
+    * (fixed hyperplanes, no trained state), so the whole evaluation
+    * INCLUDING the ground truth mirrors into the DuckDB oracle — unlike
+    * the trained IVF/PQ variants (q40/q48/q68), whose recall is
+    * spec-checked in ScalaTest instead.
+    *
+    * Per (variant, probe): k, candidates retrieved (capped at k), true
+    * top-k hits, and recall = hits/k (one exact integer-to-double
+    * division). Shape at scale: ground truth is computed only for the
+    * NumQueries probe vectors — a broadcast side against the corpus
+    * scan, never all pairs; each band is its own equi-join (hash-
+    * joinable at 100 TB, unlike an OR-condition join) and the union
+    * dedups on (q_id, vec_id) before ranking.
+    */
+  val q117AnnRecall = QueryDef(
+    "q117_ann_recall",
+    s"""WITH n AS (SELECT vec_id, embedding, ${sqlNormD("embedding")} AS nrm,
+       |    ${sqlSigCol("embedding")} AS sig
+       |  FROM embeddings),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |          DESC, c.vec_id) AS rnk
+       |    FROM n q, n c WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |  WHERE rnk <= $TopK),
+       |cand AS (
+       |  SELECT 'sig8' AS variant, q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS score
+       |  FROM n q JOIN n c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |  UNION ALL
+       |  SELECT DISTINCT 'band4x2', q_id, vec_id, score FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |        AS score
+       |    FROM n q JOIN n c ON q.sig // 16 = c.sig // 16
+       |      AND c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries
+       |    UNION ALL
+       |    SELECT q.vec_id, c.vec_id,
+       |      ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |    FROM n q JOIN n c ON q.sig % 16 = c.sig % 16
+       |      AND c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries)),
+       |lsh AS (
+       |  SELECT variant, q_id, vec_id FROM (
+       |    SELECT variant, q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY variant, q_id
+       |        ORDER BY score DESC, vec_id) AS rnk
+       |    FROM cand)
+       |  WHERE rnk <= $TopK),
+       |lr AS (SELECT variant, q_id, COUNT(*) AS retrieved
+       |       FROM lsh GROUP BY variant, q_id),
+       |hit AS (
+       |  SELECT v.variant, b.q_id, CAST(COUNT(l.vec_id) AS BIGINT) AS hits
+       |  FROM (SELECT DISTINCT variant FROM cand) v
+       |  CROSS JOIN brute b
+       |  LEFT JOIN lsh l ON l.variant = v.variant AND b.q_id = l.q_id
+       |    AND b.vec_id = l.vec_id
+       |  GROUP BY v.variant, b.q_id)
+       |SELECT h.variant, h.q_id, CAST($TopK AS BIGINT) AS k,
+       |  CAST(COALESCE(lr.retrieved, 0) AS BIGINT) AS retrieved, h.hits,
+       |  CAST(h.hits AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+       |FROM hit h LEFT JOIN lr
+       |  ON h.variant = lr.variant AND h.q_id = lr.q_id
+       |ORDER BY h.variant, h.q_id""".stripMargin) { (spark, dir) =>
+    val sig = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.FloatVector.norm(col("embedding")).as("nrm"),
+        sigCol(col("embedding")).as("sig"))
+    val q = sig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("sig").as("qsig"))
+    val score =
+      (graft.functions.FloatVector.dot(col("qv"), col("embedding"))
+        / (col("qn") * col("nrm"))).as("score")
+    def cands(cond: Column): org.apache.spark.sql.DataFrame =
+      sig.join(broadcast(q), cond && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), score)
+    val candSig = cands(col("sig") === col("qsig"))
+      .select(lit("sig8").as("variant"), col("q_id"), col("vec_id"),
+        col("score"))
+    val candBand = cands(expr("sig div 16") === expr("qsig div 16"))
+      .union(cands(col("sig") % 16 === col("qsig") % 16))
+      .distinct()
+      .select(lit("band4x2").as("variant"), col("q_id"), col("vec_id"),
+        col("score"))
+    val cand = candSig.union(candBand)
+    val w = Window.partitionBy(col("variant"), col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val lsh = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("variant"), col("q_id"), col("vec_id"))
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val brute = sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), score)
+      .withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+    val variants = cand.select(col("variant")).distinct()
+    val lr = lsh.groupBy(col("variant"), col("q_id"))
+      .agg(count(lit(1)).as("retrieved"))
+    val hits = variants.crossJoin(brute)
+      .join(lsh.select(col("variant").as("l_var"), col("q_id").as("l_qid"),
+        col("vec_id").as("l_vid"), lit(1L).as("hit")),
+        col("variant") === col("l_var") && col("q_id") === col("l_qid") &&
+          col("vec_id") === col("l_vid"),
+        "left")
+      .groupBy(col("variant"), col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    hits.join(lr, Seq("variant", "q_id"), "left")
+      .select(col("variant"), col("q_id"), lit(TopK.toLong).as("k"),
+        coalesce(col("retrieved"), lit(0L)).as("retrieved"), col("hits"),
+        (col("hits").cast(DoubleType) / lit(TopK.toDouble)).as("recall"))
+      .orderBy(col("variant"), col("q_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q23AnnBruteforce, q24AnnLsh, q25EmbeddingCentroid, q40AnnIvf,
       q48AnnKmeansIvf, q64AnnInt8, q68AnnPq, q81SemanticContamination,
-      q93EmbeddingOutliers, q101ContamBlocked)
+      q93EmbeddingOutliers, q101ContamBlocked, q117AnnRecall)
 }
