@@ -99,8 +99,17 @@ object Similarity {
       s"(CASE WHEN $dot > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
-  /** LSH-bucketed ANN: score only candidates sharing the query's 8-bit
-    * hyperplane signature, top-5 per query among them. */
+  /** LSH-bucketed ANN, banded: candidates share EITHER 4-bit half of the
+    * query's 8-bit hyperplane signature (the OR-of-bands construction),
+    * top-5 per query by exact cosine among them.
+    *
+    * Was exact-8-bit-signature blocking until q117 put a number on it:
+    * mean recall@10 0.013 at sf0.01 (buckets of 1-2 candidates) vs 0.256
+    * for this banded relaxation with full candidate sets — the
+    * precision/recall dial every production LSH turns via band count.
+    * Each band is its own equi-join (hash-joinable at 100 TB; an OR join
+    * condition would force a nested loop), unioned and deduped on the
+    * candidate pair before scoring. */
   val q24AnnLsh = QueryDef(
     "q24_ann_lsh",
     s"""WITH sig AS (
@@ -108,10 +117,19 @@ object Similarity {
        |    ${sqlSigCol("embedding")} AS sig
        |  FROM embeddings),
        |scored AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-       |    ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS score
-       |  FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $NumQueries)
+       |  SELECT DISTINCT q_id, vec_id, score FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |        AS score
+       |    FROM sig q JOIN sig c ON q.sig // 16 = c.sig // 16
+       |      AND c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries
+       |    UNION ALL
+       |    SELECT q.vec_id, c.vec_id,
+       |      ${sqlDotD("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |    FROM sig q JOIN sig c ON q.sig % 16 = c.sig % 16
+       |      AND c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries))
        |SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
@@ -124,12 +142,14 @@ object Similarity {
     val q = sig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("sig").as("qsig"))
-    val scored = sig
-      .join(broadcast(q),
-        col("sig") === col("qsig") && col("vec_id") =!= col("q_id"))
+    def band(cond: Column) = sig
+      .join(broadcast(q), cond && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (graft.functions.FloatVector.dot(col("qv"), col("embedding"))
           / (col("qn") * col("nrm"))).as("score"))
+    val scored = band(expr("sig div 16") === expr("qsig div 16"))
+      .union(band(col("sig") % 16 === col("qsig") % 16))
+      .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored
@@ -1283,9 +1303,10 @@ object Similarity {
     * exact brute-force ground truth (q23) — the "measure, don't guess"
     * loop for the approximate path, run as a query so an index change
     * shows up as a recall number, not an anecdote. Variants:
-    * `sig8` = q24's exact 8-bit-signature blocking (high precision,
+    * `sig8` = exact 8-bit-signature blocking (q24's original form;
     * starved candidate sets — measured recall ≈ 0 at sf0.01, which is
-    * exactly what this query exists to expose), and `band4x2` = the
+    * exactly what this query exists to expose — and what moved q24
+    * to bands), and `band4x2` = the
     * banded relaxation (candidates share EITHER 4-bit half — the
     * OR-of-bands construction every production LSH uses), which widens
     * the candidate set and lifts recall. Everything is deterministic
