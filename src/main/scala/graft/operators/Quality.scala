@@ -51,6 +51,49 @@ object Quality {
     * the same two-level aggregation a 100 TB corpus profile runs. No
     * arrays are materialized across rows and no rule needs a second scan.
     */
+  /** Per-doc funnel metrics: token count, most-frequent-word count, total
+    * word characters, distinct stopword markers. Two-level aggregation —
+    * (doc, word) counts with map-side partials, then a narrow per-doc
+    * reduction. Shared by the batch query (q112) and the streaming
+    * monitor ([[graft.streaming.QualityStream]]). */
+  def funnelMetrics(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docs
+    .select(col("doc_id"), col("source"),
+      explode(words(col("text"))).as("word"))
+    .groupBy(col("doc_id"), col("source"), col("word"))
+    .agg(count(lit(1)).as("cnt"))
+    .groupBy(col("doc_id"), col("source"))
+    .agg(
+      sum(col("cnt")).as("n_words"),
+      max(col("cnt")).as("top_cnt"),
+      sum(col("cnt") * length(col("word"))).as("sum_chars"),
+      countDistinct(when(col("word").isInCollection(stopAll), col("word")))
+        .as("n_stop"))
+
+  /** Sequential-rule funnel rollup over [[funnelMetrics]] output: each doc
+    * is charged to the FIRST rule it fails, so drops + kept = docs and
+    * per-epoch reports sum exactly to the whole-corpus report. */
+  def funnelReport(m: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p1 = col("n_words").between(10, 5000)
+    val p2 = col("sum_chars") >= lit(2) * col("n_words") &&
+      col("sum_chars") <= lit(12) * col("n_words")
+    val p3 = col("top_cnt") * 5 <= col("n_words")
+    val p4 = col("n_stop") >= 2
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    m.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        cnt(!p1).as("drop_len"),
+        cnt(p1 && !p2).as("drop_word_len"),
+        cnt(p1 && p2 && !p3).as("drop_repetition"),
+        cnt(p1 && p2 && p3 && !p4).as("drop_stopword"),
+        cnt(p1 && p2 && p3 && p4).as("kept"),
+        sum(when(p1 && p2 && p3 && p4, col("n_words")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val q112QualityFunnel = QueryDef(
     "q112_quality_funnel",
     s"""WITH wc AS (
@@ -86,35 +129,7 @@ object Quality {
        |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN n_words ELSE 0 END)
        |    AS BIGINT) AS kept_tokens
        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
-    val wc = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        explode(words(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("source"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-    val m = wc.groupBy(col("doc_id"), col("source"))
-      .agg(
-        sum(col("cnt")).as("n_words"),
-        max(col("cnt")).as("top_cnt"),
-        sum(col("cnt") * length(col("word"))).as("sum_chars"),
-        countDistinct(when(col("word").isInCollection(stopAll), col("word")))
-          .as("n_stop"))
-    val p1 = col("n_words").between(10, 5000)
-    val p2 = col("sum_chars") >= lit(2) * col("n_words") &&
-      col("sum_chars") <= lit(12) * col("n_words")
-    val p3 = col("top_cnt") * 5 <= col("n_words")
-    val p4 = col("n_stop") >= 2
-    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
-    m.groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("docs"),
-        cnt(!p1).as("drop_len"),
-        cnt(p1 && !p2).as("drop_word_len"),
-        cnt(p1 && p2 && !p3).as("drop_repetition"),
-        cnt(p1 && p2 && p3 && !p4).as("drop_stopword"),
-        cnt(p1 && p2 && p3 && p4).as("kept"),
-        sum(when(p1 && p2 && p3 && p4, col("n_words")).otherwise(0L))
-          .as("kept_tokens"))
-      .orderBy(col("source"))
+    funnelReport(funnelMetrics(Tables(spark, dir, "documents")))
   }
 
   /** Per-source token-length distribution drift vs the whole corpus.
