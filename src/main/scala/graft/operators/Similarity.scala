@@ -30,6 +30,47 @@ object Similarity {
   private val NumQueries = 16
   private val TopK = 10
 
+  /** Banded-LSH index entries for a vector table: per vector its norm and
+    * the two 4-bit halves of the 8-bit hyperplane signature (q24's
+    * candidate-generation keys). Shared by the batch index query (q24)
+    * and the streaming ingest probe
+    * ([[graft.streaming.VectorDedupStream]]). One narrow map — no
+    * shuffle; the embedding rides along because the index must support
+    * exact-cosine verification of its candidates. */
+  def bandedEntries(vecs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = vecs
+    .select(col("vec_id"), col("embedding"),
+      graft.functions.FloatVector.norm(col("embedding")).as("nrm"),
+      sigCol(col("embedding")).as("sig"))
+    .select(col("vec_id"), col("embedding"), col("nrm"),
+      expr("sig div 16").as("band_hi"), (col("sig") % 16).as("band_lo"))
+
+  /** Candidate near-dup pairs between a probe side and an index side:
+    * vectors sharing EITHER band, deduped on the id pair, scored by
+    * exact cosine. Both sides carry [[bandedEntries]] columns; output is
+    * (probe_id, index_id, score). Each band is its own equi-join —
+    * hash-joinable at scale — and only (band, id) rows fan out. */
+  def bandedMatches(probe: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame, tau: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val p = probe.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"), col("nrm").as("p_nrm"),
+      col("band_hi").as("p_hi"), col("band_lo").as("p_lo"))
+    val i = index.select(col("vec_id").as("index_id"),
+      col("embedding").as("i_emb"), col("nrm").as("i_nrm"),
+      col("band_hi").as("i_hi"), col("band_lo").as("i_lo"))
+    def side(cond: Column) = p.join(i, cond)
+      .select(col("probe_id"), col("index_id"), col("p_emb"), col("i_emb"),
+        col("p_nrm"), col("i_nrm"))
+    side(col("p_hi") === col("i_hi"))
+      .union(side(col("p_lo") === col("i_lo")))
+      .distinct()
+      .select(col("probe_id"), col("index_id"),
+        (graft.functions.FloatVector.dot(col("p_emb"), col("i_emb"))
+          / (col("p_nrm") * col("i_nrm"))).as("score"))
+      .filter(col("score") >= tau)
+  }
+
   /** Brute-force cosine top-k per query vector (the exactness baseline).
     * Norms are precomputed per row, so each candidate pair costs one dot. */
   val q23AnnBruteforce = QueryDef(
