@@ -111,21 +111,27 @@ object StreamingDedup {
     * de-duplicated, best-match picks one row). Run this while the stream
     * is stopped (same contract as any table compaction). */
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    Seq("bands", "shingles").foreach { t =>
-      val root = s"$indexDir/$t"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(indexDir), spark.sessionState.newHadoopConf())
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      if (fs.exists(rootPath)) {
-        val epochs = fs.listStatus(rootPath).toSeq
-          .filter(_.getPath.getName.startsWith("epoch="))
-        if (epochs.length > 1) {
-          val next = epochs
-            .map(_.getPath.getName.stripPrefix("epoch=").toLong).min - 1
-          spark.read.parquet(root).drop("epoch").distinct()
-            .write.mode("overwrite").parquet(s"$root/epoch=$next")
-          epochs.foreach(e => fs.delete(e.getPath, true))
-        }
+    Seq("bands", "shingles").foreach(t => compactEpochs(spark, s"$indexDir/$t"))
+
+  /** Folds every `epoch=N` partition under `root` into one compacted
+    * generation numbered below all existing epochs (readers scan all
+    * epochs, so the number is free; staying below every live epoch also
+    * keeps replayed epochs from colliding with it). Shared by every
+    * epoch-partitioned streaming index in this package. */
+  def compactEpochs(spark: SparkSession, root: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sessionState.newHadoopConf())
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootPath)) {
+      val epochs = fs.listStatus(rootPath).toSeq
+        .filter(_.getPath.getName.startsWith("epoch="))
+      if (epochs.length > 1) {
+        val next = epochs
+          .map(_.getPath.getName.stripPrefix("epoch=").toLong).min - 1
+        spark.read.parquet(root).drop("epoch").distinct()
+          .write.mode("overwrite").parquet(s"$root/epoch=$next")
+        epochs.foreach(e => fs.delete(e.getPath, true))
       }
     }
+  }
 }

@@ -63,4 +63,12 @@ object VectorDedupStream {
       .option("checkpointLocation", checkpoint)
       .start()
   }
+
+  /** Offline small-files maintenance: fold the per-epoch signature
+    * partitions into one compacted generation
+    * ([[StreamingDedup.compactEpochs]] — same contract: run while the
+    * stream is stopped). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    StreamingDedup.compactEpochs(spark, s"$indexDir/sigs")
 }

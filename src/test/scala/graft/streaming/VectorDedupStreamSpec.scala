@@ -80,4 +80,36 @@ class VectorDedupStreamSpec extends AnyFunSuite with SparkTestSession {
     // from matching itself
     assert(run("ckpt2").isEmpty, "replay must not self-match")
   }
+
+  test("compaction folds epoch partitions without changing probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("vec-compact")
+    val indexDir = dir.resolve("index").toString
+    def ingest(ckpt: String, vs: Seq[Vec]): Unit = {
+      val stream = MemoryStream[Vec](spark)
+      val q = VectorDedupStream.start(stream.toDF(), indexDir,
+        dir.resolve(ckpt).toString, tau) { (out, _) => out.collect(); () }
+      vs.foreach { v => stream.addData(v); q.processAllAvailable() }
+      q.stop()
+    }
+    val base = Array.tabulate(64)(i => (i + 1).toFloat)
+    ingest("c1", Seq(Vec(1L, base), Vec(2L, base.map(_ * 2f))))
+    val before = spark.read.parquet(s"$indexDir/sigs").drop("epoch")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    VectorDedupStream.compactIndex(spark, indexDir)
+    val sigs = spark.read.parquet(s"$indexDir/sigs")
+    assert(sigs.select("epoch").distinct().count() == 1,
+      "all epochs folded into one generation")
+    assert(sigs.drop("epoch").collect().map(_.getLong(0)).sorted.toSeq
+      == before, "compaction preserves the index rows")
+    // a duplicate arriving after compaction still matches the old content
+    val got = ArrayBuffer.empty[Long]
+    val stream = MemoryStream[Vec](spark)
+    val q = VectorDedupStream.start(stream.toDF(), indexDir,
+      dir.resolve("c2").toString, tau) { (out, _) =>
+      got ++= out.collect().map(_.getLong(1))
+    }
+    stream.addData(Vec(9L, base))
+    try q.processAllAvailable() finally q.stop()
+    assert(got.contains(1L), "post-compaction probe still finds the dup")
+  }
 }
