@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * persisted report table partitioned by epoch. The live "did a crawler
   * start shipping garbage" signal a curation pipeline watches during
   * ingest, instead of discovering a quality cliff in the next offline
-  * audit.
+  * audit. (Reference scope: its only per-batch data quality step is the
+  * sentinel-string cleanup in process_batch,
+  * /root/reference/spark/covid_streaming.py:119-130 — no corpus QA.)
   *
   * Semantics match the batch operator exactly: the funnel rules are the
   * same `Quality.funnelReport` expressions, and because every funnel

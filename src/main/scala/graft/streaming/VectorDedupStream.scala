@@ -13,7 +13,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * "have we already got this content" check a training pipeline runs on
   * embedded documents before they reach the corpus, without retraining
   * anything (hyperplane signatures are fixed, unlike the trained k-means
-  * cells of the batch semantic dedup q73).
+  * cells of the batch semantic dedup q73). (Reference scope: dedup there
+  * is per-batch exact dropDuplicates only,
+  * /root/reference/spark/covid_streaming.py:153 — no cross-batch or
+  * similarity-based path.)
   *
   * Probe semantics are ONE-SIDED: a batch matches only EARLIER epochs —
   * in-batch duplicates are the batch dedup operators' job, and the spec's
