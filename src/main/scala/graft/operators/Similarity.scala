@@ -1453,10 +1453,14 @@ object Similarity {
       .withColumn("rnk", row_number().over(wb))
       .filter(col("rnk") <= TopK)
       .select(col("q_id"), col("vec_id"))
-    val variants = cand.select(col("variant")).distinct()
+    // the 2-row variant dimension is broadcast explicitly: a bare
+    // crossJoin of two derived relations plans a CartesianProduct, and
+    // that operator string must never appear in this tree (policy:
+    // every cross join broadcasts a bounded model/scalar relation)
+    val variants = broadcast(cand.select(col("variant")).distinct())
     val lr = lsh.groupBy(col("variant"), col("q_id"))
       .agg(count(lit(1)).as("retrieved"))
-    val hits = variants.crossJoin(brute)
+    val hits = brute.crossJoin(variants)
       .join(lsh.select(col("variant").as("l_var"), col("q_id").as("l_qid"),
         col("vec_id").as("l_vid"), lit(1L).as("hit")),
         col("variant") === col("l_var") && col("q_id") === col("l_qid") &&

@@ -389,4 +389,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
         assert(!plan.contains("CartesianProduct"), s"${q.name}: $plan")
     }
   }
+
+  test("no registered query plans a CartesianProduct") {
+    // policy sweep over the ENTIRE suite: every cross join must broadcast
+    // a bounded model/scalar relation (BroadcastNestedLoopJoin is the
+    // acceptable physical form); a shuffled CartesianProduct anywhere is
+    // a 100 TB non-starter. Caught q117's variant scaffold in round 10.
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
 }
