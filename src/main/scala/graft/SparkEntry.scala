@@ -12,7 +12,8 @@ object SparkEntry {
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Pipeline.all ++ operators.Multimodal.all ++
       operators.Extended.all ++ operators.Reshape.all ++
-      operators.Stats.all ++ operators.Corpus.all ++ operators.Quality.all
+      operators.Stats.all ++ operators.Corpus.all ++ operators.Quality.all ++
+      operators.Recipe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** Data-recipe planning operators — the steps a training-data pipeline runs
+  * BETWEEN profiling (q76 datasheet, q112 funnel) and materialization (q66
+  * resample, q80 quota sample, q84 shards): deriving the per-source token
+  * allocation itself (q118), scoring documents against a target distribution
+  * for importance resampling (q119, the DSIR recipe of Xie et al. 2023), and
+  * robust local fingerprinting for overlap detection (q120, the winnowing
+  * scheme of Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm).
+  *
+  * Reference scope: the reference has no corpus tooling at all (its closest
+  * analog is the static table list in init-db/init.sql:9-110); this module
+  * is part of the LLM-pipeline tier the builder prompt makes first-class.
+  *
+  * Determinism: every compared value is either an exact integer (counts,
+  * integer scaled-ratio scores, 60-bit md5 hashes) or an integer division
+  * both engines floor identically — negative numerators are shifted
+  * non-negative before dividing, because Spark's `div` truncates toward
+  * zero while DuckDB's `//` floors, and the two differ exactly on negative
+  * operands.
+  */
+object Recipe {
+
+  import Mirror._
+
+  /** Budget divisor: the recipe targets half of the corpus' tokens. */
+  private val BudgetDiv = 2L
+
+  /** q118: token-budget waterfill — derive the per-source allocation a
+    * data recipe starts from. Given the per-source token inventory and a
+    * global budget (half the corpus), each source gets an equal quota,
+    * capped at what it actually has; the leftover budget from saturated
+    * (small) sources is redistributed equally to the sources with capacity
+    * remaining. One redistribution round, all integer arithmetic:
+    * `epochs_pm` (allocated per-mille of available — >1000 would mean
+    * repetition) is exact and engine-identical.
+    *
+    * This PLANS the mixture q66 (resample) and q80 (quota sample) then
+    * APPLY — upstream of both, and the piece that was missing.
+    *
+    * Shape at scale: one corpus scan collapses to a per-source rollup
+    * (map-side partial sums; thousands of rows at 100 TB, not billions) —
+    * the empty-partition windows that follow run on that TINY relation
+    * only, which is exactly when a single-partition window is correct.
+    * Nothing corpus-sized ever moves to one task. */
+  val q118TokenWaterfill = QueryDef(
+    "q118_token_waterfill",
+    s"""WITH a AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT source, avail,
+       |    CAST(SUM(avail) OVER () AS BIGINT) AS total,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc
+       |  FROM a),
+       |q AS (SELECT *, (total // $BudgetDiv) // nsrc AS quota FROM t),
+       |s1 AS (SELECT *, LEAST(avail, quota) AS alloc1 FROM q),
+       |s2 AS (SELECT *,
+       |    (total // $BudgetDiv) - CAST(SUM(alloc1) OVER () AS BIGINT)
+       |      AS leftover,
+       |    CAST(SUM(CASE WHEN avail > alloc1 THEN 1 ELSE 0 END) OVER ()
+       |      AS BIGINT) AS nunsat
+       |  FROM s1),
+       |s3 AS (SELECT *,
+       |    CASE WHEN avail > alloc1
+       |         THEN leftover // GREATEST(nunsat, 1) ELSE 0 END AS bonus
+       |  FROM s2)
+       |SELECT source, avail AS avail_tokens, quota,
+       |  LEAST(avail, alloc1 + bonus) AS alloc_tokens,
+       |  (LEAST(avail, alloc1 + bonus) * 1000) // GREATEST(avail, 1)
+       |    AS epochs_pm,
+       |  avail <= quota AS saturated
+       |FROM s3
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    // Empty-partition window over the per-source rollup: tiny by
+    // construction (see scaladoc), so "all data to a single partition" is
+    // a few KB, not a skew hazard.
+    val wAll = Window.partitionBy()
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast(LongType)).as("avail"))
+      .withColumn("total", sum(col("avail")).over(wAll))
+      .withColumn("nsrc", count(lit(1)).over(wAll))
+      .withColumn("budget", expr(s"total div $BudgetDiv"))
+      .withColumn("quota", expr("budget div nsrc"))
+      .withColumn("alloc1", least(col("avail"), col("quota")))
+      .withColumn("leftover", col("budget") - sum(col("alloc1")).over(wAll))
+      .withColumn("nunsat",
+        sum(when(col("avail") > col("alloc1"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("bonus",
+        when(col("avail") > col("alloc1"),
+          expr("leftover div greatest(nunsat, 1L)")).otherwise(lit(0L)))
+      .withColumn("alloc_tokens",
+        least(col("avail"), col("alloc1") + col("bonus")))
+      .select(col("source"), col("avail").as("avail_tokens"), col("quota"),
+        col("alloc_tokens"),
+        expr("(alloc_tokens * 1000) div greatest(avail, 1L)").as("epochs_pm"),
+        (col("avail") <= col("quota")).as("saturated"))
+      .orderBy(col("source"))
+  }
+
+  /** Feature-space width for the DSIR importance hash (hashed unigrams). */
+  private val DsirBuckets = 512
+
+  /** Integer probability scale: per-bucket probabilities live in
+    * parts-per-million, so scores are exact BIGINTs in both engines. */
+  private val DsirScale = 1000000L
+
+  /** The "target distribution" documents: English — the stand-in for the
+    * high-quality reference corpus DSIR reweights toward. */
+  private val DsirTargetLang = "en"
+
+  /** q119: DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every document
+    * by how much its hashed-unigram feature distribution looks like a
+    * TARGET corpus (here: the `en` slice) versus the RAW corpus, then
+    * report the score distribution per (source, lang). Real DSIR uses
+    * log-probability ratios; log() is not bit-reproducible across libm
+    * implementations, so this engine uses the integer surrogate
+    * `ppm(target) - ppm(raw)` per feature — the same sign and ordering
+    * semantics (positive = target-like), exactly representable, and
+    * therefore oracle-exact.
+    *
+    * Shape at scale: one exploded pass collapses to [[DsirBuckets]] rows
+    * via map-side partial aggregation (the shuffle moves buckets×tasks
+    * rows, not tokens). The 512-row score table is BOUNDED MODEL STATE —
+    * collected to the driver (the IVF-centroid precedent) and re-broadcast
+    * as an array literal, so per-doc scoring is a NARROW fold over the
+    * token array: zero corpus-scale shuffles until the tiny per-(source,
+    * lang) rollup. Driver-side score arithmetic is BigInt — at 100 TB
+    * `count × 10⁶` overflows signed 64-bit, and DuckDB's HUGEINT would
+    * floor correctly while a Long would wrap.
+    *
+    * Per-token normalization `imp div n` shifts the numerator non-negative
+    * first (`(imp + n·Scale) div n − Scale`): per-token scores are ≥
+    * −Scale, so the shifted numerator is ≥ 0 and truncation equals floor
+    * in both engines. */
+  val q119DsirImportance = QueryDef(
+    "q119_dsir_importance",
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, lang,
+       |    ${sqlHash60("w")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, lang,
+       |          unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |tot AS (SELECT
+       |    GREATEST(CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1
+       |                           ELSE 0 END) AS BIGINT), 1) AS tt,
+       |    GREATEST(COUNT(*), 1) AS tr
+       |  FROM tok),
+       |sc AS (SELECT b,
+       |    CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct,
+       |    COUNT(*) AS cr
+       |  FROM tok GROUP BY b),
+       |s AS (SELECT b,
+       |    (ct * $DsirScale) // tt - (cr * $DsirScale) // tr AS score
+       |  FROM sc, tot),
+       |d AS (SELECT t.doc_id, t.source, t.lang,
+       |    CAST(SUM(s.score) AS BIGINT) AS imp, COUNT(*) AS n
+       |  FROM tok t JOIN s USING (b)
+       |  GROUP BY t.doc_id, t.source, t.lang),
+       |p AS (SELECT source, lang,
+       |    (imp + n * $DsirScale) // n - $DsirScale AS imp_pt
+       |  FROM d)
+       |SELECT source, lang, COUNT(*) AS docs,
+       |  CAST(SUM(imp_pt) AS BIGINT) AS sum_imp_pt,
+       |  CAST(MIN(imp_pt) AS BIGINT) AS min_imp_pt,
+       |  CAST(MAX(imp_pt) AS BIGINT) AS max_imp_pt,
+       |  CAST(SUM(CASE WHEN imp_pt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS target_like
+       |FROM p
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val tok = docs.select(col("lang"),
+      explode(words(col("text"))).as("w"))
+      .select(col("lang"), pmod(hash60(col("w")), lit(DsirBuckets.toLong)).as("b"))
+    val counts = tok.groupBy(col("b")).agg(
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    // Bounded model state: ≤ DsirBuckets rows, independent of corpus size.
+    val rows = counts.collect()
+    val totT = math.max(1L, rows.map(_.getAs[Long]("ct")).sum)
+    val totR = math.max(1L, rows.map(_.getAs[Long]("cr")).sum)
+    val score = Array.fill[Long](DsirBuckets)(0L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("b").toInt
+      score(b) = ((BigInt(r.getAs[Long]("ct")) * DsirScale) / totT -
+        (BigInt(r.getAs[Long]("cr")) * DsirScale) / totR).toLong
+    }
+    val scoreArr = typedLit(score.toSeq)
+    docs
+      .select(col("source"), col("lang"), words(col("text")).as("w"))
+      .select(col("source"), col("lang"),
+        aggregate(col("w"), lit(0L), (acc, t) =>
+          acc + element_at(scoreArr,
+            (pmod(hash60(t), lit(DsirBuckets.toLong)) + 1).cast(IntegerType)))
+          .as("imp"),
+        size(col("w")).cast(LongType).as("n"))
+      .select(col("source"), col("lang"),
+        expr(s"(imp + n * $DsirScale) div n - $DsirScale").as("imp_pt"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("imp_pt")).as("sum_imp_pt"),
+        min(col("imp_pt")).as("min_imp_pt"),
+        max(col("imp_pt")).as("max_imp_pt"),
+        sum(when(col("imp_pt") > 0, 1L).otherwise(0L)).as("target_like"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Winnowing window width: a fingerprint is guaranteed for every run of
+    * [[WinnowW]] consecutive shingles, so any shared substring of
+    * ≥ `WinnowW + 2` words is guaranteed to share a fingerprint. */
+  private val WinnowW = 4
+
+  /** Minimum shared fingerprints for a reported candidate pair. */
+  private val WinnowMinShared = 2
+
+  /** q120: winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS local fingerprinting algorithm): hash every 3-word
+    * shingle, slide a [[WinnowW]]-wide window over the hash sequence, and
+    * keep the MINIMUM hash of each window (value-based variant). The
+    * selected set is a ~1/W-density sketch with a GUARANTEE the q19 MinHash
+    * sketch lacks: every sufficiently long shared substring is detected,
+    * not just probably detected — the right tool for overlap/clone
+    * detection as opposed to whole-doc near-dup. Docs sharing ≥
+    * [[WinnowMinShared]] fingerprints are reported with their sketch sizes
+    * (the ingredients of a containment estimate).
+    *
+    * Shape at scale: fingerprinting is a NARROW per-doc array fold (no
+    * explode until the selected ~1/W-density sketch), the inverted index
+    * groups by fingerprint with the [[Buckets.MaxBucket]] cap — bounded
+    * per-task pair work with an observable drop count, the same posture as
+    * every other candidate generator in this engine. Sketch sizes ride the
+    * index entries as struct fields, so no corpus-scale join re-attaches
+    * them. */
+  val q120WinnowFingerprint = QueryDef(
+    "q120_winnow_fingerprint",
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_transform($sqlShingleGen, s -> ${sqlHash60("s")}) AS sh
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(sh) >= $WinnowW
+       |      THEN list_distinct(list_transform(
+       |             range(1, len(sh) - ${WinnowW - 2}),
+       |             i -> list_min(sh[i:i+${WinnowW - 1}])))
+       |      ELSE [list_min(sh)] END AS fps
+       |  FROM sh),
+       |e AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nfp, unnest(fps) AS fp
+       |  FROM fp),
+       |r AS (SELECT doc_id, nfp, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM e),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.nfp AS nfp_a, b.nfp AS nfp_b
+       |  FROM r a JOIN r b
+       |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |   AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket})
+       |SELECT doc_a, doc_b, COUNT(*) AS shared_fps, nfp_a, nfp_b
+       |FROM p
+       |GROUP BY doc_a, doc_b, nfp_a, nfp_b
+       |HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(shingleGen(col("text")), s => hash60(s)).as("sh"))
+    val fps = sh.select(col("doc_id"),
+      when(size(col("sh")) >= WinnowW,
+        array_distinct(transform(
+          sequence(lit(1), size(col("sh")) - (WinnowW - 1)),
+          i => array_min(slice(col("sh"), i, lit(WinnowW))))))
+        .otherwise(array(array_min(col("sh")))).as("fps"))
+    val e = fps.select(
+      struct(col("doc_id").as("id"),
+        size(col("fps")).cast(LongType).as("n")).as("item"),
+      explode(col("fps")).as("fp"))
+    Buckets.cappedPairs(e, Seq("fp"), "item", "q120_bucket_cap")
+      .groupBy(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
+        col("p.a.n").as("nfp_a"), col("p.b.n").as("nfp_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        col("nfp_a"), col("nfp_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint)
+}

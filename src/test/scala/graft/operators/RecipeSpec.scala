@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant + plan-shape coverage for the data-recipe operators
+  * (q118 waterfill, q119 DSIR importance, q120 winnowing). Value-level
+  * oracle parity is the driver gate's job (DuckDB, `tools/check.py`);
+  * these tests pin the properties the oracle can't express: allocation
+  * feasibility, the winnowing detection guarantee, and plan shapes.
+  */
+class RecipeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q118: allocation is feasible, budget-bounded, and exhausts " +
+    "capacity before leaving budget unspent") {
+    val rows = Recipe.q118TokenWaterfill.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val avail = rows.map(_.getAs[Long]("avail_tokens"))
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    val budget = avail.sum / 2
+    // feasibility: no source allocates more than it has, epochs ≤ 1000‰
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("avail_tokens"))
+      assert(r.getAs[Long]("epochs_pm") <= 1000L)
+    }
+    // budget: never overspent
+    assert(alloc.sum <= budget)
+    // one-round waterfill slack: what stays unspent is at most one
+    // integer-division remainder per source plus the bonus round's floor
+    // loss — far under one whole quota
+    val quota = rows.head.getAs[Long]("quota")
+    assert(budget - alloc.sum <= quota,
+      s"unspent ${budget - alloc.sum} vs quota $quota")
+  }
+
+  test("q119: scores are deterministic, target slice scores above the " +
+    "corpus, and every group is covered") {
+    val df = Recipe.q119DsirImportance.fn(spark, sfDir)
+    val rows = df.collect()
+    val again = Recipe.q119DsirImportance.fn(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted), "two runs disagree")
+    // group coverage: every (source, lang) present in the corpus reports
+    val expected = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("lang")).distinct().count()
+    assert(rows.length == expected)
+    // direction: the mean per-token importance of the target language is
+    // strictly above the non-target mean (that's what importance means)
+    def meanImp(sel: org.apache.spark.sql.Row => Boolean): Double = {
+      val g = rows.filter(sel)
+      g.map(_.getAs[Long]("sum_imp_pt")).sum.toDouble /
+        g.map(_.getAs[Long]("docs")).sum
+    }
+    val en = meanImp(_.getAs[String]("lang") == "en")
+    val rest = meanImp(_.getAs[String]("lang") != "en")
+    assert(en > rest, s"en=$en rest=$rest")
+  }
+
+  test("q120: winnowing guarantees detection of long shared substrings") {
+    import spark.implicits._
+    // doc 2 embeds a 12-word run of doc 1 (≥ WinnowW + 2 = 6 words ⇒ the
+    // run spans ≥ one full fingerprint window ⇒ detection is GUARANTEED,
+    // not probabilistic); doc 3 is disjoint.
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four five"),
+      (3L, "completely different words with no overlap at all zz yy xx")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toFile
+    tmp.deleteOnExit()
+    docs.write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val pairs = Recipe.q120WinnowFingerprint.fn(spark, tmp.getPath).collect()
+    val ab = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(ab.isDefined, s"1-2 pair missing: ${pairs.mkString(";")}")
+    assert(ab.get.getAs[Long]("shared_fps") >= 2L)
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L ||
+      r.getAs[Long]("doc_a") == 3L), "disjoint doc 3 paired")
+  }
+
+  test("q120: sketch density is ~1/W of shingles, and real-data pairs " +
+    "stay ordered and capped") {
+    val rows = Recipe.q120WinnowFingerprint.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("shared_fps") <= r.getAs[Long]("nfp_a"))
+      assert(r.getAs[Long]("shared_fps") <= r.getAs[Long]("nfp_b"))
+    }
+  }
+
+  test("recipe plans: no cartesian products, q119 scoring is a narrow " +
+    "fold (no corpus-scale join), q118 windows run post-rollup") {
+    Seq(Recipe.q118TokenWaterfill, Recipe.q119DsirImportance,
+      Recipe.q120WinnowFingerprint).foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
+    }
+    // q119's per-doc pass must NOT join: the score table rides along as a
+    // collected literal, so the only joins in the plan would be a bug
+    val q119 = Recipe.q119DsirImportance.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q119.contains("Join"), q119)
+  }
+}
