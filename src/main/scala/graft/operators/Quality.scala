@@ -34,6 +34,39 @@ object Quality {
   private def sqlInList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB CTE fragment computing the per-doc funnel metrics (the wc/m
+    * stages of q112's oracle) — shared with the recipe-manifest oracle
+    * (q121), which gates its selection on the same rules. */
+  private[operators] val sqlFunnelMetrics: String =
+    s"""wc AS (
+       |  SELECT doc_id, source, word, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  GROUP BY doc_id, source, word),
+       |m AS (
+       |  SELECT doc_id, source,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+       |    CAST(SUM(cnt * strlen(word)) AS BIGINT) AS sum_chars,
+       |    CAST(COUNT(DISTINCT CASE WHEN word IN ${sqlInList(stopAll)}
+       |      THEN word END) AS BIGINT) AS n_stop
+       |  FROM wc GROUP BY doc_id, source)""".stripMargin
+
+  /** DuckDB boolean over the [[sqlFunnelMetrics]] `m` columns: the
+    * all-rules-pass keep decision (conjunction of q112's R1-R4). */
+  private[operators] val sqlKeepExpr: String =
+    "(n_words BETWEEN 10 AND 5000)" +
+      " AND (sum_chars >= 2 * n_words AND sum_chars <= 12 * n_words)" +
+      " AND (top_cnt * 5 <= n_words) AND (n_stop >= 2)"
+
+  /** Spark twin of [[sqlKeepExpr]] over [[funnelMetrics]] output. */
+  private[operators] def keepAll: Column =
+    col("n_words").between(10, 5000) &&
+      col("sum_chars") >= lit(2) * col("n_words") &&
+      col("sum_chars") <= lit(12) * col("n_words") &&
+      col("top_cnt") * 5 <= col("n_words") &&
+      col("n_stop") >= 2
+
   /** Gopher-style quality-filter funnel with per-rule drop attribution.
     *
     * Rules are applied SEQUENTIALLY (a doc is charged to the FIRST rule it
@@ -69,9 +102,16 @@ object Quality {
     * scale where the exchange is an in-memory no-op. It is still the
     * right shape for the target: at 100 TB the exploded form shuffles one
     * row per TOKEN (corpus-sized disk+network), while this form's cost
-    * stays a constant CPU factor on a zero-shuffle scan. If the CPU
-    * factor ever matters, the fold is the next [[graft.functions]]
-    * native-expression candidate (the ShingleGen precedent). Shared by
+    * stays a constant CPU factor on a zero-shuffle scan.
+    *
+    * A native one-pass expression (ShingleGen-style: single byte scan,
+    * zero-copy token views, unboxed multiplicity counters) was built and
+    * MEASURED in round 10 and did NOT beat these folds — 0.62 s native
+    * vs 0.50 s folds on 20k×1500-token synthetic docs, parity (±5%) on
+    * the real corpus at sf0.1 — so it was not shipped: Spark 4 evaluates
+    * these HOF lambdas cheaply enough that per-token HashMap probing
+    * costs as much as the sort-plus-run-scan it replaces. Don't redo
+    * this without a profile showing the folds dominate. Shared by
     * the batch query (q112) and the streaming monitor
     * ([[graft.streaming.QualityStream]]). */
   def funnelMetrics(docs: org.apache.spark.sql.DataFrame)
@@ -122,19 +162,7 @@ object Quality {
 
   val q112QualityFunnel = QueryDef(
     "q112_quality_funnel",
-    s"""WITH wc AS (
-       |  SELECT doc_id, source, word, COUNT(*) AS cnt
-       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-       |        FROM documents)
-       |  GROUP BY doc_id, source, word),
-       |m AS (
-       |  SELECT doc_id, source,
-       |    CAST(SUM(cnt) AS BIGINT) AS n_words,
-       |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
-       |    CAST(SUM(cnt * strlen(word)) AS BIGINT) AS sum_chars,
-       |    CAST(COUNT(DISTINCT CASE WHEN word IN ${sqlInList(stopAll)}
-       |      THEN word END) AS BIGINT) AS n_stop
-       |  FROM wc GROUP BY doc_id, source),
+    s"""WITH $sqlFunnelMetrics,
        |r AS (
        |  SELECT source, n_words,
        |    (n_words BETWEEN 10 AND 5000) AS p1,

@@ -293,6 +293,106 @@ object Recipe {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sequence length for the manifest's packing stage (power of two: the
+    * q60 precedent — keeps any division floor-exact in both engines). */
+  private val SeqTokens = 1024L
+
+  /** q121: end-to-end recipe manifest — the four recipe stages composed
+    * into the one report a materialization job executes from:
+    *
+    *   1. FILTER: q112's funnel rules decide keep/drop per doc;
+    *   2. ALLOCATE: the budget (half of all KEPT tokens) spreads over
+    *      sources as equal quotas capped at each source's kept inventory
+    *      (the q118 waterfill, single round);
+    *   3. SELECT: each source keeps docs in deterministic md5-hash order
+    *      until its allocation fills (q80's convention: the boundary doc
+    *      may overflow — never split a document);
+    *   4. PACK: selected tokens pack into [[SeqTokens]]-token training
+    *      sequences (q60's greedy running-sum packing).
+    *
+    * Output: one row per source — kept inventory, allocation, selected
+    * docs/tokens, sequence count, and the boundary-overflow excess in
+    * per-mille of the allocation. Every stage is integer-exact, so the
+    * whole composition is DuckDB-oracle-exact end to end: the gate
+    * checks the PIPELINE, not just each stage in isolation.
+    *
+    * Shape at scale: the funnel pass is q112's (one (doc,word) shuffle +
+    * per-doc reduction); selection and packing run one window per source
+    * ordered by hash — the q80/q60 stratum-local shape (a hot source
+    * serializes its own stratum; q84's hash-range sub-bucketing is the
+    * documented escape hatch if a stratum outgrows a task). The final
+    * rollup is sources-sized. */
+  val q121RecipeManifest = QueryDef(
+    "q121_recipe_manifest",
+    s"""WITH ${Quality.sqlFunnelMetrics},
+       |k AS (SELECT doc_id, source, n_words,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM m WHERE ${Quality.sqlKeepExpr}),
+       |inv AS (SELECT source, CAST(SUM(n_words) AS BIGINT) AS kept_tokens,
+       |    COUNT(*) AS kept_docs
+       |  FROM k GROUP BY source),
+       |al AS (SELECT source, kept_docs, kept_tokens,
+       |    LEAST(kept_tokens,
+       |      (CAST(SUM(kept_tokens) OVER () AS BIGINT) // 2)
+       |        // CAST(COUNT(*) OVER () AS BIGINT)) AS alloc_tokens
+       |  FROM inv),
+       |c AS (SELECT doc_id, source, n_words,
+       |    CAST(SUM(n_words) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM k),
+       |sel AS (SELECT c.doc_id, c.source, c.n_words, c.cum
+       |  FROM c JOIN al ON c.source = al.source
+       |  WHERE c.cum - c.n_words < al.alloc_tokens),
+       |seq AS (SELECT source, COUNT(*) AS sel_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS sel_tokens,
+       |    CAST(COUNT(DISTINCT (cum - n_words) // $SeqTokens) AS BIGINT)
+       |      AS n_seqs
+       |  FROM sel GROUP BY source)
+       |SELECT al.source, al.kept_docs, al.kept_tokens, al.alloc_tokens,
+       |  CAST(COALESCE(seq.sel_docs, 0) AS BIGINT) AS sel_docs,
+       |  CAST(COALESCE(seq.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+       |  CAST(COALESCE(seq.n_seqs, 0) AS BIGINT) AS n_seqs,
+       |  ((COALESCE(seq.sel_tokens, 0) - al.alloc_tokens) * 1000)
+       |    // GREATEST(al.alloc_tokens, 1) AS overflow_pm
+       |FROM al LEFT JOIN seq ON al.source = seq.source
+       |ORDER BY al.source""".stripMargin) { (spark, dir) =>
+    val wAll = Window.partitionBy()
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = Quality.funnelMetrics(Tables(spark, dir, "documents"))
+      .filter(Quality.keepAll)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        hash60(col("doc_id").cast(StringType)).as("h"))
+    val al = k.groupBy(col("source"))
+      .agg(sum(col("n_words")).as("kept_tokens"),
+        count(lit(1)).as("kept_docs"))
+      .withColumn("alloc_tokens",
+        least(col("kept_tokens"),
+          expr("((sum(kept_tokens) over ()) div 2L)" +
+            " div (count(1) over ())")))
+      .select(col("source"), col("kept_docs"), col("kept_tokens"),
+        col("alloc_tokens"))
+    val sel = k.withColumn("cum", sum(col("n_words")).over(wSrc))
+      .join(al.select(col("source"), col("alloc_tokens")), Seq("source"))
+      .filter(col("cum") - col("n_words") < col("alloc_tokens"))
+    val seq = sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("sel_docs"),
+        sum(col("n_words")).as("sel_tokens"),
+        countDistinct(expr(s"(cum - n_words) div $SeqTokens"))
+          .as("n_seqs"))
+    al.join(seq, Seq("source"), "left")
+      .select(col("source"), col("kept_docs"), col("kept_tokens"),
+        col("alloc_tokens"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        expr("((coalesce(sel_tokens, 0L) - alloc_tokens) * 1000)" +
+          " div greatest(alloc_tokens, 1L)").as("overflow_pm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint)
+    Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint,
+      q121RecipeManifest)
 }

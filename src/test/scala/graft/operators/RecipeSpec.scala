@@ -94,10 +94,40 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q121: manifest stages stay mutually consistent and agree with " +
+    "the q112 funnel") {
+    val manifest = Recipe.q121RecipeManifest.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(manifest.nonEmpty)
+    manifest.values.foreach { r =>
+      val (kept, alloc, selD, selT, seqs) = (r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("alloc_tokens"), r.getAs[Long]("sel_docs"),
+        r.getAs[Long]("sel_tokens"), r.getAs[Long]("n_seqs"))
+      assert(alloc <= kept)
+      // selection fills the allocation (boundary doc may overflow) or
+      // exhausts the source
+      assert(selT >= alloc || selT == kept)
+      assert(r.getAs[Long]("overflow_pm") >= 0L)
+      assert((selD == 0L) == (seqs == 0L))
+      assert(seqs <= math.max(selD, 1L))
+    }
+    // stage-1 totals must be EXACTLY q112's kept accounting per source —
+    // the composition reuses the funnel, not a re-implementation of it
+    Quality.q112QualityFunnel.fn(spark, sfDir).collect().foreach { q =>
+      val src = q.getAs[String]("source")
+      if (q.getAs[Long]("kept") > 0) {
+        assert(manifest(src).getAs[Long]("kept_docs")
+          == q.getAs[Long]("kept"), src)
+        assert(manifest(src).getAs[Long]("kept_tokens")
+          == q.getAs[Long]("kept_tokens"), src)
+      }
+    }
+  }
+
   test("recipe plans: no cartesian products, q119 scoring is a narrow " +
     "fold (no corpus-scale join), q118 windows run post-rollup") {
     Seq(Recipe.q118TokenWaterfill, Recipe.q119DsirImportance,
-      Recipe.q120WinnowFingerprint).foreach { q =>
+      Recipe.q120WinnowFingerprint, Recipe.q121RecipeManifest).foreach { q =>
       val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
