@@ -92,6 +92,22 @@ object Mirror {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))
 
+  /** Let-binding for an expensive expression referenced several times in
+    * one projection: evaluates `bound` ONCE per row and passes it to
+    * `body` as a lambda VARIABLE, so every reference inside `body` —
+    * including inside nested higher-order-function lambdas — is a
+    * variable lookup, not a re-evaluation.
+    *
+    * Why this exists: CollapseProject inlines a projected alias into
+    * every downstream reference, and interpreted HOF lambdas re-evaluate
+    * captured subexpressions per ELEMENT — q120's window-min originally
+    * re-ran the whole shingle+md5 pipeline once per sliding window (9
+    * inlined copies in the optimized plan, 4 s at sf0.001 for 500 docs;
+    * 40× off). Wrapping the array in a single-element `transform` makes
+    * the binding explicit to the evaluator at zero shuffle/plan cost. */
+  def let1(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   /** Whitespace tokens. Single-space split, trailing empties kept — matches
     * DuckDB string_split semantics exactly. */
   def words(text: Column): Column = split(text, " ")

@@ -270,19 +270,29 @@ object Recipe {
        |GROUP BY doc_a, doc_b, nfp_a, nfp_b
        |HAVING COUNT(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val sh = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        transform(shingleGen(col("text")), s => hash60(s)).as("sh"))
-    val fps = sh.select(col("doc_id"),
-      when(size(col("sh")) >= WinnowW,
-        array_distinct(transform(
-          sequence(lit(1), size(col("sh")) - (WinnowW - 1)),
-          i => array_min(slice(col("sh"), i, lit(WinnowW))))))
-        .otherwise(array(array_min(col("sh")))).as("fps"))
-    val e = fps.select(
-      struct(col("doc_id").as("id"),
-        size(col("fps")).cast(LongType).as("n")).as("item"),
-      explode(col("fps")).as("fp"))
+    // let1-bound (see Mirror.let1): the shingle+hash array and the
+    // fingerprint set are each evaluated ONCE per row — without the
+    // binding, CollapseProject inlines the pipeline into every window's
+    // slice() and the evaluator re-hashes the whole document per window
+    // (measured 40×: 4 s for 500 docs at sf0.001). The (fp, nfp) structs
+    // are emitted INSIDE the binding and exploded immediately — Generate
+    // is a real barrier, so the whole per-doc pipeline runs exactly once.
+    val entries = let1(
+      let1(transform(shingleGen(col("text")), s => hash60(s))) { sh =>
+        when(size(sh) >= WinnowW,
+          array_distinct(transform(
+            sequence(lit(1), size(sh) - (WinnowW - 1)),
+            i => array_min(slice(sh, i, lit(WinnowW))))))
+          .otherwise(array(array_min(sh)))
+      }) { fps =>
+      transform(fps, f =>
+        struct(f.as("fp"), size(fps).cast(LongType).as("n")))
+    }
+    val e = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(entries).as("x"))
+      .select(
+        struct(col("doc_id").as("id"), col("x.n").as("n")).as("item"),
+        col("x.fp").as("fp"))
     Buckets.cappedPairs(e, Seq("fp"), "item", "q120_bucket_cap")
       .groupBy(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
         col("p.a.n").as("nfp_a"), col("p.b.n").as("nfp_b"))
