@@ -137,5 +137,12 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
     val q119 = Recipe.q119DsirImportance.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!q119.contains("Join"), q119)
+    // q120's shingle+hash pipeline must appear exactly ONCE in the
+    // optimized plan — CollapseProject inlining it into the window
+    // slices was a measured 40× regression (Mirror.let1 guards it)
+    val q120 = Recipe.q120WinnowFingerprint.fn(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("md5_hash60".r.findAllIn(q120).length == 1, q120)
+    assert("shingles3_gen".r.findAllIn(q120).length == 1, q120)
   }
 }
