@@ -241,6 +241,58 @@ object Recipe {
     * every other candidate generator in this engine. Sketch sizes ride the
     * index entries as struct fields, so no corpus-scale join re-attaches
     * them. */
+  /** One (doc_id, nfp, fp) row per selected winnow fingerprint — the
+    * sketch relation shared by the batch pair query (q120) and the
+    * streaming ingest probe ([[graft.streaming.WinnowStream]]).
+    *
+    * let1-bound (see [[Mirror.let1]]): the shingle+hash array and the
+    * fingerprint set are each evaluated ONCE per row — without the
+    * binding, CollapseProject inlines the pipeline into every window's
+    * slice() and the evaluator re-hashes the whole document per window
+    * (measured 40×: 4 s for 500 docs at sf0.001). The (fp, nfp) structs
+    * are emitted INSIDE the binding and exploded immediately — Generate
+    * is a real barrier, so the whole per-doc pipeline runs exactly once
+    * (plan-pinned in RecipeSpec). */
+  private[graft] def winnowEntries(docs: DataFrame): DataFrame = {
+    val entries = let1(
+      let1(transform(shingleGen(col("text")), s => hash60(s))) { sh =>
+        when(size(sh) >= WinnowW,
+          array_distinct(transform(
+            sequence(lit(1), size(sh) - (WinnowW - 1)),
+            i => array_min(slice(sh, i, lit(WinnowW))))))
+          .otherwise(array(array_min(sh)))
+      }) { fps =>
+      transform(fps, f =>
+        struct(f.as("fp"), size(fps).cast(LongType).as("n")))
+    }
+    docs.select(col("doc_id"), explode(entries).as("x"))
+      .select(col("doc_id"), col("x.n").as("nfp"), col("x.fp").as("fp"))
+  }
+
+  /** One-sided winnow probe: every probe doc against a PRECOMPUTED
+    * fingerprint index (the [[Dedup.incrementalMatchesPre]] shape) —
+    * index buckets capped per fingerprint at probe time ordered by
+    * doc_id, so an index maintained by appending equals a from-scratch
+    * rebuild. Returns (doc_id, matched_id, shared_fps, nfp_a, nfp_b),
+    * shared ≥ [[WinnowMinShared]]. */
+  private[graft] def winnowMatches(probe: DataFrame, index: DataFrame)
+      : DataFrame = {
+    val capW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val base = index
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= Buckets.MaxBucket)
+      .select(col("doc_id").as("matched_id"), col("nfp").as("nfp_b"),
+        col("fp"))
+    probe.select(col("doc_id"), col("nfp").as("nfp_a"), col("fp"))
+      .join(base, Seq("fp"))
+      .groupBy(col("doc_id"), col("matched_id"), col("nfp_a"),
+        col("nfp_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+      .select(col("doc_id"), col("matched_id"), col("shared_fps"),
+        col("nfp_a"), col("nfp_b"))
+  }
+
   val q120WinnowFingerprint = QueryDef(
     "q120_winnow_fingerprint",
     s"""WITH sh AS (
@@ -270,29 +322,10 @@ object Recipe {
        |GROUP BY doc_a, doc_b, nfp_a, nfp_b
        |HAVING COUNT(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // let1-bound (see Mirror.let1): the shingle+hash array and the
-    // fingerprint set are each evaluated ONCE per row — without the
-    // binding, CollapseProject inlines the pipeline into every window's
-    // slice() and the evaluator re-hashes the whole document per window
-    // (measured 40×: 4 s for 500 docs at sf0.001). The (fp, nfp) structs
-    // are emitted INSIDE the binding and exploded immediately — Generate
-    // is a real barrier, so the whole per-doc pipeline runs exactly once.
-    val entries = let1(
-      let1(transform(shingleGen(col("text")), s => hash60(s))) { sh =>
-        when(size(sh) >= WinnowW,
-          array_distinct(transform(
-            sequence(lit(1), size(sh) - (WinnowW - 1)),
-            i => array_min(slice(sh, i, lit(WinnowW))))))
-          .otherwise(array(array_min(sh)))
-      }) { fps =>
-      transform(fps, f =>
-        struct(f.as("fp"), size(fps).cast(LongType).as("n")))
-    }
-    val e = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(entries).as("x"))
+    val e = winnowEntries(Tables(spark, dir, "documents"))
       .select(
-        struct(col("doc_id").as("id"), col("x.n").as("n")).as("item"),
-        col("x.fp").as("fp"))
+        struct(col("doc_id").as("id"), col("nfp").as("n")).as("item"),
+        col("fp"))
     Buckets.cappedPairs(e, Seq("fp"), "item", "q120_bucket_cap")
       .groupBy(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
         col("p.a.n").as("nfp_a"), col("p.b.n").as("nfp_b"))
