@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Data-recipe planning operators — the steps a training-data pipeline runs
   * BETWEEN profiling (q76 datasheet, q112 funnel) and materialization (q66
@@ -223,24 +223,6 @@ object Recipe {
   /** Minimum shared fingerprints for a reported candidate pair. */
   private val WinnowMinShared = 2
 
-  /** q120: winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
-    * 2003 — the MOSS local fingerprinting algorithm): hash every 3-word
-    * shingle, slide a [[WinnowW]]-wide window over the hash sequence, and
-    * keep the MINIMUM hash of each window (value-based variant). The
-    * selected set is a ~1/W-density sketch with a GUARANTEE the q19 MinHash
-    * sketch lacks: every sufficiently long shared substring is detected,
-    * not just probably detected — the right tool for overlap/clone
-    * detection as opposed to whole-doc near-dup. Docs sharing ≥
-    * [[WinnowMinShared]] fingerprints are reported with their sketch sizes
-    * (the ingredients of a containment estimate).
-    *
-    * Shape at scale: fingerprinting is a NARROW per-doc array fold (no
-    * explode until the selected ~1/W-density sketch), the inverted index
-    * groups by fingerprint with the [[Buckets.MaxBucket]] cap — bounded
-    * per-task pair work with an observable drop count, the same posture as
-    * every other candidate generator in this engine. Sketch sizes ride the
-    * index entries as struct fields, so no corpus-scale join re-attaches
-    * them. */
   /** One (doc_id, nfp, fp) row per selected winnow fingerprint — the
     * sketch relation shared by the batch pair query (q120) and the
     * streaming ingest probe ([[graft.streaming.WinnowStream]]).
@@ -293,6 +275,24 @@ object Recipe {
         col("nfp_a"), col("nfp_b"))
   }
 
+  /** q120: winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS local fingerprinting algorithm): hash every 3-word
+    * shingle, slide a [[WinnowW]]-wide window over the hash sequence, and
+    * keep the MINIMUM hash of each window (value-based variant). The
+    * selected set is a ~1/W-density sketch with a GUARANTEE the q19 MinHash
+    * sketch lacks: every sufficiently long shared substring is detected,
+    * not just probably detected — the right tool for overlap/clone
+    * detection as opposed to whole-doc near-dup. Docs sharing ≥
+    * [[WinnowMinShared]] fingerprints are reported with their sketch sizes
+    * (the ingredients of a containment estimate).
+    *
+    * Shape at scale: fingerprinting is a NARROW per-doc pass
+    * ([[winnowEntries]] — no explode until the selected ~1/W-density
+    * sketch), the inverted index groups by fingerprint with the
+    * [[Buckets.MaxBucket]] cap — bounded per-task pair work with an
+    * observable drop count, the same posture as every other candidate
+    * generator in this engine. Sketch sizes ride the index entries as
+    * struct fields, so no corpus-scale join re-attaches them. */
   val q120WinnowFingerprint = QueryDef(
     "q120_winnow_fingerprint",
     s"""WITH sh AS (
@@ -435,7 +435,132 @@ object Recipe {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary size for the coverage report (top-K words by corpus
+    * count, ties broken by word order — fully deterministic). */
+  private val VocabK = 256
+
+  /** q122: vocabulary coverage / OOV report — given the top-[[VocabK]]
+    * corpus vocabulary, how much of each source the vocabulary covers:
+    * total tokens, covered tokens, coverage in per-mille, distinct
+    * out-of-vocabulary words, and each source's most frequent OOV word.
+    * The report that decides whether a tokenizer/vocab trained on the
+    * mixture serves every source, BEFORE training it (complements q108's
+    * after-the-fact fertility).
+    *
+    * Shape at scale: token counts collapse via map-side partial
+    * aggregation; the vocabulary is a bounded top-K (orderBy+limit plans
+    * TakeOrderedAndProject — per-partition heaps, k-row merge) and joins
+    * BROADCAST against the per-(source, word) counts; the top-OOV pick
+    * is one WindowGroupLimit-able rank over the OOV slice. */
+  val q122VocabCoverage = QueryDef(
+    "q122_vocab_coverage",
+    s"""WITH t AS (
+       |  SELECT source, w AS word, COUNT(*) AS cnt
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w),
+       |v AS (SELECT word FROM (
+       |    SELECT word, CAST(SUM(cnt) AS BIGINT) AS tot FROM t GROUP BY word
+       |    ORDER BY tot DESC, word LIMIT $VocabK)),
+       |c AS (SELECT t.source, t.word, t.cnt,
+       |    (v.word IS NOT NULL) AS in_vocab
+       |  FROM t LEFT JOIN v ON t.word = v.word),
+       |oov AS (SELECT source, word, cnt,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY cnt DESC, word) AS rn
+       |  FROM c WHERE NOT in_vocab)
+       |SELECT c.source,
+       |  CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c.in_vocab THEN c.cnt ELSE 0 END) AS BIGINT)
+       |    AS covered,
+       |  (SUM(CASE WHEN c.in_vocab THEN c.cnt ELSE 0 END) * 1000)
+       |    // GREATEST(SUM(c.cnt), 1) AS coverage_pm,
+       |  CAST(SUM(CASE WHEN c.in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS oov_words,
+       |  MIN(o.word) AS top_oov
+       |FROM c LEFT JOIN (SELECT source, word FROM oov WHERE rn = 1) o
+       |  ON c.source = o.source
+       |GROUP BY c.source
+       |ORDER BY c.source""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir, "documents")
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val v = t.groupBy(col("word"))
+      .agg(sum(col("cnt")).as("tot"))
+      .orderBy(col("tot").desc, col("word"))
+      .limit(VocabK)
+      .select(col("word"), lit(true).as("in_v"))
+    val c = t.join(broadcast(v), Seq("word"), "left")
+      .withColumn("in_vocab", coalesce(col("in_v"), lit(false)))
+    val topOov = c.filter(!col("in_vocab"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("word").as("top_oov"))
+    c.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_vocab"), col("cnt")).otherwise(0L)).as("covered"),
+        sum(when(col("in_vocab"), lit(0L)).otherwise(1L)).as("oov_words"))
+      .join(topOov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("covered"),
+        expr("(covered * 1000) div greatest(n_tokens, 1L)")
+          .as("coverage_pm"),
+        col("oov_words"), col("top_oov"))
+      .orderBy(col("source"))
+  }
+
+  /** q123: temperature-scaled mixture weights (the UniMax/multilingual
+    * sampling recipe): source sampling probability ∝ tokens^τ with
+    * τ = 0.5 — up-weights small sources without letting any source
+    * dominate. τ = 0.5 is exactly `sqrt`, which IEEE-754 defines
+    * bit-exactly (unlike `pow`/`log`, which vary across libm builds), so
+    * the whole report stays oracle-exact IF the float SUM is ordered:
+    * the normalizer is a RUNNING sum over sources in source order (an
+    * explicit left fold — both engines perform the identical addition
+    * sequence) surfaced per-row via MAX OVER () (max is order-safe).
+    * Planned tokens per source = floor(p · budget) — two deterministic
+    * IEEE ops from exact integers.
+    *
+    * Shape at scale: everything after the per-source rollup runs on
+    * thousands of rows (the q118 posture). */
+  val q123TemperatureMixture = QueryDef(
+    "q123_temperature_mixture",
+    s"""WITH a AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |s AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) // $BudgetDiv AS budget
+       |  FROM a),
+       |c AS (SELECT *, SUM(w) OVER (ORDER BY source
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM s),
+       |n AS (SELECT *, MAX(cum) OVER () AS norm FROM c)
+       |SELECT source, n_tokens, w AS weight, w / norm AS p,
+       |  CAST(FLOOR((w / norm) * CAST(budget AS DOUBLE)) AS BIGINT)
+       |    AS planned_tokens
+       |FROM n
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val wOrd = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast(LongType)).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast(DoubleType)))
+      .withColumn("budget",
+        expr(s"(sum(n_tokens) over ()) div $BudgetDiv"))
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("norm", max(col("cum")).over(wAll))
+      .select(col("source"), col("n_tokens"), col("w").as("weight"),
+        (col("w") / col("norm")).as("p"),
+        floor((col("w") / col("norm")) * col("budget").cast(DoubleType))
+          .cast(LongType).as("planned_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint,
-      q121RecipeManifest)
+      q121RecipeManifest, q122VocabCoverage, q123TemperatureMixture)
 }

@@ -124,10 +124,42 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q122: coverage accounting is consistent and top_oov present " +
+    "exactly when OOV words exist") {
+    val rows = Recipe.q122VocabCoverage.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("coverage_pm") <= 1000L)
+      val hasOov = r.getAs[Long]("oov_words") > 0
+      assert(hasOov == (r.getAs[String]("top_oov") != null),
+        r.getAs[String]("source"))
+    }
+  }
+
+  test("q123: temperature weights normalize, smaller sources get boosted " +
+    "shares, and planning stays inside the budget") {
+    val rows = Recipe.q123TemperatureMixture.fn(spark, sfDir).collect()
+    val pSum = rows.map(_.getAs[Double]("p")).sum
+    assert(math.abs(pSum - 1.0) < 1e-9, s"p sums to $pSum")
+    // τ=0.5 flattens: every source's share of probability must exceed
+    // half its raw token share only when it is SMALL, and overall the
+    // ordering of weights must follow the ordering of token counts
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTokens.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p.head.getAs[Double]("weight") <= p.last.getAs[Double]("weight"))
+    }
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+    assert(planned <= totalTokens / 2, "planned exceeds the budget")
+  }
+
   test("recipe plans: no cartesian products, q119 scoring is a narrow " +
     "fold (no corpus-scale join), q118 windows run post-rollup") {
     Seq(Recipe.q118TokenWaterfill, Recipe.q119DsirImportance,
-      Recipe.q120WinnowFingerprint, Recipe.q121RecipeManifest).foreach { q =>
+      Recipe.q120WinnowFingerprint, Recipe.q121RecipeManifest,
+      Recipe.q122VocabCoverage, Recipe.q123TemperatureMixture).foreach { q =>
       val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
