@@ -41,6 +41,28 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("let1 is semantically transparent: binding never changes values, " +
+    "including nested HOF references") {
+    val gen = Gen.listOfN(60, Gen.listOf(Gen.choose(-50L, 50L)))
+    (1 to 5).foreach { i =>
+      val rows = sample(gen, 300 + i).zipWithIndex
+        .map { case (xs, id) => (id.toLong, xs) }
+      val df = rows.toDF("id", "xs")
+      // body references the bound array three times, once inside a
+      // nested lambda — the pattern let1 exists for (q120's window-min)
+      def body(a: org.apache.spark.sql.Column) =
+        when(size(a) > 0,
+          transform(a, x => x * size(a)).getItem(0) + element_at(a, -1))
+          .otherwise(lit(-999L))
+      val bound = df.select(col("id"),
+          Mirror.let1(col("xs"))(body).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = df.select(col("id"), body(col("xs")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bound == direct, s"case $i")
+    }
+  }
+
   test("connectedComponents equals driver-side union-find on random graphs") {
     val gen = Gen.listOfN(80,
       Gen.zip(Gen.choose(0L, 49L), Gen.choose(0L, 49L)))
