@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
@@ -179,13 +179,24 @@ object Recipe {
        |GROUP BY source, lang
        |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val tok = docs.select(col("lang"),
+    dsirReport(docs.withColumn("imp_pt", dsirImpPt(dsirModel(docs))))
+  }
+
+  /** Train the DSIR score model: per hashed-unigram bucket, the integer
+    * ppm(target) − ppm(raw) score, from the given REFERENCE corpus.
+    * Bounded model state: ≤ [[DsirBuckets]] rows collected, independent
+    * of corpus size (the IVF-centroid precedent); BigInt arithmetic
+    * because count × 10⁶ overflows int64 at 100 TB. Shared by the batch
+    * query (q119) and the streaming scorer
+    * ([[graft.streaming.DsirStream]]). */
+  private[graft] def dsirModel(reference: DataFrame): Array[Long] = {
+    val tok = reference.select(col("lang"),
       explode(words(col("text"))).as("w"))
-      .select(col("lang"), pmod(hash60(col("w")), lit(DsirBuckets.toLong)).as("b"))
+      .select(col("lang"),
+        pmod(hash60(col("w")), lit(DsirBuckets.toLong)).as("b"))
     val counts = tok.groupBy(col("b")).agg(
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
-    // Bounded model state: ≤ DsirBuckets rows, independent of corpus size.
     val rows = counts.collect()
     val totT = math.max(1L, rows.map(_.getAs[Long]("ct")).sum)
     val totR = math.max(1L, rows.map(_.getAs[Long]("cr")).sum)
@@ -195,25 +206,43 @@ object Recipe {
       score(b) = ((BigInt(r.getAs[Long]("ct")) * DsirScale) / totT -
         (BigInt(r.getAs[Long]("cr")) * DsirScale) / totR).toLong
     }
-    val scoreArr = typedLit(score.toSeq)
-    docs
-      .select(col("source"), col("lang"), words(col("text")).as("w"))
-      .select(col("source"), col("lang"),
-        aggregate(col("w"), lit(0L), (acc, t) =>
-          acc + element_at(scoreArr,
-            (pmod(hash60(t), lit(DsirBuckets.toLong)) + 1).cast(IntegerType)))
-          .as("imp"),
-        size(col("w")).cast(LongType).as("n"))
-      .select(col("source"), col("lang"),
-        expr(s"(imp + n * $DsirScale) div n - $DsirScale").as("imp_pt"))
-      .groupBy(col("source"), col("lang"))
+    score
+  }
+
+  /** Integral division as a Column (Spark's `div` operator — truncating,
+    * used here only on non-negative operands where truncation = floor). */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftshim.Bridge.expression(a),
+        org.apache.spark.sql.graftshim.Bridge.expression(b),
+        evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+
+  /** Per-document importance (per-token, shifted-floor exact — see the
+    * q119 scaladoc) over `text`, against a trained [[dsirModel]] riding
+    * the plan as an array literal: a NARROW fold, no join, no shuffle. */
+  private[graft] def dsirImpPt(model: Array[Long]): Column = {
+    val scoreArr = typedLit(model.toSeq)
+    let1(words(col("text"))) { w =>
+      val imp = aggregate(w, lit(0L), (acc, t) =>
+        acc + element_at(scoreArr,
+          (pmod(hash60(t), lit(DsirBuckets.toLong)) + 1).cast(IntegerType)))
+      val n = size(w).cast(LongType)
+      intDiv(imp + n * DsirScale, n) - DsirScale
+    }
+  }
+
+  /** Per-(source, lang) rollup of an `imp_pt` column — q119's report
+    * shape, shared with the streaming scorer so per-epoch reports SUM to
+    * the corpus report (counts and integer sums only). */
+  private[graft] def dsirReport(scored: DataFrame): DataFrame =
+    scored.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("docs"),
         sum(col("imp_pt")).as("sum_imp_pt"),
         min(col("imp_pt")).as("min_imp_pt"),
         max(col("imp_pt")).as("max_imp_pt"),
         sum(when(col("imp_pt") > 0, 1L).otherwise(0L)).as("target_like"))
       .orderBy(col("source"), col("lang"))
-  }
 
   /** Winnowing window width: a fingerprint is guaranteed for every run of
     * [[WinnowW]] consecutive shingles, so any shared substring of
