@@ -176,5 +176,12 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.optimizedPlan.toString
     assert("md5_hash60".r.findAllIn(q120).length == 1, q120)
     assert("shingles3_gen".r.findAllIn(q120).length == 1, q120)
+    // q122's vocabulary must stay a bounded top-K (per-partition heaps +
+    // k-row merge, never a global sort) joined BROADCAST — the two plan
+    // properties that keep it 100 TB-shaped
+    val q122 = Recipe.q122VocabCoverage.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q122.contains("TakeOrderedAndProject"), q122)
+    assert(q122.contains("BroadcastHashJoin"), q122)
   }
 }
