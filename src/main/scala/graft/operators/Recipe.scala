@@ -589,7 +589,96 @@ object Recipe {
       .orderBy(col("source"))
   }
 
+  /** Boilerplate document-frequency threshold, in tenths: a shingle is
+    * boilerplate within a source when it appears in ≥ 3/10 of the
+    * source's documents. */
+  private val BoilerplateTenths = 3L
+
+  /** q124: boilerplate n-gram detection (the C4/RefinedWeb step that
+    * strips repeated headers/footers/navigation before training): a
+    * 3-word shingle is BOILERPLATE within a source when it appears in ≥
+    * 30% of that source's documents — per source, report the distinct
+    * shingle inventory, how many are boilerplate, how many documents
+    * carry at least one, and the most widespread boilerplate shingle.
+    * Cross-doc repetition WITHIN a source is navigation chrome, not
+    * content — exactly what per-doc quality rules (q61/q112) cannot see.
+    *
+    * Shape at scale: one explode of per-doc DISTINCT shingles (document
+    * frequency needs distinct-per-doc anyway, so the multiset never
+    * shuffles), one (source, shingle) count — map-side combinable since
+    * rows are pre-deduped per doc — then the tiny boilerplate slice
+    * semi-joins back to flag affected docs. Threshold arithmetic is
+    * integer cross-multiplication (df·10 ≥ docs·3): no float near the
+    * decision boundary. */
+  val q124Boilerplate = QueryDef(
+    "q124_boilerplate",
+    s"""WITH d AS (
+       |  SELECT source, doc_id, unnest($sqlShingles3) AS sh
+       |  FROM documents),
+       |nd AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       |    AS n_docs
+       |  FROM documents GROUP BY source),
+       |df AS (SELECT source, sh, COUNT(*) AS df
+       |  FROM d GROUP BY source, sh),
+       |bp AS (SELECT df.source, df.sh, df.df
+       |  FROM df JOIN nd ON df.source = nd.source
+       |  WHERE df.df * 10 >= nd.n_docs * $BoilerplateTenths),
+       |top AS (SELECT source, sh, row_number() OVER (PARTITION BY source
+       |    ORDER BY df DESC, sh) AS rn FROM bp),
+       |aff AS (SELECT d.source,
+       |    CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS affected_docs
+       |  FROM d JOIN bp ON d.source = bp.source AND d.sh = bp.sh
+       |  GROUP BY d.source),
+       |inv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+       |  FROM df GROUP BY source),
+       |nbp AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS bp_shingles
+       |  FROM bp GROUP BY source)
+       |SELECT nd.source, nd.n_docs, inv.n_shingles,
+       |  CAST(COALESCE(nbp.bp_shingles, 0) AS BIGINT) AS bp_shingles,
+       |  CAST(COALESCE(aff.affected_docs, 0) AS BIGINT) AS affected_docs,
+       |  t.sh AS top_boilerplate
+       |FROM nd
+       |JOIN inv ON nd.source = inv.source
+       |LEFT JOIN nbp ON nd.source = nbp.source
+       |LEFT JOIN aff ON nd.source = aff.source
+       |LEFT JOIN (SELECT source, sh FROM top WHERE rn = 1) t
+       |  ON nd.source = t.source
+       |ORDER BY nd.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val d = docs.select(col("source"), col("doc_id"),
+      explode(shingles3(col("text"))).as("sh"))
+    val nd = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = d.groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("df"))
+    val bp = df.join(nd, Seq("source"))
+      .filter(col("df") * 10 >= col("n_docs") * BoilerplateTenths)
+      .select(col("source"), col("sh"), col("df"))
+    val top = bp.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("df").desc, col("sh"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("sh").as("top_boilerplate"))
+    val aff = d.join(bp.select(col("source"), col("sh")), Seq("source", "sh"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("affected_docs"))
+    val inv = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val nbp = bp.groupBy(col("source"))
+      .agg(count(lit(1)).as("bp_shingles"))
+    nd.join(inv, Seq("source"))
+      .join(nbp, Seq("source"), "left")
+      .join(aff, Seq("source"), "left")
+      .join(top, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        coalesce(col("bp_shingles"), lit(0L)).as("bp_shingles"),
+        coalesce(col("affected_docs"), lit(0L)).as("affected_docs"),
+        col("top_boilerplate"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint,
-      q121RecipeManifest, q122VocabCoverage, q123TemperatureMixture)
+      q121RecipeManifest, q122VocabCoverage, q123TemperatureMixture,
+      q124Boilerplate)
 }

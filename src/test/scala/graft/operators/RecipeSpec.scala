@@ -155,11 +155,44 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
     assert(planned <= totalTokens / 2, "planned exceeds the budget")
   }
 
+  test("q124: detects injected boilerplate above the 30% threshold and " +
+    "stays silent below it") {
+    import spark.implicits._
+    val header = "subscribe to our newsletter today"
+    // src_bp: header in 2 of 4 docs (50% ≥ 30%); src_ok: 1 of 4 (25% < 30%)
+    // bodies must share NO shingle across docs: every body word carries
+    // the doc id, so only the injected header repeats
+    def doc(id: Long, src: String, withHeader: Boolean): (Long, String, String) =
+      (id, (if (withHeader) header + " " else "") +
+        s"w${id}a w${id}b w${id}c w${id}d w${id}e w${id}f", src)
+    val rows = Seq(
+      doc(1, "src_bp", true), doc(2, "src_bp", true),
+      doc(3, "src_bp", false), doc(4, "src_bp", false),
+      doc(5, "src_ok", true), doc(6, "src_ok", false),
+      doc(7, "src_ok", false), doc(8, "src_ok", false))
+    val dir = java.nio.file.Files.createTempDirectory("boilerplate").toFile
+    dir.deleteOnExit()
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(new java.io.File(dir, "documents.parquet").getPath)
+    val got = Recipe.q124Boilerplate.fn(spark, dir.getPath).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bp = got("src_bp")
+    // the 5-word header yields 3 distinct shingles, each in 2/4 docs
+    assert(bp.getAs[Long]("bp_shingles") >= 3L, bp)
+    assert(bp.getAs[Long]("affected_docs") == 2L, bp)
+    assert(bp.getAs[String]("top_boilerplate") != null)
+    val ok = got("src_ok")
+    assert(ok.getAs[Long]("bp_shingles") == 0L, ok)
+    assert(ok.getAs[Long]("affected_docs") == 0L, ok)
+    assert(ok.getAs[String]("top_boilerplate") == null)
+  }
+
   test("recipe plans: no cartesian products, q119 scoring is a narrow " +
     "fold (no corpus-scale join), q118 windows run post-rollup") {
     Seq(Recipe.q118TokenWaterfill, Recipe.q119DsirImportance,
       Recipe.q120WinnowFingerprint, Recipe.q121RecipeManifest,
-      Recipe.q122VocabCoverage, Recipe.q123TemperatureMixture).foreach { q =>
+      Recipe.q122VocabCoverage, Recipe.q123TemperatureMixture,
+      Recipe.q124Boilerplate).foreach { q =>
       val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
