@@ -141,9 +141,11 @@ object Recipe {
     * first (`(imp + n·Scale) div n − Scale`): per-token scores are ≥
     * −Scale, so the shifted numerator is ≥ 0 and truncation equals floor
     * in both engines. */
-  val q119DsirImportance = QueryDef(
-    "q119_dsir_importance",
-    s"""WITH tok AS (
+  /** DuckDB CTE chain computing per-doc DSIR importance — `p` yields
+    * (doc_id, source, lang, n, imp_pt). Shared by the score report
+    * (q119) and the importance-proportional sampler (q125). */
+  private val sqlDsirDoc: String =
+    s"""tok AS (
        |  SELECT doc_id, source, lang,
        |    ${sqlHash60("w")} % $DsirBuckets AS b
        |  FROM (SELECT doc_id, source, lang,
@@ -166,9 +168,13 @@ object Recipe {
        |    CAST(SUM(s.score) AS BIGINT) AS imp, COUNT(*) AS n
        |  FROM tok t JOIN s USING (b)
        |  GROUP BY t.doc_id, t.source, t.lang),
-       |p AS (SELECT source, lang,
+       |p AS (SELECT doc_id, source, lang, n,
        |    (imp + n * $DsirScale) // n - $DsirScale AS imp_pt
-       |  FROM d)
+       |  FROM d)""".stripMargin
+
+  val q119DsirImportance = QueryDef(
+    "q119_dsir_importance",
+    s"""WITH $sqlDsirDoc
        |SELECT source, lang, COUNT(*) AS docs,
        |  CAST(SUM(imp_pt) AS BIGINT) AS sum_imp_pt,
        |  CAST(MIN(imp_pt) AS BIGINT) AS min_imp_pt,
@@ -677,8 +683,75 @@ object Recipe {
       .orderBy(col("source"))
   }
 
+  /** Sampling-probability clamp bounds, in per-mille. */
+  private val SampleFloorPm = 10L
+  private val SampleCeilPm = 990L
+
+  /** q125: importance-proportional document sampling — DSIR's actual
+    * selection step (q119 scores; this KEEPS documents with probability
+    * proportional to their score). Keep probability in per-mille is the
+    * clamped affine map `500 + imp_pt/4` (target-neutral docs keep at
+    * ~50%, strongly target-like near [[SampleCeilPm]], strongly off-
+    * target near [[SampleFloorPm]] — never 0 or 1000, so every stratum
+    * keeps some mass); the keep DECISION is `hash60(doc_id) mod 1000 <
+    * p` — a pure function of (corpus, doc_id), reproducible across
+    * engines, reruns, and partitionings (the q63/q66 determinism
+    * property, now importance-weighted). Report: per (source, lang)
+    * kept/dropped accounting with kept-token sums.
+    *
+    * Determinism notes: `imp_pt/4` is computed as the SHIFTED floor
+    * `(imp_pt + Scale) div 4 − Scale/4` — imp_pt ≥ −Scale, so the
+    * numerator is non-negative and Spark's truncating `div` equals
+    * DuckDB's flooring `//`. All outputs are counts/integer sums.
+    *
+    * Shape at scale: per-doc scoring is the q119 narrow fold (broadcast
+    * literal model, no join); the decision is another narrow map; the
+    * only shuffle is the tiny per-(source, lang) rollup. */
+  val q125ImportanceSample = QueryDef(
+    "q125_importance_sample",
+    s"""WITH $sqlDsirDoc,
+       |k AS (SELECT source, lang, n, imp_pt,
+       |    GREATEST(LEAST(500 + ((imp_pt + $DsirScale) // 4
+       |      - ${DsirScale / 4}), $SampleCeilPm), $SampleFloorPm) AS p_pm,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 AS roll
+       |  FROM p)
+       |SELECT source, lang, COUNT(*) AS docs,
+       |  CAST(SUM(CASE WHEN roll < p_pm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS kept_docs,
+       |  CAST(SUM(CASE WHEN roll < p_pm THEN n ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST(MIN(p_pm) AS BIGINT) AS min_p_pm,
+       |  CAST(MAX(p_pm) AS BIGINT) AS max_p_pm
+       |FROM k
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(words(col("text"))).cast(LongType).as("n"),
+      dsirImpPt(dsirModel(docs)).as("imp_pt"))
+    scored
+      .withColumn("p_pm",
+        greatest(least(
+          lit(500L) + (intDiv(col("imp_pt") + DsirScale, lit(4L))
+            - (DsirScale / 4)),
+          lit(SampleCeilPm)), lit(SampleFloorPm)))
+      .withColumn("roll",
+        pmod(hash60(col("doc_id").cast(StringType)), lit(1000L)))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("roll") < col("p_pm"), 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(when(col("roll") < col("p_pm"), col("n")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(col("n")).as("total_tokens"),
+        min(col("p_pm")).as("min_p_pm"),
+        max(col("p_pm")).as("max_p_pm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint,
       q121RecipeManifest, q122VocabCoverage, q123TemperatureMixture,
-      q124Boilerplate)
+      q124Boilerplate, q125ImportanceSample)
 }

@@ -187,12 +187,34 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
     assert(ok.getAs[String]("top_boilerplate") == null)
   }
 
+  test("q125: sampling is deterministic, bounded by the clamp, and " +
+    "keeps more of the target language than of the rest") {
+    val rows = Recipe.q125ImportanceSample.fn(spark, sfDir).collect()
+    val again = Recipe.q125ImportanceSample.fn(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("min_p_pm") >= 10L)
+      assert(r.getAs[Long]("max_p_pm") <= 990L)
+    }
+    def keepRate(sel: org.apache.spark.sql.Row => Boolean): Double = {
+      val g = rows.filter(sel)
+      g.map(_.getAs[Long]("kept_docs")).sum.toDouble /
+        g.map(_.getAs[Long]("docs")).sum
+    }
+    // importance-proportional: the target slice must survive sampling at
+    // a higher rate than the off-target slices
+    assert(keepRate(_.getAs[String]("lang") == "en")
+      > keepRate(_.getAs[String]("lang") != "en"))
+  }
+
   test("recipe plans: no cartesian products, q119 scoring is a narrow " +
     "fold (no corpus-scale join), q118 windows run post-rollup") {
     Seq(Recipe.q118TokenWaterfill, Recipe.q119DsirImportance,
       Recipe.q120WinnowFingerprint, Recipe.q121RecipeManifest,
       Recipe.q122VocabCoverage, Recipe.q123TemperatureMixture,
-      Recipe.q124Boilerplate).foreach { q =>
+      Recipe.q124Boilerplate, Recipe.q125ImportanceSample).foreach { q =>
       val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct")
         && !plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
