@@ -92,6 +92,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("bigrams_gen", 1, children)
         BigramGen(children.head)
+      }),
+    (FunctionIdentifier("phash16"),
+      info("phash16",
+        "phash16(text) - 16-bit block-mean perceptual hash over the " +
+          "payload bytes (bit j set iff block j's mean > payload mean)"),
+      (children: Seq[Expression]) => {
+        checkArity("phash16", 1, children)
+        Phash16(children.head)
       }))
 
   /** Register into an already-built session (the extension path only runs

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** Model-based quality classification — the "quality classifier" stage of a
+  * GPT-3/LLaMA-style curation pipeline: train a linear text classifier on a
+  * labeled slice, then score the whole corpus and keep what classifies as
+  * high-quality. Complements the RULE-based q112 funnel (fixed thresholds)
+  * and the UNSUPERVISED q119 DSIR importance (distribution matching) with
+  * the supervised member of the family — and, new to the suite, a proper
+  * train/held-out evaluation loop run entirely inside the engine.
+  *
+  * Reference scope: the reference's only "model" is the hand-written linear
+  * forecast in predict_future_trends (covid_streaming.py:63-109, reused at
+  * :152); it trains nothing. Training + frozen-model scoring is the
+  * LLM-pipeline tier.
+  *
+  * Determinism: labels are integer cross-multiplications of q15's 'good'
+  * thresholds, features are [[Mirror.hash60]]-hashed unigrams, and the
+  * model is the same integer ppm log-odds surrogate as q119 (`ppm(good) −
+  * ppm(bad)` per bucket — log() is not bit-reproducible across libm;
+  * integer ppm differences are). Every compared value is an exact BIGINT.
+  */
+object Classify {
+
+  import Mirror._
+
+  /** Hashed-unigram feature width. Bounded model state: the score table
+    * is ≤ [[ClsBuckets]] rows regardless of corpus size. */
+  private val ClsBuckets = 256
+
+  /** Integer probability scale (parts-per-million). */
+  private val ClsScale = 1000000L
+
+  /** q128: train a hashed-bag-of-words quality classifier on the q53
+    * 'train' split (labels = the integer-exact form of q15's 'good' rule),
+    * score every document with the frozen model, and report the confusion
+    * matrix per split — so the held-out 'valid'/'test' rows measure real
+    * generalization, not training-set recall.
+    *
+    * Shape at scale: training is one exploded token pass collapsing to
+    * [[ClsBuckets]] rows via map-side partial aggregation (the shuffle
+    * moves buckets×tasks rows, not tokens); the collected model re-enters
+    * the plan as an array literal, so scoring is a NARROW per-row fold —
+    * no join, no shuffle — and the report is a tiny (split × 2 × 2)
+    * rollup. Driver-side model arithmetic is BigInt: token-count × 10⁶
+    * overflows int64 at 100 TB. Negative score sums are shifted
+    * non-negative before the per-token division (Spark `div` truncates,
+    * DuckDB `//` floors; they differ exactly on negatives). */
+  val q128QualityClassifier = QueryDef(
+    "q128_quality_classifier",
+    s"""WITH l2 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+       |         THEN 'train'
+       |         WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+       |         THEN 'valid' ELSE 'test' END AS split,
+       |    (CAST(len($sqlWords) AS BIGINT) >= 20
+       |     AND ${TextAnalysis.sqlCountIn(TextAnalysis.stopEn)} * 20
+       |         >= CAST(len($sqlWords) AS BIGINT)
+       |     AND ${TextAnalysis.sqlCountIn(TextAnalysis.stopEn)} * 2
+       |         <= CAST(len($sqlWords) AS BIGINT)) AS label_good
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, split, label_good,
+       |    ${sqlHash60("w")} % $ClsBuckets AS b
+       |  FROM (SELECT doc_id, split, label_good,
+       |          unnest(string_split(text, ' ')) AS w
+       |        FROM l2)),
+       |tr AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cg,
+       |    CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS cb
+       |  FROM tok WHERE split = 'train' GROUP BY b),
+       |tot AS (
+       |  SELECT GREATEST(CAST(SUM(cg) AS BIGINT), 1) AS tg,
+       |         GREATEST(CAST(SUM(cb) AS BIGINT), 1) AS tb
+       |  FROM tr),
+       |s AS (
+       |  SELECT b, (cg * $ClsScale) // tg - (cb * $ClsScale) // tb AS score
+       |  FROM tr, tot),
+       |d AS (
+       |  SELECT t.doc_id, t.split, t.label_good,
+       |    CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS imp,
+       |    COUNT(*) AS n
+       |  FROM tok t LEFT JOIN s USING (b)
+       |  GROUP BY t.doc_id, t.split, t.label_good),
+       |p AS (
+       |  SELECT split, label_good,
+       |    (imp + n * $ClsScale) // n - $ClsScale AS score_pt
+       |  FROM d)
+       |SELECT split, label_good, score_pt > 0 AS pred_good,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(score_pt) AS BIGINT) AS min_score_pt,
+       |  CAST(MAX(score_pt) AS BIGINT) AS max_score_pt
+       |FROM p GROUP BY split, label_good, pred_good
+       |ORDER BY split, label_good, pred_good""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), splitCol.as("split"),
+        labelGood.as("label_good"))
+    val model = trainModel(docs.filter(col("split") === "train"))
+    docs
+      .withColumn("score_pt", scorePt(model))
+      .groupBy(col("split"), col("label_good"),
+        (col("score_pt") > 0).as("pred_good"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_pt")).as("min_score_pt"),
+        max(col("score_pt")).as("max_score_pt"))
+      .orderBy(col("split"), col("label_good"), col("pred_good"))
+  }
+
+  /** q53's split convention (hash60(doc_id) % 100 → 80/10/10). */
+  private def splitCol: Column = {
+    val bucket = hash60(col("doc_id").cast(StringType)) % 100
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+  }
+
+  /** Integer-exact form of q15's 'good' rule: ≥20 tokens and stopword
+    * ratio in [0.05, 0.5] — `stops/n ≥ 1/20` as `stops·20 ≥ n`, so the
+    * label needs no float division. */
+  private def labelGood: Column = {
+    val w = words(col("text"))
+    val n = size(w).cast(LongType)
+    val stops = TextAnalysis.countIn(w, TextAnalysis.stopEn)
+    n >= 20 && stops * 20 >= n && stops * 2 <= n
+  }
+
+  /** Train the per-bucket score table from a LABELED training slice.
+    * Bounded model state (≤ [[ClsBuckets]] rows collected — the q119
+    * [[Recipe]] precedent); BigInt because count × 10⁶ overflows int64 at
+    * 100 TB. */
+  private[graft] def trainModel(train: DataFrame): Array[Long] = {
+    val tok = train.select(col("label_good"),
+      explode(words(col("text"))).as("w"))
+      .select(col("label_good"),
+        pmod(hash60(col("w")), lit(ClsBuckets.toLong)).as("b"))
+    val counts = tok.groupBy(col("b")).agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+      sum(when(col("label_good"), 0L).otherwise(1L)).as("cb"))
+    val rows = counts.collect()
+    val tg = math.max(1L, rows.map(_.getAs[Long]("cg")).sum)
+    val tb = math.max(1L, rows.map(_.getAs[Long]("cb")).sum)
+    val score = Array.fill[Long](ClsBuckets)(0L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("b").toInt
+      score(b) = ((BigInt(r.getAs[Long]("cg")) * ClsScale) / tg -
+        (BigInt(r.getAs[Long]("cb")) * ClsScale) / tb).toLong
+    }
+    score
+  }
+
+  /** Per-document per-token score against a frozen model riding the plan
+    * as an array literal — a NARROW fold over the token array, no join.
+    * Shifted-floor exact: per-token scores are ≥ −[[ClsScale]], so the
+    * shifted numerator is non-negative and truncation equals floor. */
+  private[graft] def scorePt(model: Array[Long]): Column = {
+    val scoreArr = typedLit(model.toSeq)
+    let1(words(col("text"))) { w =>
+      val imp = aggregate(w, lit(0L), (acc, t) =>
+        acc + element_at(scoreArr,
+          (pmod(hash60(t), lit(ClsBuckets.toLong)) + 1).cast(IntegerType)))
+      val n = size(w).cast(LongType)
+      intDiv(imp + n * ClsScale, n) - ClsScale
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q128QualityClassifier)
+}

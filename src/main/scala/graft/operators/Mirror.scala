@@ -108,6 +108,17 @@ object Mirror {
   def let1(bound: Column)(body: Column => Column): Column =
     element_at(transform(array(bound), body), 1)
 
+  /** Integral division as a Column (Spark's `div` operator — truncating;
+    * use only where the numerator is non-negative, where truncation =
+    * DuckDB's flooring `//`). Usable inside HOF lambdas, where `expr()`
+    * strings cannot reference lambda variables. */
+  def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftshim.Bridge.expression(a),
+        org.apache.spark.sql.graftshim.Bridge.expression(b),
+        evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+
   /** Whitespace tokens. Single-space split, trailing empties kept — matches
     * DuckDB string_split semantics exactly. */
   def words(text: Column): Column = split(text, " ")

@@ -30,10 +30,10 @@ object TextAnalysis {
   private def sqlInList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def countIn(w: Column, ws: Seq[String]): Column =
+  private[operators] def countIn(w: Column, ws: Seq[String]): Column =
     size(filter(w, x => x.isInCollection(ws))).cast(LongType)
 
-  private def sqlCountIn(ws: Seq[String]): String =
+  private[operators] def sqlCountIn(ws: Seq[String]): String =
     s"CAST(len(list_filter($sqlWords, w -> w IN ${sqlInList(ws)})) AS BIGINT)"
 
   /** Token counting (whitespace + a BPE-ish regex segmentation) + per-doc

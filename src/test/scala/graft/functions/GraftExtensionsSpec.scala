@@ -41,6 +41,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(1) == viaCol)
   }
 
+  test("phash16 is callable from SQL and equals the Column-API expression") {
+    GraftExtensions.registerInto(spark)
+    val t = "zzzzaaaa" * 8
+    val r = spark.sql(s"SELECT phash16('$t') AS p").collect().head
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1)
+      .select(Phash16(lit(t))).collect().head.getLong(0)
+    assert(r.getLong(0) == viaCol)
+  }
+
   test("bigrams_gen is callable from SQL and a text pipeline runs in pure SQL") {
     GraftExtensions.registerInto(spark)
     val r = spark.sql("SELECT bigrams_gen('a b c') AS bg").collect().head

@@ -372,6 +372,23 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("native Phash16 equals the declarative spec on ASCII input, " +
+    "edge cases included") {
+    val edge = Seq("a", "ab", "a" * 15, "a" * 16, "a" * 17,
+      ("zzzz" + "aaaa") * 8, "the quick brown fox!" * 5)
+      .toDF("text")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    Seq(edge, docs).foreach { df =>
+      val rows = df.select(
+        graft.functions.Phash16(col("text")).as("native"),
+        Multimodal.phashSpec(col("text")).as("spec")).collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), r.toString)
+      }
+    }
+  }
+
   test("q99 sweep on ZERO verified pairs: est_recall is NULL, never NaN " +
     "(cross-engine degenerate-input parity)") {
     val empty = Seq.empty[(Long, Long, Double)]

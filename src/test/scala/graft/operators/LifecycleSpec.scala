@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant + plan-shape coverage for the corpus-lifecycle diff (q126),
+  * the perceptual-hash media clustering (q127), and the trained quality
+  * classifier (q128). Value-level oracle parity is the driver gate's job
+  * (DuckDB, `tools/check.py`); these pin the properties the oracle can't
+  * express: diff-class accounting against independently-derived snapshot
+  * sizes, detection of a CONSTRUCTED perceptual near-dup that exact
+  * hashing scatters, held-out generalization on a separable corpus, and
+  * the no-join scoring plan.
+  */
+class LifecycleSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q126: diff classes reconcile with independently-computed " +
+    "snapshot sizes") {
+    val rows = Lifecycle.q126SnapshotDiff.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val added = rows.map(_.getAs[Long]("n_added")).sum
+    val removed = rows.map(_.getAs[Long]("n_removed")).sum
+    val changed = rows.map(_.getAs[Long]("n_changed")).sum
+    val unchanged = rows.map(_.getAs[Long]("n_unchanged")).sum
+
+    // Derive the membership predicates independently (same q53-style
+    // hashes) and check |old| and |new| against the class sums.
+    val base = graft.Tables(spark, sfDir, "documents").select(
+      (Mirror.hash60(col("doc_id").cast("string")) % 10).as("h"),
+      (Mirror.hash60b(col("doc_id").cast("string")) % 4).as("h2"))
+    val nOld = base.filter(col("h") < 8).count()
+    val nNew = base.filter(col("h") >= 2).count()
+    val nBothEdited = base.filter(col("h") >= 2 && col("h") < 8 &&
+      col("h2") === 0).count()
+    assert(removed + changed + unchanged == nOld)
+    assert(added + changed + unchanged == nNew)
+    // an edited doc's fp is md5(fp||':rev2') — never equal to fp, so
+    // every carried-over edited doc classifies as changed, no more no less
+    assert(changed == nBothEdited)
+  }
+
+  test("q127: groups a constructed transposition near-dup (same block " +
+    "sums, different md5) and not an unrelated payload; plan is " +
+    "join-free and explode-free") {
+    val dir = Files.createTempDirectory("lifecycle-spec").toFile
+      .getAbsolutePath
+    import spark.implicits._
+    val baseText = ("abcdefgh" * 8) // 64 chars, 16 blocks of 4
+    // transposing two chars INSIDE one block preserves that block's byte
+    // sum => identical phash, different exact fingerprint
+    val nearDup = baseText.updated(0, 'b').updated(1, 'a')
+    assert(nearDup != baseText)
+    val unrelated = "zzzzyyyy" + ("aaaabbbb" * 7) // different bit pattern
+    Seq(
+      (0L, baseText, "en", "src0", baseText.length),
+      (1L, nearDup, "en", "src0", nearDup.length),
+      (2L, unrelated, "en", "src0", unrelated.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.q127MediaPhash.fn(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getAs[Long]("n_files") == 2)
+    assert(rows.head.getAs[Long]("n_payloads") == 2,
+      "near-dup group must collapse two DISTINCT exact payloads")
+    assert(rows.head.getAs[Long]("first_doc") == 0L)
+
+    val plan = Multimodal.q127MediaPhash.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Generate"), plan)
+  }
+
+  test("q127: a small byte-value edit inside the block-mean margin keeps " +
+    "the phash — the perceptual tolerance md5 lacks") {
+    val dir = Files.createTempDirectory("lifecycle-spec2").toFile
+      .getAbsolutePath
+    import spark.implicits._
+    // alternating high ('z') and low ('a') blocks of 4 => every bit has a
+    // wide margin; nudging one byte by 1 ('z'->'y') cannot cross it
+    val t = ("zzzz" + "aaaa") * 8 // 64 chars, blocks of 4
+    val edited = t.updated(1, 'y')
+    assert(edited != t)
+    Seq((0L, t, "en", "src0", t.length),
+      (1L, edited, "en", "src0", edited.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.q127MediaPhash.fn(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_files") == 2 &&
+      rows.head.getAs[Long]("n_payloads") == 2, rows.mkString(";"))
+  }
+
+  test("q128: perfect held-out separation on a vocabulary-disjoint " +
+    "corpus; scoring plan is join-free") {
+    val dir = Files.createTempDirectory("lifecycle-spec3").toFile
+      .getAbsolutePath
+    import spark.implicits._
+    // good docs: 24 tokens, 50% stopwords  -> label_good = true
+    // bad docs: 10 tokens, disjoint vocab  -> label_good = false (too short)
+    val good = Array.fill(12)("the cat").mkString(" ")
+    val bad = Array.fill(5)("zq xv").mkString(" ")
+    (0L until 200L).map { i =>
+      if (i % 2 == 0) (i, good, "en", "src0", good.length)
+      else (i, bad, "en", "src0", bad.length)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Classify.q128QualityClassifier.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every (split, label) row predicts the label itself — including the
+    // held-out valid/test splits: the model generalizes off the train set
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pred_good") == r.getAs[Boolean]("label_good"),
+        r.toString)
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+    // all three splits must actually appear (the hash split covered both
+    // classes in each) for the generalization claim to mean anything
+    assert(rows.map(_.getAs[String]("split")).toSet ==
+      Set("train", "valid", "test"))
+
+    val plan = Classify.q128QualityClassifier.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q128: training is deterministic and model state is bounded") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        lit("train").as("split"),
+        (length(col("text")) % 2 === 0).as("label_good"))
+    val m1 = Classify.trainModel(docs)
+    val m2 = Classify.trainModel(docs)
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.length == 256)
+  }
+}
