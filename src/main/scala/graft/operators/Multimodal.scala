@@ -189,6 +189,73 @@ object Multimodal {
       .orderBy(col("phash"))
   }
 
+  /** Signature-space Hamming adjacency for the perceptual hash — q127
+    * clusters only EXACT signature equality; a lightly-edited copy whose
+    * edit crosses one block-mean margin lands one bit away and q127 never
+    * groups it. This report counts, for every occupied signature, the
+    * files sitting at Hamming distance EXACTLY 1 — the merge candidates a
+    * media-dedup pass should union-find into q127's clusters.
+    *
+    * Shape at scale — the new pattern here: the neighbor join runs in
+    * SIGNATURE space, not row space. The corpus collapses to a ≤2^16-row
+    * (phash, count) table first (map-side partial agg); each signature
+    * explodes to its 16 single-bit flips and equi-joins the counts table
+    * back — ≤2^16 × 16 probe rows against a BROADCAST build side,
+    * regardless of corpus size. An all-pairs Hamming join in row space
+    * at 100 TB is quadratic; this is O(2^16·16) always. (The 4-bit-band
+    * pigeonhole alternative degenerates here: 16-value bands give
+    * corpus-scale buckets.) */
+  val q129PhashAdjacency = QueryDef(
+    "q129_phash_adjacency",
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(strlen(text) AS BIGINT) AS L,
+       |    list_transform(range($PhashBlocks), j ->
+       |      COALESCE(list_sum(list_transform(
+       |        range((j * CAST(strlen(text) AS BIGINT)) // $PhashBlocks + 1,
+       |              ((j + 1) * CAST(strlen(text) AS BIGINT)) // $PhashBlocks
+       |                + 1),
+       |        i -> ascii(substr(text, CAST(i AS BIGINT), 1)))), 0)) AS bs
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range($PhashBlocks), j ->
+       |      CASE WHEN bs[CAST(j + 1 AS BIGINT)] * L >
+       |                list_sum(bs) * (((j + 1) * L) // $PhashBlocks
+       |                                - (j * L) // $PhashBlocks)
+       |           THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT)
+       |      AS phash
+       |  FROM b),
+       |cnt AS (SELECT phash, COUNT(*) AS n FROM c GROUP BY phash),
+       |fl AS (
+       |  SELECT cnt.phash, cnt.n,
+       |    xor(cnt.phash, CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |      AS nbr_hash
+       |  FROM cnt, range($PhashBlocks) t(j)),
+       |adj AS (
+       |  SELECT fl.phash, fl.n, COALESCE(SUM(c2.n), 0) AS nbr_files
+       |  FROM fl LEFT JOIN cnt c2 ON c2.phash = fl.nbr_hash
+       |  GROUP BY fl.phash, fl.n)
+       |SELECT phash, CAST(n AS BIGINT) AS n_files,
+       |  CAST(nbr_files AS BIGINT) AS nbr_files
+       |FROM adj WHERE nbr_files > 0 ORDER BY phash""".stripMargin) {
+    (spark, dir) =>
+    val cnt = Tables(spark, dir, "documents")
+      .select(graft.functions.Phash16(col("text")).as("phash"))
+      .groupBy(col("phash")).agg(count(lit(1)).as("n_files"))
+    val nbr = cnt.select(col("phash").as("nbr_hash"),
+      col("n_files").as("n2"))
+    cnt
+      .select(col("phash"), col("n_files"),
+        explode(sequence(lit(0), lit(PhashBlocks - 1))).as("j"))
+      .withColumn("nbr_hash", expr("phash ^ shiftleft(1L, j)"))
+      .join(broadcast(nbr), Seq("nbr_hash"), "left_outer")
+      .groupBy(col("phash"), col("n_files"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("nbr_files"))
+      .filter(col("nbr_files") > 0)
+      .orderBy(col("phash"))
+  }
+
   /** Declarative specification of [[graft.functions.Phash16]] (the
     * executable spec the native expression is tested against — the
     * ShingleGen/SimHash precedent). [[Mirror.let1]] binds length, the
@@ -221,7 +288,8 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q31MediaMeta, q32FrameSample, q77ChunkDedup, q127MediaPhash)
+    Seq(q31MediaMeta, q32FrameSample, q77ChunkDedup, q127MediaPhash,
+      q129PhashAdjacency)
 }
 
 /** Typed media pipeline: the production-shaped decode/resize path. */

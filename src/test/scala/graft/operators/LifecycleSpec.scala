@@ -93,6 +93,35 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
       rows.head.getAs[Long]("n_payloads") == 2, rows.mkString(";"))
   }
 
+  test("q129: counts Hamming-1 signature neighbors; join is broadcast " +
+    "over the signature-space table") {
+    val dir = Files.createTempDirectory("lifecycle-spec4").toFile
+      .getAbsolutePath
+    import spark.implicits._
+    val a = ("zzzz" + "aaaa") * 8
+    val b = "zzzz" + "zzzz" + ("zzzz" + "aaaa") * 7 // block 1 flipped high
+    Seq((0L, a, "en", "src0", a.length), (1L, b, "en", "src0", b.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // validate the construction: signatures differ in exactly one bit
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.functions.Phash16(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) == 1,
+      s"fixture must be Hamming-1 apart, got ${sigs.toSeq}")
+    val rows = Multimodal.q129PhashAdjacency.fn(spark, dir).collect()
+    assert(rows.length == 2, rows.mkString(";"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 1)
+      assert(r.getAs[Long]("nbr_files") == 1, r.toString)
+    }
+
+    val plan = Multimodal.q129PhashAdjacency.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q128: perfect held-out separation on a vocabulary-disjoint " +
     "corpus; scoring plan is join-free") {
     val dir = Files.createTempDirectory("lifecycle-spec3").toFile
