@@ -101,5 +101,216 @@ object Lifecycle {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q126SnapshotDiff)
+  /** Shared SCD2 derivation for q130/q131: four simulated crawl snapshots
+    * (s = 0..3) of `documents`, collapsed into validity segments.
+    *
+    * Simulation (pure functions of doc_id, so both engines derive identical
+    * snapshots): doc d is PRESENT in snapshot s iff
+    * hash60(d:'mem':s) % 10 < 8 (independent ~80% membership per snapshot,
+    * so some docs have gaps), and d's content is EDITED at snapshot s ≥ 1
+    * iff hash60b(d:'rev':s) % 3 = 0. The content version v(d,s) = number of
+    * edits at t ≤ s (edits happen in the source system whether or not the
+    * crawl saw the doc), and the fingerprint at version v is md5 chained v
+    * times from md5(text).
+    *
+    * SCD2 collapse: per doc, order the PRESENT observations by s; a new
+    * validity segment starts when the fingerprint changed or the membership
+    * has a gap (s > prev_s + 1 — the doc left and came back, which must not
+    * fuse with the earlier segment even if content is unchanged). Segment id
+    * is the running count of starts; segments aggregate to
+    * [valid_from, valid_to] + fp.
+    *
+    * Shape at scale: the ×4 snapshot explode happens AFTER text collapses
+    * to a 32-byte md5, so the exploded relation is (doc_id, source, fp,
+    * hashes) — never text. Both window passes partition by doc_id (primary
+    * key: even hash distribution, ≤4 rows per key, constant state), so this
+    * is one shuffle by doc_id end-to-end and the window never needs a
+    * global sort. At 100 TB the same plan holds: snapshot count is a small
+    * constant and per-key work is O(snapshots).
+    */
+  private[operators] def scd2Segments(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("fp0"))
+      .select(col("*"), explode(sequence(lit(0), lit(3))).as("s"))
+      .withColumn("present",
+        hash60(concat(col("doc_id").cast(StringType), lit(":mem:"),
+          col("s").cast(StringType))) % 10 < 8)
+      .withColumn("edited",
+        col("s") >= 1 &&
+          hash60b(concat(col("doc_id").cast(StringType), lit(":rev:"),
+            col("s").cast(StringType))) % 3 === 0)
+    val wAll = Window.partitionBy("doc_id").orderBy("s")
+    val versioned = obs
+      .withColumn("v",
+        sum(when(col("edited"), 1L).otherwise(0L)).over(wAll))
+      // fp at version v = md5 chained v times from fp0 (v ≤ 3, so the
+      // chain unrolls to a constant expression — no recursion needed)
+      .withColumn("fp",
+        when(col("v") === 0, col("fp0"))
+          .when(col("v") === 1, md5(concat(col("fp0"), lit(":r")).cast("binary")))
+          .when(col("v") === 2,
+            md5(concat(md5(concat(col("fp0"), lit(":r")).cast("binary")),
+              lit(":r")).cast("binary")))
+          .otherwise(
+            md5(concat(md5(concat(md5(concat(col("fp0"), lit(":r"))
+              .cast("binary")), lit(":r")).cast("binary")), lit(":r"))
+              .cast("binary"))))
+      .filter(col("present"))
+    val wSeen = Window.partitionBy("doc_id").orderBy("s")
+    versioned
+      .withColumn("new_seg",
+        when(lag(col("fp"), 1).over(wSeen).isNull, 1L)
+          .when(col("fp") =!= lag(col("fp"), 1).over(wSeen), 1L)
+          .when(col("s") =!= lag(col("s"), 1).over(wSeen) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("new_seg")).over(wSeen))
+      .groupBy(col("doc_id"), col("source"), col("seg"), col("fp"))
+      .agg(min(col("s")).as("valid_from"), max(col("s")).as("valid_to"))
+  }
+
+  /** DuckDB mirror of [[scd2Segments]] as a WITH-clause body producing
+    * the same (doc_id, source, seg, fp, valid_from, valid_to) relation. */
+  private val sqlScd2Segments: String = {
+    val id = "CAST(o.doc_id AS VARCHAR)"
+    s"""obs AS (
+       |  SELECT o.doc_id, o.source, md5(o.text) AS fp0, s.s,
+       |    ${sqlHash60(s"concat($id, ':mem:', CAST(s.s AS VARCHAR))")} % 10 < 8
+       |      AS present,
+       |    s.s >= 1 AND
+       |      ${sqlHash60b(s"concat($id, ':rev:', CAST(s.s AS VARCHAR))")} % 3 = 0
+       |      AS edited
+       |  FROM documents o CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+       |ver AS (
+       |  SELECT doc_id, source, s, present,
+       |    SUM(CASE WHEN edited THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s) AS v, fp0
+       |  FROM obs),
+       |fps AS (
+       |  SELECT doc_id, source, s,
+       |    CASE WHEN v = 0 THEN fp0
+       |         WHEN v = 1 THEN md5(fp0 || ':r')
+       |         WHEN v = 2 THEN md5(md5(fp0 || ':r') || ':r')
+       |         ELSE md5(md5(md5(fp0 || ':r') || ':r') || ':r') END AS fp
+       |  FROM ver WHERE present),
+       |marked AS (
+       |  SELECT doc_id, source, s, fp,
+       |    CASE WHEN lag(fp) OVER w IS NULL THEN 1
+       |         WHEN fp <> lag(fp) OVER w THEN 1
+       |         WHEN s <> lag(s) OVER w + 1 THEN 1
+       |         ELSE 0 END AS new_seg
+       |  FROM fps WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+       |segs AS (
+       |  SELECT doc_id, source, fp,
+       |    SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY s) AS seg, s
+       |  FROM marked),
+       |scd2 AS (
+       |  SELECT doc_id, source, seg, fp,
+       |    MIN(s) AS valid_from, MAX(s) AS valid_to
+       |  FROM segs GROUP BY doc_id, source, seg, fp)""".stripMargin
+  }
+
+  /** q130: SCD2 history build. Collapses the 4-snapshot observation stream
+    * into validity segments ([[scd2Segments]]) and reports, per source, the
+    * corpus's version-churn profile: docs observed, total segments, docs
+    * whose history has more than one segment, and the longest per-doc
+    * segment chain. This is the slowly-changing-dimension build step a
+    * recrawled corpus needs before any point-in-time query can be answered.
+    */
+  val q130Scd2History = QueryDef(
+    "q130_scd2_history",
+    s"""WITH $sqlScd2Segments,
+       |per_doc AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_segs
+       |  FROM scd2 GROUP BY doc_id, source)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_segs) AS BIGINT) AS n_segments,
+       |  CAST(SUM(CASE WHEN n_segs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_multiseg_docs,
+       |  CAST(MAX(n_segs) AS BIGINT) AS max_segments
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+      scd2Segments(spark, dir)
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_segs"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_segs")).as("n_segments"),
+          sum(when(col("n_segs") > 1, 1L).otherwise(0L))
+            .as("n_multiseg_docs"),
+          max(col("n_segs")).as("max_segments"))
+        .orderBy(col("source"))
+  }
+
+  /** q131: point-in-time lookup against the SCD2 segments. A deterministic
+    * probe set (every doc with hash60(doc_id:'pit') % 7 = 0, asking about
+    * snapshot t = hash60b(doc_id:'pit') % 4) joins the segment table on
+    * doc_id with the containment predicate valid_from ≤ t ≤ valid_to; a
+    * miss means the doc was not in the crawl at t. Per source: probes,
+    * hits, misses, and an order-free checksum over the fingerprints the
+    * lookup returned (sum of hash60(fp) mod 1e6 — proves the VALUES
+    * resolved, not just the counts).
+    *
+    * Shape at scale: the join key is the primary key (even distribution,
+    * ≤4 segments per doc, so fan-out is bounded); the range predicate
+    * prunes post-join without a second shuffle. Both sides partition by
+    * doc_id — at production scale with both tables bucketed by doc_id the
+    * lookup is shuffle-free. */
+  val q131PitLookup = QueryDef(
+    "q131_pit_lookup",
+    s"""WITH $sqlScd2Segments,
+       |probes AS (
+       |  SELECT doc_id, source,
+       |    ${sqlHash60b("concat(CAST(doc_id AS VARCHAR), ':pit')")} % 4 AS t
+       |  FROM documents
+       |  WHERE ${sqlHash60("concat(CAST(doc_id AS VARCHAR), ':pit')")} % 7 = 0),
+       |looked AS (
+       |  SELECT p.source, p.doc_id,
+       |    s.fp AS fp
+       |  FROM probes p LEFT JOIN scd2 s
+       |    ON p.doc_id = s.doc_id
+       |   AND s.valid_from <= p.t AND p.t <= s.valid_to)
+       |SELECT source,
+       |  COUNT(*) AS n_probes,
+       |  CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_misses,
+       |  CAST(SUM(CASE WHEN fp IS NULL THEN 0
+       |    ELSE ${sqlHash60("fp")} % 1000000 END) AS BIGINT) AS fp_checksum
+       |FROM looked GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+      // Rename the segment side's key before joining: both inputs derive
+      // from the same documents scan, and distinct names keep the join
+      // condition unambiguous under Spark's self-join resolution.
+      val segs = scd2Segments(spark, dir)
+        .select(col("doc_id").as("s_doc_id"), col("fp"),
+          col("valid_from"), col("valid_to"))
+      val probes = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          hash60(concat(col("doc_id").cast(StringType), lit(":pit")))
+            .as("hp"),
+          hash60b(concat(col("doc_id").cast(StringType), lit(":pit")))
+            .as("hp2"))
+        .filter(col("hp") % 7 === 0)
+        .select(col("doc_id"), col("source"), (col("hp2") % 4).as("t"))
+      probes.join(segs,
+          col("doc_id") === col("s_doc_id") &&
+            col("valid_from") <= col("t") && col("t") <= col("valid_to"),
+          "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          sum(when(col("fp").isNull, 1L).otherwise(0L)).as("n_misses"),
+          sum(when(col("fp").isNull, 0L)
+            .otherwise(hash60(col("fp")) % 1000000)).as("fp_checksum"))
+        .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q126SnapshotDiff, q130Scd2History, q131PitLookup)
 }
