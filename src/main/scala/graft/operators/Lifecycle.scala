@@ -160,8 +160,21 @@ object Lifecycle {
               .cast("binary")), lit(":r")).cast("binary")), lit(":r"))
               .cast("binary"))))
       .filter(col("present"))
+    collapse(versioned)
+  }
+
+  /** The SCD2 collapse alone: observations (doc_id, source, s, fp) →
+    * validity segments (doc_id, source, seg, fp, valid_from, valid_to).
+    * Factored out of [[scd2Segments]] so the streaming maintenance twin
+    * ([[graft.streaming.Scd2Stream]]) can be proven equivalent to the
+    * batch build over arbitrary observation sets, not just the q130
+    * simulation. One shuffle by doc_id; per-key window state is bounded
+    * by the doc's observation count. */
+  private[graft] def collapse(obs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wSeen = Window.partitionBy("doc_id").orderBy("s")
-    versioned
+    obs
       .withColumn("new_seg",
         when(lag(col("fp"), 1).over(wSeen).isNull, 1L)
           .when(col("fp") =!= lag(col("fp"), 1).over(wSeen), 1L)
