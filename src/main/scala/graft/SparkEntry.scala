@@ -13,7 +13,8 @@ object SparkEntry {
       operators.Pipeline.all ++ operators.Multimodal.all ++
       operators.Extended.all ++ operators.Reshape.all ++
       operators.Stats.all ++ operators.Corpus.all ++ operators.Quality.all ++
-      operators.Recipe.all ++ operators.Lifecycle.all ++ operators.Classify.all
+      operators.Recipe.all ++ operators.Lifecycle.all ++
+      operators.Classify.all ++ operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
