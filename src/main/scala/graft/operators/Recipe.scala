@@ -508,8 +508,8 @@ object Recipe {
        |  CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
        |  CAST(SUM(CASE WHEN c.in_vocab THEN c.cnt ELSE 0 END) AS BIGINT)
        |    AS covered,
-       |  (SUM(CASE WHEN c.in_vocab THEN c.cnt ELSE 0 END) * 1000)
-       |    // GREATEST(SUM(c.cnt), 1) AS coverage_pm,
+       |  CAST((SUM(CASE WHEN c.in_vocab THEN c.cnt ELSE 0 END) * 1000)
+       |    // GREATEST(SUM(c.cnt), 1) AS BIGINT) AS coverage_pm,
        |  CAST(SUM(CASE WHEN c.in_vocab THEN 0 ELSE 1 END) AS BIGINT)
        |    AS oov_words,
        |  MIN(o.word) AS top_oov
