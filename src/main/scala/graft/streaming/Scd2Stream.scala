@@ -7,90 +7,140 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming SCD2 maintenance — the incremental form of the batch history
   * build (q130, [[graft.operators.Lifecycle.scd2Segments]]): each
-  * micro-batch is one crawl epoch's observations (doc_id, source, fp), and
+  * micro-batch carries crawl-epoch observations (doc_id, source, fp), and
   * the maintained state is the slowly-changing-dimension segment table
   * {doc_id, source, fp, valid_from, valid_to}. An arriving observation
   * EXTENDS the doc's latest open segment when the fingerprint is unchanged
-  * and the epochs are contiguous, and OPENS a new segment when the content
-  * changed or the doc skipped an epoch (the q130 gap rule — a doc that left
-  * and came back must not fuse across the hole). Fingerprinting is the
-  * caller's concern (pass md5(text) or any stable digest): maintenance is
-  * independent of how content is summarized. (Reference scope: the
-  * reference has no versioned state at all — each run overwrites the
-  * previous aggregate, covid_streaming.py:200-226.)
+  * and the snapshots are contiguous, and OPENS a new segment when the
+  * content changed or the doc skipped a snapshot (the q130 gap rule — a doc
+  * that left and came back must not fuse across the hole). Fingerprinting
+  * is the caller's concern (pass md5(text) or any stable digest):
+  * maintenance is independent of how content is summarized. (Reference
+  * scope: the reference has no versioned state at all — each run overwrites
+  * the previous aggregate, covid_streaming.py:200-226.)
   *
   * State layout at scale (the [[StreamingDedup]] discipline): NO streaming
   * state store — segments live as parquet partitioned by writer epoch under
   * `stateDir/segments`. A segment that keeps extending is re-asserted each
-  * epoch as a superseding row with the same `valid_from` and a larger
+  * snapshot as a superseding row with the same `valid_from` and a larger
   * `valid_to`; [[resolve]] folds supersessions with one groupBy
   * (max(valid_to) per (doc_id, valid_from)) — so writes are append-shaped
   * (no read-modify-write of old partitions, the only layout that scales on
-  * an object store) and the fold is a primary-key aggregation. A replayed
-  * epoch probes only EARLIER partitions and overwrites its own, keeping the
-  * table exactly-once under at-least-once foreachBatch. Every join/agg here
-  * keys on doc_id (even hash distribution, bounded per-key work); rows
-  * carry ids + 32-byte fps only, never text.
+  * an object store) and the fold is a primary-key aggregation. Every
+  * join/agg here keys on doc_id (even hash distribution, bounded per-key
+  * work); rows carry ids + 32-byte fps only, never text.
   *
-  * Epoch semantics: the foreachBatch epoch id IS the crawl-snapshot number
-  * (contiguity is judged on it), so one checkpoint lineage = one snapshot
-  * clock, exactly like the batch build's `s` column.
+  * Per-batch probe cost is O(batch + open set), NOT O(history): the open-
+  * segment probe filters `valid_to = snap - 1` — a closed or gapped segment
+  * influences the merge identically to an absent one (both "open new"), so
+  * only last-snapshot assertions need to be read, and the pushed filter
+  * prunes older epoch partitions at the parquet row-group level (each
+  * partition's valid_to max is its own epoch). The same row-level predicate
+  * is the replay guard: a redelivered batch's own rows carry
+  * `valid_to = snap` and are invisible to the probe NO MATTER which
+  * partition they sit in — in particular after [[compactState]] folded them
+  * into the compacted generation — so the epoch's overwrite stays
+  * exactly-once under at-least-once foreachBatch.
+  *
+  * Snapshot clock: by default the foreachBatch epoch id IS the crawl-
+  * snapshot number (one checkpoint lineage = one snapshot clock, exactly
+  * like the batch build's `s` column). That default is only sound when the
+  * trigger delivers exactly one snapshot per micro-batch: a spurious EMPTY
+  * batch still advances the epoch clock and gap-breaks every open segment
+  * at the next delivery (a conservative split, never a wrong fuse — and the
+  * empty batch itself is skipped without writing a partition). When the
+  * observations carry their own snapshot number, pass it as `snapCol` and
+  * the clock fragility disappears: contiguity is judged on the data itself
+  * (epochId remains only the idempotent partition name), empty batches are
+  * harmless, a snapshot split across micro-batches keeps its number, and a
+  * batch spanning several snapshots is processed in ascending snapshot
+  * order with intra-batch visibility.
   */
 object Scd2Stream {
 
-  /** Starts maintenance over a stream with columns (doc_id, source, fp).
+  /** Starts maintenance over a stream with columns (doc_id, source, fp)
+    * plus, when `snapCol` is set, the snapshot-number column it names.
     * `publish` (optional hook) receives per epoch the maintenance report
-    * (n_extended, n_opened) before the epoch's rows are committed. */
-  def start(observations: DataFrame, stateDir: String, checkpoint: String)(
+    * (n_extended, n_opened) AFTER the epoch's rows are committed; like the
+    * state write it is at-least-once — a crash between the parquet commit
+    * and the checkpoint commit re-fires it, so consumers must key reports
+    * by the epoch id (the state table itself stays exactly-once). */
+  def start(observations: DataFrame, stateDir: String, checkpoint: String,
+      snapCol: Option[String] = None)(
       publish: (Long, Long, Long) => Unit = (_, _, _) => ()): StreamingQuery = {
     val spark = observations.sparkSession
     val root = s"$stateDir/segments"
     observations.writeStream
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        val entries = batch.select(col("doc_id"), col("source"), col("fp"))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
-        val hasState = fs.exists(new Path(root)) &&
-          fs.listStatus(new Path(root)).nonEmpty
-        // Latest open segment per doc from all EARLIER epochs: fold
-        // supersessions per (doc_id, valid_from), then keep the segment
-        // with the highest valid_from per doc. Both steps are doc_id-keyed
-        // aggregations — no window, no skew.
-        val open =
-          if (!hasState)
-            entries.limit(0).select(col("doc_id"),
-              lit(0L).as("o_vf"), lit(0L).as("o_vt"), col("fp").as("o_fp"))
-          else spark.read.parquet(root)
-            .filter(col("epoch") =!= epochId) // replay: own rows invisible
-            .groupBy(col("doc_id"), col("valid_from"))
-            .agg(max(struct(col("valid_to"), col("fp"))).as("s"))
-            .groupBy(col("doc_id"))
-            .agg(max(struct(col("valid_from"), col("s.valid_to"),
-              col("s.fp"))).as("t"))
-            .select(col("doc_id"), col("t.valid_from").as("o_vf"),
-              col("t.valid_to").as("o_vt"), col("t.fp").as("o_fp"))
-        val merged = entries.join(open, Seq("doc_id"), "left_outer")
-          .withColumn("extends",
-            col("o_fp").isNotNull && col("o_fp") === col("fp") &&
-              col("o_vt") === lit(epochId - 1))
-          .select(col("doc_id"), col("source"), col("fp"),
-            when(col("extends"), col("o_vf")).otherwise(lit(epochId))
-              .as("valid_from"),
-            lit(epochId).as("valid_to"),
-            col("extends"))
-        merged.persist() // report + state write both scan the merge
+        val entries = batch.select(col("doc_id"), col("source"), col("fp"),
+          snapCol.map(c => col(c).cast("long")).getOrElse(lit(epochId))
+            .as("snap"))
+        entries.persist()
+        val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](entries)
         try {
-          val counts = merged.groupBy()
-            .agg(sum(when(col("extends"), 1L).otherwise(0L)),
-              sum(when(col("extends"), 0L).otherwise(1L)))
-            .collect()
-          val (ext, opened) =
-            if (counts.isEmpty || counts.head.isNullAt(0)) (0L, 0L)
-            else (counts.head.getLong(0), counts.head.getLong(1))
-          publish(epochId, ext, opened)
-          merged.drop("extends").write.mode("overwrite")
-            .parquet(s"$root/epoch=$epochId")
-        } finally { merged.unpersist(); () }
+          // One bounded pull: the batch's distinct snapshot numbers
+          // (scalar under the one-snapshot-per-batch contract; a short
+          // ascending list when a backlog merges snapshots into one batch).
+          val snaps = entries.select(col("snap")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          if (snaps.nonEmpty) { // empty batch: don't consume the clock
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+            val hasState = fs.exists(new Path(root)) &&
+              fs.listStatus(new Path(root)).nonEmpty
+            val stored =
+              if (hasState) spark.read.parquet(root)
+                .select(col("doc_id"), col("fp"),
+                  col("valid_from"), col("valid_to"))
+              else entries.limit(0).select(col("doc_id"), col("fp"),
+                lit(0L).as("valid_from"), lit(0L).as("valid_to"))
+            // Fold snapshots in order; earlier snapshots' output rows are
+            // visible to later ones (acc), so a split/merged delivery
+            // derives the same segments as one-batch-per-snapshot.
+            var acc = entries.limit(0).select(col("doc_id"), col("source"),
+              col("fp"), lit(0L).as("valid_from"), lit(0L).as("valid_to"))
+            var (ext, opened) = (0L, 0L)
+            snaps.foreach { snap =>
+              // Latest open segment per doc: ONLY rows asserted at snap-1
+              // matter (closed/gapped segments merge identically to absent
+              // ones), which both bounds the scan to the open set and
+              // hides a replayed epoch's own rows (valid_to = snap). The
+              // supersession fold is kept for defense; post-filter it sees
+              // at most one row per doc.
+              val open = stored.unionByName(
+                  acc.select(col("doc_id"), col("fp"),
+                    col("valid_from"), col("valid_to")))
+                .filter(col("valid_to") === lit(snap - 1))
+                .groupBy(col("doc_id"))
+                .agg(max(struct(col("valid_from"), col("valid_to"),
+                  col("fp"))).as("t"))
+                .select(col("doc_id"), col("t.valid_from").as("o_vf"),
+                  col("t.valid_to").as("o_vt"), col("t.fp").as("o_fp"))
+              val merged = entries.filter(col("snap") === lit(snap))
+                .join(open, Seq("doc_id"), "left_outer")
+                .withColumn("extends",
+                  col("o_fp").isNotNull && col("o_fp") === col("fp"))
+                .select(col("doc_id"), col("source"), col("fp"),
+                  when(col("extends"), col("o_vf")).otherwise(lit(snap))
+                    .as("valid_from"),
+                  lit(snap).as("valid_to"),
+                  col("extends"))
+              merged.persist() // report + union + state write all scan it
+              pinned += merged
+              val counts = merged.groupBy()
+                .agg(sum(when(col("extends"), 1L).otherwise(0L)),
+                  sum(when(col("extends"), 0L).otherwise(1L)))
+                .collect()
+              if (counts.nonEmpty && !counts.head.isNullAt(0)) {
+                ext += counts.head.getLong(0)
+                opened += counts.head.getLong(1)
+              }
+              acc = acc.unionByName(merged.drop("extends"))
+            }
+            acc.write.mode("overwrite").parquet(s"$root/epoch=$epochId")
+            publish(epochId, ext, opened) // after commit: at-least-once
+          }
+        } finally { pinned.foreach(_.unpersist()); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -111,7 +161,10 @@ object Scd2Stream {
   /** Offline small-files maintenance ([[StreamingDedup.compactEpochs]]).
     * Superseded segment rows are distinct rows and survive compaction;
     * [[resolve]]'s fold is unaffected — the probe and the resolved table
-    * read identically across a compaction boundary. */
+    * read identically across a compaction boundary, and the open-segment
+    * probe's row-level `valid_to` guard keeps a replayed epoch correct
+    * even when compaction already folded its rows into the compacted
+    * generation. */
   def compactState(spark: SparkSession, stateDir: String): Unit =
     StreamingDedup.compactEpochs(spark, s"$stateDir/segments")
 }

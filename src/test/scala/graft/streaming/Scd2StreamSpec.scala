@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable.ArrayBuffer
 
 final case class Scd2Obs(doc_id: Long, source: String, fp: String)
+final case class Scd2SnapObs(doc_id: Long, source: String, fp: String,
+    snap: Long)
 
 /** Streaming SCD2 maintenance ([[Scd2Stream]]): equivalence with the
   * batch collapse AND an independent imperative model over the same
@@ -123,5 +125,64 @@ class Scd2StreamSpec extends AnyFunSuite with SparkTestSession {
     // NOTE: a fresh checkpoint restarts epochs at 0, so epoch-3 delivery
     // is not expressible post-compaction in this harness; what matters is
     // the fold over the compacted generation stayed identical.
+  }
+
+  // ---- snapCol mode: the clock lives in the data, not the trigger ----
+
+  private def runSnap(dir: java.nio.file.Path, ckpt: String,
+      bs: Seq[Seq[Scd2SnapObs]]): Unit = {
+    val stream = MemoryStream[Scd2SnapObs](spark)
+    val q = Scd2Stream.start(stream.toDF(),
+      dir.resolve("state").toString, dir.resolve(ckpt).toString,
+      snapCol = Some("snap"))()
+    try bs.foreach { b =>
+      stream.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  private def snapBatches: Seq[Seq[Scd2SnapObs]] =
+    batches.zipWithIndex.map { case (b, s) =>
+      b.map(o => Scd2SnapObs(o.doc_id, o.source, o.fp, s.toLong)) }
+
+  test("snapCol: one batch per snapshot equals the imperative model, and " +
+    "an injected EMPTY batch does not gap-break open segments") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-snap")
+    val bs = snapBatches
+    // empty delivery between snapshots 1 and 2: shifts the epoch clock,
+    // must not shift the snapshot clock
+    runSnap(dir, "ckpt", Seq(bs(0), bs(1), Seq.empty, bs(2), bs(3)))
+    assert(resolved(dir) == expectedSegs,
+      "empty micro-batch broke snapshot contiguity")
+  }
+
+  test("snapCol: a backlog batch carrying TWO snapshots derives the same " +
+    "segments (intra-batch visibility, ascending order)") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-multi")
+    val bs = snapBatches
+    runSnap(dir, "ckpt", Seq(bs(0), bs(1) ++ bs(2), bs(3)))
+    assert(resolved(dir) == expectedSegs,
+      "merged snapshot delivery diverged from one-per-batch")
+  }
+
+  test("snapCol: redelivery AFTER compaction folded the uncommitted " +
+    "epoch is idempotent (row-level replay guard)") {
+    // The round-10 advice scenario: the last epoch's parquet committed but
+    // the checkpoint didn't, offline compaction folded those rows into the
+    // compacted generation, then the batch is redelivered. The epoch-
+    // partition filter alone would see the batch's own rows as prior state
+    // (valid_to == snap fails contiguity) and open duplicate overlapping
+    // segments; the valid_to < snap probe guard must hide them.
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-compact-replay")
+    val bs = snapBatches
+    runSnap(dir, "ckpt1", Seq(bs(0), bs(1), bs(2)))
+    val before = resolved(dir)
+    Scd2Stream.compactState(spark, dir.resolve("state").toString)
+    runSnap(dir, "ckpt2", Seq(bs(2))) // redelivered under a fresh lineage
+    assert(resolved(dir) == before,
+      "post-compaction redelivery changed the resolved table")
+    // and the table can still extend correctly afterwards
+    runSnap(dir, "ckpt3", Seq(bs(3)))
+    assert(resolved(dir) == expectedSegs)
   }
 }
