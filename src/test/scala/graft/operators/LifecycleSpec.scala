@@ -274,8 +274,71 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
     assert(!p131.contains("CartesianProduct"), p131)
     // text must collapse to md5 before the snapshot explode: no `text`
     // reference may survive above the scan's immediate projection. The
-    // executed plan prints the generate/window inputs — assert the
-    // exploded relation carries fingerprints, not text.
-    assert(p130.contains("Generate explode"), p130)
+    // Generate node's printed argument list IS the set of columns that
+    // cross the ×4 explode — assert it carries the fingerprint and not
+    // text (a contains("Generate explode") alone would pass even if full
+    // text were exploded ×4).
+    val genLine = p130.linesIterator.find(_.contains("Generate explode"))
+    assert(genLine.isDefined, p130)
+    assert(genLine.get.contains("fp0"), genLine.get)
+    assert(!genLine.get.contains("text#"),
+      s"document text crosses the snapshot explode: ${genLine.get}")
+  }
+
+  test("q126 production shape: snapshots stored bucketed by doc_id diff " +
+    "with NO exchange on either join side") {
+    // The Scaladoc at Lifecycle.q126SnapshotDiff claims "writing both
+    // snapshots bucketed by doc_id makes the diff shuffle-free" — this
+    // materializes the two snapshot relations exactly that way and holds
+    // the plan to it: a bucketed-scan full-outer SortMergeJoin whose only
+    // exchange is the tiny per-source rollup.
+    val base = graft.Tables(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"),
+      (Mirror.hash60(col("doc_id").cast("string")) % 10).as("h"),
+      (Mirror.hash60b(col("doc_id").cast("string")) % 4).as("h2"),
+      md5(col("text").cast("binary")).as("fp"))
+    base.filter(col("h") < 8)
+      .select(col("doc_id"), col("source").as("o_source"),
+        col("fp").as("o_fp"))
+      .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("snap_old_bkt")
+    base.filter(col("h") >= 2)
+      .select(col("doc_id"), col("source").as("n_source"),
+        when(col("h2") === 0, md5(concat(col("fp"), lit(":rev2"))
+          .cast("binary"))).otherwise(col("fp")).as("n_fp"))
+      .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("snap_new_bkt")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = spark.table("snap_old_bkt")
+        .join(spark.table("snap_new_bkt"), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("o_source"), col("n_source")).as("source"),
+          when(col("o_fp").isNull, "added")
+            .when(col("n_fp").isNull, "removed")
+            .when(col("o_fp") =!= col("n_fp"), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val rows = diff.collect()
+      assert(rows.nonEmpty)
+      // cross-check against the unbucketed q126 totals
+      val q126 = Lifecycle.q126SnapshotDiff.fn(spark, sfDir).collect()
+      val want = q126.map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_added") + r.getAs[Long]("n_removed") +
+          r.getAs[Long]("n_changed") + r.getAs[Long]("n_unchanged"))).toMap
+      assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+      val plan = diff.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"diff join must be shuffle-free (1 rollup exchange only):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS snap_old_bkt")
+      spark.sql("DROP TABLE IF EXISTS snap_new_bkt")
+    }
   }
 }
