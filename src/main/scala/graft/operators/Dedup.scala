@@ -34,7 +34,7 @@ object Dedup {
   private val NumHashes = 16
   private val Bands = 4
   private val Rows = 4
-  private val JaccardThreshold = 0.5
+  private[operators] val JaccardThreshold = 0.5
 
   /** Exact dedup with deterministic survivor (min doc_id per key) + group
     * size — the scalable groupBy form of dropDuplicates (reference A2,

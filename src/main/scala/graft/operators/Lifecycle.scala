@@ -324,6 +324,149 @@ object Lifecycle {
         .orderBy(col("source"))
   }
 
+  /** q133: incremental corpus build — the batch twin of the
+    * RecrawlStream→StreamingDedup ingest path, composing three standalone
+    * operators into the one report an incremental materialization runs
+    * from ("process the delta, not the world"):
+    *
+    *   1. DELTA (q126's classifier): the recrawl's added / changed /
+    *      carried sets, from the same membership hashes (hid = old iff
+    *      hid%10<8, new iff ≥2 → carried 2-7, added ≥8, removed <2; a
+    *      carried doc is `changed` iff hid2%4=0);
+    *   2. DEDUP GATE (q72's one-sided probe): only genuinely NEW docs
+    *      (added) probe the retained corpus's LSH index — an added doc
+    *      whose best verified Jaccard ≥ threshold is a near-dup of an
+    *      existing doc and is dropped. Changed docs bypass the probe:
+    *      they REPLACE their own prior version in place (this simulation's
+    *      edits preserve token counts, so their inventory contribution is
+    *      already the base's);
+    *   3. MANIFEST UPDATE (q121's inventory + q118's waterfill): the
+    *      after-update funnel-kept token inventory per source =
+    *      base (carried) + surviving added, and the single-round
+    *      equal-quota allocation over it.
+    *
+    * Output per source: delta accounting (n_added / n_changed / n_dup /
+    * n_added_kept), the before/after token inventories, and the refreshed
+    * allocation — integer-exact end to end, so the oracle checks the
+    * COMPOSITION, not just each stage.
+    *
+    * Shape at scale: the probe is linear in the DELTA (band signatures of
+    * added docs equi-join the persisted capped index — q72's shape); the
+    * per-doc funnel metrics are needed only for the delta in production
+    * (the base inventory is additive state carried in the previous
+    * manifest — recomputed here solely so DuckDB can check it from cold
+    * parquet); the waterfill windows run on a sources-sized relation.
+    * Nothing in the composition rescans retained text at delta time. */
+  val q133IncrementalBuild = QueryDef(
+    "q133_incremental_build",
+    s"""WITH ${Dedup.sqlSigBands},
+       |${Quality.sqlFunnelMetrics},
+       |mem AS (SELECT doc_id, source,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 10 AS hid,
+       |    ${sqlHash60b("CAST(doc_id AS VARCHAR)")} % 4 AS hid2
+       |  FROM documents),
+       |ibase AS (SELECT b.doc_id, b.band_idx, b.band_hash,
+       |    row_number() OVER (PARTITION BY b.band_idx, b.band_hash
+       |                       ORDER BY b.doc_id) AS rn
+       |  FROM bands b JOIN mem USING (doc_id)
+       |  WHERE mem.hid BETWEEN 2 AND 7),
+       |inewb AS (SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM bands b JOIN mem USING (doc_id) WHERE mem.hid >= 8),
+       |icand AS (SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS base_id
+       |  FROM inewb n JOIN ibase s
+       |    ON s.band_idx = n.band_idx AND s.band_hash = n.band_hash
+       |   AND s.rn <= ${Buckets.MaxBucket}),
+       |ijc AS (SELECT c.new_id,
+       |    CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))
+       |      AS DOUBLE) AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+       |  FROM icand c
+       |  JOIN sh sa ON sa.doc_id = c.new_id
+       |  JOIN sh sb ON sb.doc_id = c.base_id),
+       |idup AS (SELECT DISTINCT new_id FROM ijc
+       |  WHERE inter / (tot - inter) >= ${Dedup.JaccardThreshold}),
+       |keepm AS (SELECT m.doc_id, m.source, m.n_words, mem.hid, mem.hid2,
+       |    (${Quality.sqlKeepExpr}) AS keep
+       |  FROM m JOIN mem USING (doc_id)),
+       |binv AS (SELECT source,
+       |    CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
+       |      AS base_tokens,
+       |    CAST(SUM(CASE WHEN hid2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_changed
+       |  FROM keepm WHERE hid BETWEEN 2 AND 7 GROUP BY source),
+       |aadd AS (SELECT k.source,
+       |    COUNT(*) AS n_added,
+       |    CAST(SUM(CASE WHEN d.new_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup,
+       |    CAST(SUM(CASE WHEN d.new_id IS NULL AND k.keep THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_added_kept,
+       |    CAST(SUM(CASE WHEN d.new_id IS NULL AND k.keep THEN k.n_words
+       |      ELSE 0 END) AS BIGINT) AS added_tokens
+       |  FROM keepm k LEFT JOIN idup d ON k.doc_id = d.new_id
+       |  WHERE k.hid >= 8 GROUP BY k.source),
+       |tot AS (SELECT s.source,
+       |    COALESCE(a.n_added, 0) AS n_added,
+       |    COALESCE(b.n_changed, 0) AS n_changed,
+       |    COALESCE(a.n_dup, 0) AS n_dup,
+       |    COALESCE(a.n_added_kept, 0) AS n_added_kept,
+       |    COALESCE(b.base_tokens, 0) AS base_tokens,
+       |    COALESCE(a.added_tokens, 0) AS added_tokens,
+       |    COALESCE(b.base_tokens, 0) + COALESCE(a.added_tokens, 0)
+       |      AS total_tokens
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  LEFT JOIN binv b ON s.source = b.source
+       |  LEFT JOIN aadd a ON s.source = a.source)
+       |SELECT source, n_added, n_changed, n_dup, n_added_kept,
+       |  base_tokens, added_tokens, total_tokens,
+       |  LEAST(total_tokens,
+       |    (CAST(SUM(total_tokens) OVER () AS BIGINT) // 2)
+       |      // CAST(COUNT(*) OVER () AS BIGINT)) AS alloc_tokens
+       |FROM tot ORDER BY source""".stripMargin) { (spark, dir) =>
+    val withHid = Tables(spark, dir, "documents")
+      .withColumn("hid", hash60(col("doc_id").cast(StringType)) % 10)
+    // removed docs (hid < 2) take no part in the after-update corpus:
+    // filter them before any per-doc work
+    val live = withHid.filter(col("hid") >= 2)
+    val dups = Dedup.incrementalMatches(
+        live.filter(col("hid") >= 8), live.filter(col("hid") <= 7))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val m = Quality.funnelMetrics(live)
+      .withColumn("hid", hash60(col("doc_id").cast(StringType)) % 10)
+      .withColumn("hid2", hash60b(col("doc_id").cast(StringType)) % 4)
+      .withColumn("keep", Quality.keepAll)
+    val binv = m.filter(col("hid") <= 7)
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), col("n_words")).otherwise(0L))
+          .as("base_tokens"),
+        sum(when(col("hid2") === 0, 1L).otherwise(0L)).as("n_changed"))
+    val aadd = m.filter(col("hid") >= 8)
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_added"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("is_dup").isNull && col("keep"), 1L).otherwise(0L))
+          .as("n_added_kept"),
+        sum(when(col("is_dup").isNull && col("keep"), col("n_words"))
+          .otherwise(0L)).as("added_tokens"))
+    Tables(spark, dir, "documents").select(col("source")).distinct()
+      .join(binv, Seq("source"), "left")
+      .join(aadd, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_added_kept"), lit(0L)).as("n_added_kept"),
+        coalesce(col("base_tokens"), lit(0L)).as("base_tokens"),
+        coalesce(col("added_tokens"), lit(0L)).as("added_tokens"))
+      .withColumn("total_tokens", col("base_tokens") + col("added_tokens"))
+      .withColumn("alloc_tokens",
+        least(col("total_tokens"),
+          expr("((sum(total_tokens) over ()) div 2L)" +
+            " div (count(1) over ())")))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q126SnapshotDiff, q130Scd2History, q131PitLookup)
+    Seq(q126SnapshotDiff, q130Scd2History, q131PitLookup,
+      q133IncrementalBuild)
 }

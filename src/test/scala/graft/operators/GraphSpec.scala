@@ -68,4 +68,79 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  private def h60b(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(15, 30), 16)
+
+  /** Imperative q134: sink-aware graph + per-round dangling-mass
+    * redistribution. Returns (final ranks, per-round ideal-vs-actual mass
+    * loss, edge count, dangling count). */
+  private def modelDangling(n: Int)
+      : (Array[Long], Seq[Long], Long, Int) = {
+    val out = Array.fill(n)(List.empty[Int])
+    (0 until n).foreach { d =>
+      if (h60b(s"$d:sink") % 5 != 0) {
+        (1 to 3).foreach { k =>
+          val t = (h60(s"$d:link:$k") % n).toInt
+          if (t != d) out(d) = t :: out(d)
+        }
+      }
+    }
+    val nEdges = out.map(_.size.toLong).sum
+    val dangling = (0 until n).filter(out(_).isEmpty)
+    var r = Array.fill(n)(1000000L)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to 5).foreach { _ =>
+      val dangSum = dangling.map(r(_)).sum
+      val share = dangSum * 17L / (20L * n)
+      val next = Array.fill(n)(150000L + share)
+      (0 until n).foreach { d =>
+        val deg = out(d).size
+        if (deg > 0) {
+          val c = (r(d) * 17) / (deg * 20)
+          out(d).foreach(t => next(t) += c)
+        }
+      }
+      // ideal damped total vs the integer-floored actual
+      val ideal = n * 150000L + r.sum * 17L / 20L
+      r = next
+      losses += (ideal - r.sum)
+    }
+    (r, losses.toSeq, nEdges, dangling.size)
+  }
+
+  test("q134: distributed ranks equal the sink-aware imperative model's " +
+    "top-100; dangling mass is redistributed, not leaked") {
+    val n = graft.Tables.metaCount(spark, sfDir, "documents").toInt
+    val (r, losses, nEdges, nDang) = modelDangling(n)
+    // the fixture must exercise the term: ~20% sinks, none trivial
+    assert(nDang > n / 10, s"only $nDang dangling nodes of $n")
+    val expTop = (0 until n).map(d => (r(d), d.toLong))
+      .sortBy { case (rank, d) => (-rank, d) }.take(100)
+      .map { case (rank, d) => (d, rank) }
+    val got = Graph.q134PagerankDangling.fn(spark, sfDir).collect()
+      .map(row => (row.getAs[Long]("doc_id"), row.getAs[Long]("rank_micro")))
+      .toSeq
+    assert(got == expTop,
+      s"first diff: ${got.zip(expTop).find(p => p._1 != p._2)}")
+    // MASS CONSERVATION: each round's loss vs the ideal damped total is
+    // only floor truncation — strictly less than one micro-unit per edge
+    // (contribution floors) plus one per node (share floor). q132's leak
+    // is the ENTIRE dangling mass (~20% of the graph's rank) instead.
+    losses.foreach { loss =>
+      assert(loss >= 0 && loss < nEdges + n,
+        s"round loss $loss outside floor bound ${nEdges + n}")
+    }
+    // and the redistribution is material: the q132-style leak per round
+    // (0.85 × dangling mass ≈ 0.17 × total) dwarfs the floor bound
+    assert(losses.max < n * 150000L / 100,
+      "losses should be floor-sized, not dangling-mass-sized")
+  }
+
+  test("q134 plan: bounded TakeOrdered head, no cartesian product") {
+    val plan = Graph.q134PagerankDangling.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -341,4 +341,63 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
       spark.sql("DROP TABLE IF EXISTS snap_new_bkt")
     }
   }
+
+  test("q133: the composition's counts tie to the standalone operators " +
+    "it composes (q126 delta, q72-style probe, q112/q121 inventory)") {
+    val rows = Lifecycle.q133IncrementalBuild.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.nonEmpty)
+
+    // 1. delta accounting == q126's classifier (same membership hashes)
+    val q126 = Lifecycle.q126SnapshotDiff.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_added"), r.getAs[Long]("n_changed"))).toMap
+    rows.foreach { case (src, r) =>
+      val (a, c) = q126(src)
+      assert(r.getAs[Long]("n_added") == a, s"$src n_added")
+      assert(r.getAs[Long]("n_changed") == c, s"$src n_changed")
+    }
+
+    // 2. the dedup gate == a directly-run one-sided probe over the split
+    val withHid = graft.Tables(spark, sfDir, "documents")
+      .withColumn("hid",
+        Mirror.hash60(col("doc_id").cast("string")) % 10)
+    val live = withHid.filter(col("hid") >= 2)
+    val matches = Dedup.incrementalMatches(
+      live.filter(col("hid") >= 8), live.filter(col("hid") <= 7))
+    val dupBySrc = matches
+      .join(live.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_dup") == dupBySrc.getOrElse(src, 0L),
+        s"$src n_dup")
+    }
+    // the gate must be non-trivial in the fixture: some dups, some kept
+    assert(rows.values.map(_.getAs[Long]("n_dup")).sum > 0)
+    assert(rows.values.map(_.getAs[Long]("n_added_kept")).sum > 0)
+
+    // 3. base inventory == the funnel ROLLUP's kept tokens over the
+    //    carried docs (funnelReport is the sequential-rule path — an
+    //    independent formulation of the same keep decision)
+    val baseKept = Quality.funnelReport(
+        Quality.funnelMetrics(live.filter(col("hid") <= 7)))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("kept_tokens")).toMap
+    rows.foreach { case (src, r) =>
+      assert(r.getAs[Long]("base_tokens") == baseKept.getOrElse(src, 0L),
+        s"$src base_tokens")
+    }
+
+    // 4. waterfill invariants (q118's single round): per-source cap and
+    //    a common uncapped quota
+    val totals = rows.values.map(_.getAs[Long]("total_tokens")).toSeq
+    val quota = totals.sum / 2 / rows.size
+    rows.values.foreach { r =>
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val total = r.getAs[Long]("total_tokens")
+      assert(alloc == math.min(total, quota),
+        s"${r.getAs[String]("source")} alloc")
+    }
+  }
 }
