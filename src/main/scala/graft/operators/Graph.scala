@@ -150,7 +150,7 @@ object Graph {
     *
     * Shape at scale: identical to q132 — two id+long shuffles per round,
     * edges materialized once, lineage truncation per round, TakeOrdered
-    * top-100 — plus one tiny aggregation jobs per round for the scalar. */
+    * top-100 — plus one tiny aggregation job per round for the scalar. */
   val q134PagerankDangling = QueryDef(
     "q134_pagerank_dangling", {
       val contribJoin = (prev: String) =>

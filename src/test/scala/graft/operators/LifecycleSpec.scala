@@ -400,4 +400,15 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
         s"${r.getAs[String]("source")} alloc")
     }
   }
+
+  test("q133 plan: no cartesian product, and the probe's candidate join " +
+    "runs on the band-hash equi-keys (delta-linear, never all-pairs)") {
+    val df = Lifecycle.q133IncrementalBuild.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the LSH candidate join must be keyed on (band_idx, band_hash) —
+    // the shape that stays an equi-join at 100 TB
+    assert(plan.contains("band_hash"), plan)
+    assert(df.collect().nonEmpty)
+  }
 }
