@@ -51,12 +51,90 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * empty batch itself is skipped without writing a partition). When the
   * observations carry their own snapshot number, pass it as `snapCol` and
   * the clock fragility disappears: contiguity is judged on the data itself
-  * (epochId remains only the idempotent partition name), empty batches are
-  * harmless, a snapshot split across micro-batches keeps its number, and a
-  * batch spanning several snapshots is processed in ascending snapshot
-  * order with intra-batch visibility.
+  * (epochId becomes only part of the idempotent partition name), empty
+  * batches are harmless, a snapshot split across micro-batches keeps its
+  * number, and a batch spanning several snapshots is processed in ascending
+  * snapshot order with intra-batch visibility.
+  *
+  * Checkpoint lineages: epochId restarts at 0 under a fresh checkpoint, so
+  * partition names derived from it alone collide across lineages — the
+  * exact recovery pattern "restart with a new checkpoint" would clobber an
+  * existing `epoch=0` partition and silently lose segments. Each lineage
+  * therefore writes at `epoch = base + epochId`, where `base` is assigned
+  * ONCE per lineage (max existing epoch + 1, persisted in a
+  * `_lineage_<md5(checkpoint)>` marker so same-lineage restarts reuse it
+  * and replayed epochs still overwrite their own partition). A redelivery
+  * under a fresh lineage then lands in a FRESH partition as duplicate
+  * rows — which the row-level `valid_to` probe guard hides from the merge
+  * and [[resolve]]'s supersession fold collapses, and which the next
+  * [[compactState]]'s `.distinct()` physically removes.
+  *
+  * Clock regression guard: a batch carrying a snapshot number BELOW the
+  * max `valid_to` already stored would be processed as if new and could
+  * assert overlapping segments for the same doc. Each batch therefore
+  * fails fast unless `min(snap) >= stored clock`, where the clock is a
+  * one-line `_snap_clock` file maintained alongside the state (O(1) to
+  * check — the per-batch probe stays O(batch + open set), never a history
+  * scan). Equality is allowed: an at-least-once redelivery re-carries the
+  * LAST processed snapshot, must be byte-identical to the original
+  * delivery (the standard replay contract), and is idempotent via the
+  * probe guard. The clock is written AFTER the epoch commits, so a crash
+  * between the two leaves it one epoch stale — the guard is fail-fast
+  * protection against mis-wired pipelines, not a substitute for the
+  * replay contract.
   */
 object Scd2Stream {
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sessionState.newHadoopConf())
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](
+            math.min(fs.getFileStatus(p).getLen, 4096L).toInt)
+          in.readFully(0L, bytes)
+          Some(new String(bytes, "UTF-8").trim)
+        } finally in.close()
+      }
+    } catch { case _: Throwable => None }
+
+  private def writeSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      s: String): Unit = {
+    val out = fs.create(p, true) // single-object PUT; last writer wins
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The epoch-number base for this checkpoint lineage: reused from the
+    * lineage's marker file when it exists (same-lineage restart → same
+    * partition names → replayed epochs overwrite idempotently), else
+    * max existing epoch + 1 (fresh lineage → collision-free with every
+    * prior lineage AND with compacted generations, which number
+    * downward). */
+  private def lineageBase(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, root: String, checkpoint: String): Long = {
+    val marker = new Path(stateDir,
+      "_lineage_" + graft.operators.ArtifactStore.md5Hex(checkpoint).take(16))
+    readSmall(fs, marker).map(_.toLong).getOrElse {
+      val rootPath = new Path(root)
+      val maxEpoch =
+        if (!fs.exists(rootPath)) -1L
+        else fs.listStatus(rootPath).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("epoch="))
+          .map(_.stripPrefix("epoch=").toLong)
+          .foldLeft(-1L)(math.max)
+      val base = maxEpoch + 1
+      fs.mkdirs(new Path(stateDir))
+      writeSmall(fs, marker, base.toString)
+      base
+    }
+  }
 
   /** Starts maintenance over a stream with columns (doc_id, source, fp)
     * plus, when `snapCol` is set, the snapshot-number column it names.
@@ -70,6 +148,11 @@ object Scd2Stream {
       publish: (Long, Long, Long) => Unit = (_, _, _) => ()): StreamingQuery = {
     val spark = observations.sparkSession
     val root = s"$stateDir/segments"
+    // Assigned once per lineage, BEFORE the first batch: collision-free
+    // epoch partition names across checkpoint lineages (Scaladoc above).
+    val base =
+      lineageBase(hadoopFs(spark, stateDir), stateDir, root, checkpoint)
+    val clockPath = new Path(stateDir, "_snap_clock")
     observations.writeStream
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val entries = batch.select(col("doc_id"), col("source"), col("fp"),
@@ -84,8 +167,16 @@ object Scd2Stream {
           val snaps = entries.select(col("snap")).distinct()
             .collect().map(_.getLong(0)).sorted
           if (snaps.nonEmpty) { // empty batch: don't consume the clock
-            val fs = org.apache.hadoop.fs.FileSystem.get(
-              new java.net.URI(stateDir), spark.sessionState.newHadoopConf())
+            val fs = hadoopFs(spark, stateDir)
+            // Fail fast on a snapshot-clock regression (Scaladoc above):
+            // a snap below the stored clock would assert overlapping
+            // segments; equality is the at-least-once redelivery case.
+            readSmall(fs, clockPath).map(_.toLong).foreach { clock =>
+              require(snaps.head >= clock,
+                s"snapshot clock regression: batch carries snapshot " +
+                  s"${snaps.head} but $clockPath already records $clock — " +
+                  "only the last processed snapshot may be redelivered")
+            }
             val hasState = fs.exists(new Path(root)) &&
               fs.listStatus(new Path(root)).nonEmpty
             val stored =
@@ -137,7 +228,12 @@ object Scd2Stream {
               }
               acc = acc.unionByName(merged.drop("extends"))
             }
-            acc.write.mode("overwrite").parquet(s"$root/epoch=$epochId")
+            acc.write.mode("overwrite")
+              .parquet(s"$root/epoch=${base + epochId}")
+            // Clock advances only after the epoch commits: a crash in
+            // between leaves it stale by one epoch (guard is fail-fast,
+            // not the replay contract). Replay rewrites the same value.
+            writeSmall(fs, clockPath, snaps.last.toString)
             publish(epochId, ext, opened) // after commit: at-least-once
           }
         } finally { pinned.foreach(_.unpersist()); () }

@@ -308,6 +308,8 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
           .cast("binary"))).otherwise(col("fp")).as("n_fp"))
       .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
       .saveAsTable("snap_new_bkt")
+    val savedBroadcastThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val diff = spark.table("snap_old_bkt")
@@ -336,7 +338,8 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
       assert(exchanges == 1,
         s"diff join must be shuffle-free (1 rollup exchange only):\n$plan")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        savedBroadcastThreshold)
       spark.sql("DROP TABLE IF EXISTS snap_old_bkt")
       spark.sql("DROP TABLE IF EXISTS snap_new_bkt")
     }

@@ -112,8 +112,67 @@ class Scd2StreamSpec extends AnyFunSuite with SparkTestSession {
     val before = resolved(dir)
     run(dir, "ckpt2", one) // same batch re-delivered as epoch 0
     assert(resolved(dir) == before)
-    assert(spark.read.parquet(
-      dir.resolve("state").toString + "/segments").count() == 2)
+    // The fresh lineage gets its own epoch base (max existing + 1), so the
+    // redelivery lands as DUPLICATE rows in a fresh partition — never a
+    // clobber of ckpt1's state. resolve()'s fold absorbs the duplicates;
+    // compaction's distinct() physically removes them.
+    val segRoot = dir.resolve("state").toString + "/segments"
+    assert(spark.read.parquet(segRoot).count() == 4)
+    Scd2Stream.compactState(spark, dir.resolve("state").toString)
+    assert(spark.read.parquet(segRoot).count() == 2)
+    assert(resolved(dir) == before)
+  }
+
+  test("fresh-lineage restart with NEW data continues the table without " +
+    "clobbering prior lineages' partitions (no compaction in between)") {
+    // The round-11 advice scenario: before the lineage base, a fresh
+    // checkpoint restarted epochId at 0 and its first batch OVERWROTE the
+    // live epoch=0 partition, silently losing segments unless compaction
+    // had renumbered them first. snapCol mode carries the snapshot clock
+    // in the data, so a continuation under a new checkpoint is in
+    // contract — and must preserve every prior-lineage partition.
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-lineage")
+    val bs = snapBatches
+    runSnap(dir, "ckpt1", Seq(bs(0), bs(1)))
+    val segRoot = dir.resolve("state").toString + "/segments"
+    val afterFirst = spark.read.parquet(segRoot).count()
+    runSnap(dir, "ckpt2", Seq(bs(2), bs(3))) // NO compactState first
+    assert(resolved(dir) == expectedSegs,
+      "fresh-lineage continuation diverged from the imperative model")
+    // ckpt1's rows all survive: the new lineage only ADDED partitions
+    assert(spark.read.parquet(segRoot).count() > afterFirst)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(segRoot), spark.sessionState.newHadoopConf())
+    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(segRoot))
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).sorted.toSeq
+    assert(epochs == Seq(0L, 1L, 2L, 3L),
+      s"lineage bases must tile without collision, got $epochs")
+  }
+
+  test("a batch carrying a snapshot BELOW the stored clock fails fast " +
+    "instead of asserting overlapping segments") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-regress")
+    val bs = snapBatches
+    runSnap(dir, "ckpt1", Seq(bs(0), bs(1), bs(2)))
+    val before = resolved(dir)
+    // snapshot 1 redelivered LATE (clock is at 2): out of the replay
+    // contract — only the last processed snapshot may be redelivered
+    val stream = MemoryStream[Scd2SnapObs](spark)
+    val q = Scd2Stream.start(stream.toDF(),
+      dir.resolve("state").toString, dir.resolve("ckpt2").toString,
+      snapCol = Some("snap"))()
+    try {
+      stream.addData(bs(1).toIndexedSeq: _*)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("snapshot clock regression")), ex)
+    } finally q.stop()
+    assert(resolved(dir) == before, "failed batch must not mutate state")
   }
 
   test("compaction preserves the resolved table and future extension") {
