@@ -60,7 +60,30 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Host-epoch sentinel (round-11 verdict item 3): the same cheap fixed
+    // query re-timed at suite start, middle, and end. A healthy host gives
+    // three near-equal readings; a host degrading over the ~10-minute run
+    // (the BENCH_r11 failure signature: positional quartile inflation
+    // 1.18x -> 1.76x with zero code changes) shows up as sentinel_drift =
+    // max/min >= ~1.3 — making a bad epoch self-diagnosing in the JSON
+    // without a judge re-run. min-of-3 per reading: host degradation
+    // inflates even the min; GC spikes don't.
+    val sentinelName = "q01_pricing_summary"
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timeSentinel(): Unit =
+      SparkEntry.queries.get(sentinelName).foreach { fn =>
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }.filter(_ >= 0)
+        if (t.nonEmpty) sentinelTimes += t.min
+      }
+    val queriesSeq = SparkEntry.queries.toSeq
+    val midpoint = queriesSeq.size / 2
+    timeSentinel()
+    val results = queriesSeq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midpoint) timeSentinel()
       // min-of-N: each iteration re-executes the full plan (count() is
       // never cached); the min strips GC/JIT/compaction noise. A failed
       // query reports -1, not its elapsed time — a crashing query must
@@ -77,16 +100,26 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    timeSentinel()
+    val sentinelDrift =
+      if (sentinelTimes.size >= 2 && sentinelTimes.min > 0)
+        sentinelTimes.max / sentinelTimes.min
+      else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Total sums SUCCESSFUL queries only: a -1 failure sentinel must not
     // subtract from (i.e. flatter) the total. `failed` lists the failures
     // explicitly so a partial run is never compared 1:1 against a full one.
     val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentinelJson = sentinelTimes.map(t =>
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(t)))
+      .mkString("[", ",", "]")
+    val driftStr =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(sentinelDrift))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
@@ -102,7 +135,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // the qNN prefix must stay a unique key — a second "q12_..." query
     // would silently shadow the first in the parsed stdout JSON
-    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       "compact stdout keys collide: " +
         shortKeys.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
@@ -110,7 +143,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f3(v))
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -361,8 +361,10 @@ object TextAnalysis {
     * (pair, count) row per round (the model, not data — the Lloyd-loop
     * pattern); each generation is persisted and the previous one released,
     * so round r never re-derives rounds 1..r-1. */
-  val q95BpeMerges = QueryDef(
-    "q95_bpe_merges",
+  /** The q95/q135 oracle: the full training CTE chain emitting the merge
+    * table — shared verbatim so the cached (q95) and cache-bypassing
+    * (q135) paths are held to the IDENTICAL ground truth. */
+  private def sqlBpeMergesOracle: String =
     s"""WITH v0 AS (SELECT w, freq,
        |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
        |      AS syms
@@ -375,14 +377,36 @@ object TextAnalysis {
         .map(r => s"SELECT CAST(${r + 1} AS INTEGER) AS rnd, a AS sym_a, " +
           s"b AS sym_b, a || b AS merged, cnt FROM bp$r")
         .mkString("\nUNION ALL\n")})
-       |ORDER BY rnd""".stripMargin) { (spark, dir) =>
-    val (vocab, merges) = bpeTrain(Tables(spark, dir, "documents"))
-    vocab.unpersist(false) // q95 emits only the merge table
+       |ORDER BY rnd""".stripMargin
+
+  private def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._
     merges.toDF("rnd", "sym_a", "sym_b", "cnt")
       .select(col("rnd"), col("sym_a"), col("sym_b"),
         concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
       .orderBy(col("rnd"))
+  }
+
+  val q95BpeMerges = QueryDef(
+    "q95_bpe_merges", sqlBpeMergesOracle) { (spark, dir) =>
+    val (vocab, merges) = BpeCache.trained(spark, dir)
+    vocab.unpersist(false) // q95 emits only the merge table (no-op when cached)
+    mergesDf(spark, merges)
+  }
+
+  /** q95's training computed FRESH every run — [[BpeCache]] bypassed by
+    * construction (calls [[bpeTrain]] directly). Semantically identical to
+    * q95 (same oracle); exists so the merge-loop pipeline — which the
+    * artifact cache otherwise reduces to a parquet read in q95/q103/q108 —
+    * stays VISIBLE to the bench regression gate and oracle-gated every
+    * round (the q102 pattern: a regression in the training itself must
+    * trip the gate, not hide behind the cache). */
+  val q135BpeTrainPipeline = QueryDef(
+    "q135_bpe_train_pipeline", sqlBpeMergesOracle) { (spark, dir) =>
+    val (vocab, merges) = bpeTrain(Tables(spark, dir, "documents"))
+    vocab.unpersist(false)
+    mergesDf(spark, merges)
   }
 
   /** The full [[BpeMerges]]-round training loop over `docs`' vocabulary:
@@ -453,10 +477,9 @@ object TextAnalysis {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    // final generation stays persisted: repeated invocations (bench
-    // iterations) resolve to ONE CacheManager entry via canonicalization,
-    // exactly like the Lloyd training persist
-    val (vocab, _) = bpeTrain(docs)
+    // trained segmentation from the persisted artifact (BpeCache) — a
+    // broadcast-sized parquet read; first-ever use trains + publishes
+    val (vocab, _) = BpeCache.trained(spark, dir)
     val wt = vocab.select(col("w"),
       size(col("syms")).cast(LongType).as("n_sub"))
     docs
@@ -478,9 +501,9 @@ object TextAnalysis {
     *
     * Shape at scale: identical to q103 (the trained vocabulary IS the
     * segmentation — broadcast-sized join, per-source agg map-side
-    * combinable), and the persisted final generation is SHARED with
-    * q95/q103 through CacheManager canonicalization, so the merge loop
-    * trains once per corpus however many reports read it. All sums are
+    * combinable), and the trained generation is SHARED with q95/q103
+    * through the [[BpeCache]] artifact, so the merge loop trains once per
+    * corpus — across JVMs, not just in-session. All sums are
     * integers (exact in any order); each ratio is one division. */
   val q108BpeFertility = QueryDef(
     "q108_bpe_fertility",
@@ -507,7 +530,7 @@ object TextAnalysis {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val (vocab, _) = bpeTrain(docs)
+    val (vocab, _) = BpeCache.trained(spark, dir)
     val wt = vocab.select(col("w"),
       size(col("syms")).cast(LongType).as("n_sub"))
     docs
@@ -632,5 +655,5 @@ object TextAnalysis {
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
       q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
       q91TopQualityPerSource, q95BpeMerges, q103BpeEncode,
-      q108BpeFertility)
+      q108BpeFertility, q135BpeTrainPipeline)
 }
