@@ -69,113 +69,97 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * and [[resolve]]'s supersession fold collapses, and which the next
   * [[compactState]]'s `.distinct()` physically removes.
   *
-  * Clock regression guard: a batch carrying a snapshot number BELOW the
-  * max `valid_to` already stored would be processed as if new and could
-  * assert overlapping segments for the same doc. Each batch therefore
-  * fails fast unless `min(snap) >= stored clock`, where the clock is a
-  * one-line `_snap_clock` file maintained alongside the state (O(1) to
-  * check — the per-batch probe stays O(batch + open set), never a history
-  * scan). Equality is allowed: an at-least-once redelivery re-carries the
-  * LAST processed snapshot, must be byte-identical to the original
-  * delivery (the standard replay contract), and is idempotent via the
-  * probe guard. The clock is written AFTER the epoch commits, so a crash
-  * between the two leaves it one epoch stale — the guard is fail-fast
-  * protection against mis-wired pipelines, not a substitute for the
-  * replay contract.
+  * Clock regression guard: a batch carrying a snapshot number at or below
+  * the max `valid_to` already stored would be processed as if new and
+  * could assert overlapping segments for the same doc. The clock — the
+  * last batch's (min, max) snapshot range — lives in a one-line
+  * `_snap_clock` file alongside the state (O(1) to check: the per-batch
+  * probe stays O(batch + open set), never a history scan). A batch passes
+  * iff it is strictly newer (`min(snap) > stored max`) or it is the EXACT
+  * redelivery of the last batch's range — the at-least-once replay case,
+  * whose offsets were fixed at checkpoint time and whose content must be
+  * byte-identical (the standard replay contract); it is idempotent via
+  * the probe guard. The clock is written AFTER the epoch commits, so a
+  * crash between the two leaves it one epoch stale — the guard is
+  * fail-fast protection against mis-wired pipelines, not a substitute
+  * for the replay contract.
   */
 object Scd2Stream {
-
-  private def hadoopFs(spark: SparkSession, dir: String) =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sessionState.newHadoopConf())
-
-  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[String] =
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try {
-          val bytes = new Array[Byte](
-            math.min(fs.getFileStatus(p).getLen, 4096L).toInt)
-          in.readFully(0L, bytes)
-          Some(new String(bytes, "UTF-8").trim)
-        } finally in.close()
-      }
-    } catch { case _: Throwable => None }
-
-  private def writeSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      s: String): Unit = {
-    val out = fs.create(p, true) // single-object PUT; last writer wins
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** The epoch-number base for this checkpoint lineage: reused from the
-    * lineage's marker file when it exists (same-lineage restart → same
-    * partition names → replayed epochs overwrite idempotently), else
-    * max existing epoch + 1 (fresh lineage → collision-free with every
-    * prior lineage AND with compacted generations, which number
-    * downward). */
-  private def lineageBase(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: String, root: String, checkpoint: String): Long = {
-    val marker = new Path(stateDir,
-      "_lineage_" + graft.operators.ArtifactStore.md5Hex(checkpoint).take(16))
-    readSmall(fs, marker).map(_.toLong).getOrElse {
-      val rootPath = new Path(root)
-      val maxEpoch =
-        if (!fs.exists(rootPath)) -1L
-        else fs.listStatus(rootPath).toSeq
-          .map(_.getPath.getName)
-          .filter(_.startsWith("epoch="))
-          .map(_.stripPrefix("epoch=").toLong)
-          .foldLeft(-1L)(math.max)
-      val base = maxEpoch + 1
-      fs.mkdirs(new Path(stateDir))
-      writeSmall(fs, marker, base.toString)
-      base
-    }
-  }
+  import EpochState.{readSmall, writeSmall}
 
   /** Starts maintenance over a stream with columns (doc_id, source, fp)
-    * plus, when `snapCol` is set, the snapshot-number column it names.
+    * plus, when `snapCol` is set, the snapshot-number column it names, and,
+    * when `deleteCol` is set, a boolean column marking TOMBSTONE rows
+    * (doc absent from that snapshot's manifest — the
+    * [[ManifestReconcileStream.tombstones]] feed; `fp` is ignored on
+    * them): these close the doc's life at snap-1 in `closures/` instead
+    * of entering the segment merge.
     * `publish` (optional hook) receives per epoch the maintenance report
     * (n_extended, n_opened) AFTER the epoch's rows are committed; like the
     * state write it is at-least-once — a crash between the parquet commit
     * and the checkpoint commit re-fires it, so consumers must key reports
     * by the epoch id (the state table itself stays exactly-once). */
   def start(observations: DataFrame, stateDir: String, checkpoint: String,
-      snapCol: Option[String] = None)(
+      snapCol: Option[String] = None, deleteCol: Option[String] = None)(
       publish: (Long, Long, Long) => Unit = (_, _, _) => ()): StreamingQuery = {
     val spark = observations.sparkSession
     val root = s"$stateDir/segments"
+    val closuresRoot = s"$stateDir/closures"
     // Assigned once per lineage, BEFORE the first batch: collision-free
     // epoch partition names across checkpoint lineages (Scaladoc above).
-    val base =
-      lineageBase(hadoopFs(spark, stateDir), stateDir, root, checkpoint)
+    val base = EpochState.lineageBase(
+      EpochState.fs(spark, stateDir), stateDir, root, checkpoint)
     val clockPath = new Path(stateDir, "_snap_clock")
     observations.writeStream
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        val entries = batch.select(col("doc_id"), col("source"), col("fp"),
+        val raw = batch.select(col("doc_id"), col("source"), col("fp"),
           snapCol.map(c => col(c).cast("long")).getOrElse(lit(epochId))
-            .as("snap"))
+            .as("snap"),
+          deleteCol.map(c => coalesce(col(c), lit(false)))
+            .getOrElse(lit(false)).as("del"))
+        raw.persist()
+        // End-of-life close branch (round-11 verdict item 5): rows marked
+        // by `deleteCol` are TOMBSTONES — the doc was absent from this
+        // snapshot's crawl (e.g. [[ManifestReconcileStream.tombstones]]).
+        // A tombstoned doc's open segment is already maximal at snap-1
+        // (absence never extended it), so closing is purely a RECORD: the
+        // (doc_id, source, snap) row lands in `closures/`, letting
+        // [[resolveLive]] distinguish a terminally-closed doc from one
+        // that merely hasn't been re-crawled yet. The merge below never
+        // sees tombstone rows, so [[resolve]]'s equality with the batch
+        // build on the observed rows is untouched; a reappearance after a
+        // closure opens a new segment through the ordinary gap rule —
+        // with the hole now explicit in `closures`.
+        val entries = raw.filter(!col("del")).drop("del")
+        val deletes = raw.filter(col("del"))
+          .select(col("doc_id"), col("source"), col("snap"))
         entries.persist()
-        val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](entries)
+        val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](
+          raw, entries)
         try {
           // One bounded pull: the batch's distinct snapshot numbers
           // (scalar under the one-snapshot-per-batch contract; a short
-          // ascending list when a backlog merges snapshots into one batch).
-          val snaps = entries.select(col("snap")).distinct()
+          // ascending list when a backlog merges snapshots into one
+          // batch). Tombstones participate in the clock — a snapshot
+          // whose delivery is ALL tombstones still advances it.
+          val snaps = raw.select(col("snap")).distinct()
             .collect().map(_.getLong(0)).sorted
           if (snaps.nonEmpty) { // empty batch: don't consume the clock
-            val fs = hadoopFs(spark, stateDir)
+            val fs = EpochState.fs(spark, stateDir)
             // Fail fast on a snapshot-clock regression (Scaladoc above):
-            // a snap below the stored clock would assert overlapping
-            // segments; equality is the at-least-once redelivery case.
-            readSmall(fs, clockPath).map(_.toLong).foreach { clock =>
-              require(snaps.head >= clock,
+            // a snap at or below the stored clock would assert overlapping
+            // segments. The clock records the last batch's (min, max) snap
+            // range, so an at-least-once redelivery — which re-carries
+            // EXACTLY that range (offsets are fixed at checkpoint time) —
+            // is recognized and allowed even when the batch merged several
+            // snapshots; anything else must be strictly newer.
+            readSmall(fs, clockPath).map(_.split(",")).foreach { a =>
+              val (mn, mx) = (a(0).toLong, a(1).toLong)
+              val isReplay = snaps.head == mn && snaps.last == mx
+              require(isReplay || snaps.head > mx,
                 s"snapshot clock regression: batch carries snapshot " +
-                  s"${snaps.head} but $clockPath already records $clock — " +
-                  "only the last processed snapshot may be redelivered")
+                  s"${snaps.head} but $clockPath already records $mx — " +
+                  "only the last processed batch may be redelivered")
             }
             val hasState = fs.exists(new Path(root)) &&
               fs.listStatus(new Path(root)).nonEmpty
@@ -230,10 +214,13 @@ object Scd2Stream {
             }
             acc.write.mode("overwrite")
               .parquet(s"$root/epoch=${base + epochId}")
+            if (!deletes.isEmpty) // deterministic: replay rewrites equal rows
+              deletes.write.mode("overwrite")
+                .parquet(s"$closuresRoot/epoch=${base + epochId}")
             // Clock advances only after the epoch commits: a crash in
             // between leaves it stale by one epoch (guard is fail-fast,
             // not the replay contract). Replay rewrites the same value.
-            writeSmall(fs, clockPath, snaps.last.toString)
+            writeSmall(fs, clockPath, s"${snaps.head},${snaps.last}")
             publish(epochId, ext, opened) // after commit: at-least-once
           }
         } finally { pinned.foreach(_.unpersist()); () }
@@ -254,13 +241,55 @@ object Scd2Stream {
         col("s.fp").as("fp"), col("valid_from"),
         col("s.valid_to").as("valid_to"))
 
+  /** Recorded end-of-life closures: (doc_id, source, snap) — the doc was
+    * tombstoned at `snap` (absent from that snapshot's crawl); its open
+    * segment ended at snap-1. Empty (with schema) when no tombstone has
+    * ever been delivered. Duplicate rows from a fresh-lineage redelivery
+    * fold away (byte-identical under the redelivery contract). */
+  def closures(spark: SparkSession, stateDir: String): DataFrame = {
+    val root = s"$stateDir/closures"
+    val fs = EpochState.fs(spark, root)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root)))
+      spark.read.parquet(root)
+        .select(col("doc_id"), col("source"), col("snap")).distinct()
+    else
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("snap")).limit(0)
+  }
+
+  /** Each doc's LATEST segment, restricted to docs still alive — i.e. not
+    * closed by a tombstone after that segment ended. A closure at snap c
+    * kills segments with valid_to <= c-1; a post-closure reappearance
+    * opens a fresh segment with valid_to >= c, which survives the filter
+    * until a LATER closure. This answers "what is live right now" without
+    * knowing the current crawl clock — the question [[resolve]] alone
+    * cannot answer, because an open segment and a dead one look identical
+    * (both just stop extending). */
+  def resolveLive(spark: SparkSession, stateDir: String): DataFrame = {
+    val segs = resolve(spark, stateDir)
+    val latest = segs.groupBy(col("doc_id"))
+      .agg(max(struct(col("valid_to"), col("valid_from"), col("source"),
+        col("fp"))).as("t"))
+      .select(col("doc_id"), col("t.source").as("source"),
+        col("t.fp").as("fp"), col("t.valid_from").as("valid_from"),
+        col("t.valid_to").as("valid_to"))
+    val lastClose = closures(spark, stateDir)
+      .groupBy(col("doc_id")).agg(max(col("snap")).as("closed_at"))
+    latest.join(lastClose, Seq("doc_id"), "left_outer")
+      .filter(col("closed_at").isNull ||
+        col("valid_to") >= col("closed_at"))
+      .drop("closed_at")
+  }
+
   /** Offline small-files maintenance ([[StreamingDedup.compactEpochs]]).
     * Superseded segment rows are distinct rows and survive compaction;
     * [[resolve]]'s fold is unaffected — the probe and the resolved table
     * read identically across a compaction boundary, and the open-segment
     * probe's row-level `valid_to` guard keeps a replayed epoch correct
     * even when compaction already folded its rows into the compacted
-    * generation. */
-  def compactState(spark: SparkSession, stateDir: String): Unit =
+    * generation. Closure rows are plain distinct rows too. */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
     StreamingDedup.compactEpochs(spark, s"$stateDir/segments")
+    StreamingDedup.compactEpochs(spark, s"$stateDir/closures")
+  }
 }

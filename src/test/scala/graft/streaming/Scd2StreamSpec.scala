@@ -224,6 +224,112 @@ class Scd2StreamSpec extends AnyFunSuite with SparkTestSession {
       "merged snapshot delivery diverged from one-per-batch")
   }
 
+  // ---- end-of-life close branch (deleteCol / manifest tombstones) ----
+
+  test("close-then-reappear yields two segments with an explicit hole, " +
+    "equal to the batch build on the same observations; resolveLive " +
+    "tracks liveness through the closure") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-close")
+    val stateDir = dir.resolve("state").toString
+    // doc 1: seen at 0,1 (fp a), tombstoned at 2, back at 3 with SAME fp
+    // doc 2: seen at 0..3 throughout (fp b) — must be untouched
+    // doc 3: seen at 0, tombstoned at 1, never returns — dead
+    val obs = Seq(
+      Seq((1L, "a", 0L, false), (2L, "b", 0L, false), (3L, "c", 0L, false)),
+      Seq((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, true)),
+      Seq((1L, "a", 2L, true), (2L, "b", 2L, false)),
+      Seq((1L, "a", 3L, false), (2L, "b", 3L, false)))
+    val stream = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val q = Scd2Stream.start(
+      stream.toDF().toDF("doc_id", "fp", "snap", "del")
+        .withColumn("source", lit("s")),
+      stateDir, dir.resolve("ckpt").toString,
+      snapCol = Some("snap"), deleteCol = Some("del"))()
+    try obs.foreach { b =>
+      stream.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = resolved(dir)
+    // the hole at snap 2 splits doc 1 into two segments via the gap rule;
+    // the batch build over the OBSERVED (non-tombstone) rows agrees
+    val observedRows = obs.flatten.filterNot(_._4)
+      .map { case (id, f, s, _) => (id, "s", s, f) }
+      .toDF("doc_id", "source", "s", "fp")
+    val batchSegs = graft.operators.Lifecycle.collapse(observedRows)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"))).toSet
+    assert(got == batchSegs, "stream-with-closures != batch collapse")
+    assert(got == Set((1L, "a", 0L, 1L), (1L, "a", 3L, 3L),
+      (2L, "b", 0L, 3L), (3L, "c", 0L, 0L)))
+
+    // the closure records make the holes explicit
+    val cls = Scd2Stream.closures(spark, stateDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("snap"))).toSet
+    assert(cls == Set((1L, 2L), (3L, 1L)))
+
+    // liveness: doc 1 reappeared after its closure (live), doc 2 never
+    // closed (live), doc 3 closed and never returned (dead) — knowable
+    // WITHOUT the current clock, which resolve() alone cannot answer
+    val live = Scd2Stream.resolveLive(spark, stateDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"))).toSet
+    assert(live == Set((1L, 3L, 3L), (2L, 0L, 3L)))
+
+    // compaction folds closures too and preserves both views
+    Scd2Stream.compactState(spark, stateDir)
+    assert(resolved(dir) == got)
+    assert(Scd2Stream.resolveLive(spark, stateDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"))).toSet == live)
+  }
+
+  test("manifest tombstones feed the close branch end-to-end: " +
+    "ManifestReconcileStream output closes SCD2 segments") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2s-manifest")
+    // Crawl world: 3 snapshots, docs 10/20/30; doc 20 vanishes at snap 1,
+    // doc 30 vanishes at snap 2.
+    val presence: Map[Long, Seq[Long]] =
+      Map(0L -> Seq(10, 20, 30), 1L -> Seq(10, 30), 2L -> Seq(10))
+    // 1) reconcile manifests → tombstones
+    val mStream = MemoryStream[ManifestRow](spark)
+    val mq = ManifestReconcileStream.start(mStream.toDF(),
+      dir.resolve("mstate").toString, dir.resolve("mckpt").toString,
+      snapCol = Some("snap"))()
+    try (0L to 2L).foreach { s =>
+      mStream.addData(presence(s).map(ManifestRow(_, "s", s)): _*)
+      mq.processAllAvailable()
+    } finally mq.stop()
+    val tombs = ManifestReconcileStream.tombstones(spark,
+      dir.resolve("mstate").toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("snap")))
+    assert(tombs.toSet == Set((20L, 1L), (30L, 2L)))
+
+    // 2) union crawl observations + tombstones into one SCD2 feed
+    val feed = (0L to 2L).map { s =>
+      presence(s).map(id => (id, s"fp-$id", s, false)) ++
+        tombs.filter(_._2 == s).map { case (id, _) => (id, "", s, true) }
+    }
+    val sStream = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val sq = Scd2Stream.start(
+      sStream.toDF().toDF("doc_id", "fp", "snap", "del")
+        .withColumn("source", lit("s")),
+      dir.resolve("sstate").toString, dir.resolve("sckpt").toString,
+      snapCol = Some("snap"), deleteCol = Some("del"))()
+    try feed.foreach { b =>
+      sStream.addData(b.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+
+    val live = Scd2Stream.resolveLive(spark, dir.resolve("sstate").toString)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(live == Set(10L), s"only doc 10 survives all manifests: $live")
+    val segs = Scd2Stream.resolve(spark, dir.resolve("sstate").toString)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"))).toSet
+    assert(segs == Set((10L, 0L, 2L), (20L, 0L, 0L), (30L, 0L, 1L)))
+  }
+
   test("snapCol: redelivery AFTER compaction folded the uncommitted " +
     "epoch is idempotent (row-level replay guard)") {
     // The round-10 advice scenario: the last epoch's parquet committed but
