@@ -143,4 +143,83 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("contribution step under a ZIPFIAN dst distribution: partial " +
+    "aggregation absorbs hub skew — plan-asserted and shuffle-measured") {
+    // q132/q134's synthetic graph has uniform hash in-degree, but real
+    // link graphs are power-law: a handful of hub pages receive a large
+    // constant fraction of all edges, and the per-round groupBy(dst)
+    // relies on MAP-SIDE partial aggregation to keep the hub's bucket
+    // from concentrating the shuffle (the q71 salting note documents the
+    // fallback if it ever doesn't). This pins both halves: the plan
+    // carries partial_sum, and the MEASURED reduce-side shuffle is flat
+    // and collapsed even though the raw edge distribution is 1000x skewed.
+    val E = 100000L
+    val N = 20000L
+    // dst = floor(E / (i+1)) gives in-degree(v) ~ E/v^2 — a power law
+    // where dst=1 alone receives HALF of all edges
+    val edges = spark.range(0, E).select(
+      (org.apache.spark.sql.functions.col("id") % N).as("src"),
+      (org.apache.spark.sql.functions.expr(s"$E div (id + 1)") % N)
+        .as("dst"),
+      org.apache.spark.sql.functions.lit(1000000L).as("r"),
+      org.apache.spark.sql.functions.lit(3L).as("outdeg"))
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val hottest = edges.groupBy(col("dst")).count()
+      .orderBy(col("count").desc).limit(1).collect()(0).getLong(1)
+    assert(hottest >= E * 2 / 5, s"fixture not skewed: hottest=$hottest")
+
+    val savedCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          reads.synchronized {
+            reads += ((t.stageId, m.shuffleReadMetrics.recordsRead)); ()
+          }
+      }
+    }
+    try {
+      // keep all 32 reduce tasks — coalescing tiny post-shuffle partitions
+      // would merge them and make per-task flatness vacuous
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val contribs = edges
+        .select(col("dst"), expr("(r * 17) div (outdeg * 20)").as("c"))
+        .groupBy(col("dst")).agg(fsum(col("c")).as("c"))
+      spark.sparkContext.addSparkListener(listener)
+      val nKeys = contribs.collect().length
+      // listener events are delivered async — wait for the bus to drain
+      var (stable, last) = (0, -1)
+      while (stable < 5) {
+        Thread.sleep(100)
+        val now = reads.synchronized(reads.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      val plan = contribs.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_sum"), plan)
+      val perTask = reads.synchronized {
+        val byStage = reads.groupBy(_._1)
+        byStage(byStage.keys.max).map(_._2) // the final (reduce) stage
+      }
+      val total = perTask.sum
+      // collapse: the hub's E/2 raw rows arrive as at most one partial
+      // row per map partition — the whole reduce reads orders of
+      // magnitude fewer rows than the edge count
+      assert(total <= E / 10,
+        s"map-side combine failed to collapse the hub: $total rows " +
+          s"shuffled for $E edges ($nKeys keys)")
+      // flatness: no reduce task is a hot bucket
+      val mean = total.toDouble / perTask.size
+      assert(perTask.max <= math.max(5 * mean, 64.0),
+        s"skewed reduce: per-task reads ${perTask.sorted.reverse} " +
+          s"(mean $mean)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        savedCoalesce)
+    }
+  }
 }
