@@ -951,10 +951,82 @@ object Dedup {
       .orderBy(col("threshold"))
   }
 
+  /** q136: right-to-be-forgotten purge audit — the report a 100 TB corpus
+    * owner produces BEFORE executing a deletion request: per source, how
+    * many documents and tokens the removal list purges, and how far the
+    * purge cascades into derived artifacts — here the verified near-dup
+    * pair table (the [[PairCache]] artifact): every pair with a purged
+    * endpoint must be re-examined, because its surviving side may have
+    * been dropped as "the duplicate" of a now-deleted document. Each
+    * affected pair is attributed to the SOURCE of its purged endpoint
+    * (a pair whose two endpoints are purged from different sources counts
+    * once per source — each provider's audit must list it).
+    *
+    * The removal list is modeled deterministically (doc_id % 97 = 0,
+    * ~1% of the corpus) so the oracle can derive it; in production it
+    * arrives as a table and the shape is identical.
+    *
+    * Shape at scale: the removal predicate rides the corpus scan (one
+    * narrow pass computes all per-source sums map-side); the cascade
+    * joins the O(near-dup pairs) artifact against the ~1% purged slice —
+    * both sides tiny next to the corpus, the purged side broadcastable.
+    * All outputs are integer counts (exact in any order). */
+  val q136PurgeAudit = QueryDef(
+    "q136_purge_audit",
+    s"""WITH $sqlNearDupBody,
+       |p2 AS ($sqlNearDupPairs),
+       |d AS (SELECT doc_id, source, doc_id % 97 = 0 AS p,
+       |    CAST(len($sqlWords) AS BIGINT) AS toks FROM documents),
+       |s AS (SELECT source,
+       |    CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       |    CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_retained,
+       |    CAST(SUM(CASE WHEN p THEN toks ELSE 0 END) AS BIGINT)
+       |      AS tokens_purged
+       |  FROM d GROUP BY source),
+       |pe AS (SELECT DISTINCT * FROM (
+       |    SELECT p2.doc_a, p2.doc_b, d.source FROM p2
+       |      JOIN d ON d.doc_id = p2.doc_a AND d.p
+       |    UNION ALL
+       |    SELECT p2.doc_a, p2.doc_b, d.source FROM p2
+       |      JOIN d ON d.doc_id = p2.doc_b AND d.p)),
+       |pc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS pairs_affected
+       |  FROM pe GROUP BY source)
+       |SELECT s.source, s.n_purged, s.n_retained, s.tokens_purged,
+       |  COALESCE(pc.pairs_affected, CAST(0 AS BIGINT)) AS pairs_affected
+       |FROM s LEFT JOIN pc ON pc.source = s.source
+       |ORDER BY s.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val d = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") % 97 === 0).as("p"),
+      size(words(col("text"))).cast(LongType).as("toks"))
+    val perSource = d.groupBy(col("source")).agg(
+      sum(when(col("p"), 1L).otherwise(0L)).as("n_purged"),
+      sum(when(col("p"), 0L).otherwise(1L)).as("n_retained"),
+      sum(when(col("p"), col("toks")).otherwise(0L)).as("tokens_purged"))
+    val purged = d.filter(col("p")).select(col("doc_id"), col("source"))
+    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val affected = pairs
+      .join(broadcast(purged.withColumnRenamed("doc_id", "doc_a")), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("source"))
+      .unionByName(pairs
+        .join(broadcast(purged.withColumnRenamed("doc_id", "doc_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("source")))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("pairs_affected"))
+    perSource.join(affected, Seq("source"), "left_outer")
+      .select(col("source"), col("n_purged"), col("n_retained"),
+        col("tokens_purged"),
+        coalesce(col("pairs_affected"), lit(0L)).as("pairs_affected"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q19DedupMinhashLsh, q20SimhashSignature,
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
     q73SemanticDedup, q83Containment, q99LshParamSweep,
     q100JaccardThresholdSweep, q102NearDupPipeline,
-    q106MinhashCalibration, q109SimhashCalibration)
+    q106MinhashCalibration, q109SimhashCalibration, q136PurgeAudit)
 }
