@@ -750,8 +750,101 @@ object Recipe {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Training-sequence capacity (tokens) for q137's packing audit. Small
+    * enough that the synthetic docs actually straddle boundaries; the
+    * arithmetic is capacity-agnostic. */
+  private val PackCap = 512L
+
+  /** q137: sequence-packing audit for the CONCAT-AND-CHOP convention —
+    * the OTHER packing scheme next to [[Corpus.q60PackSequences]]'s
+    * never-split contiguous fill: here docs are joined into one token
+    * stream per shard and chopped into fixed [[PackCap]]-token context
+    * windows, so documents DO split across boundaries (zero padding
+    * except the shard tail, at the cost of truncated attention). Where
+    * q60 emits the per-doc assignment, q137 emits the per-shard COST
+    * REPORT a recipe uses to choose between the two conventions: how
+    * many sequences the shard yields, how much tail padding is wasted,
+    * and how many documents get split across a context boundary (split
+    * docs lose cross-boundary attention — the quantity a packing recipe
+    * tries to minimize; cf. the document-mask packing discussion in
+    * Dubey et al. 2024, §3.2).
+    *
+    * Packing is defined per PACK SHARD with a deterministic intra-shard
+    * order, never globally — a global concat order would serialize the
+    * corpus through one task. Here the shard key is `source` and the
+    * order `doc_id` so DuckDB can replay it exactly; in production the
+    * key is `pmod(hash60(doc_id), nShards)` with the same per-shard
+    * running-sum shape (a 100 TB source is not one window partition —
+    * see the [[q84Shards]] sharding note).
+    *
+    * Integer-exactness: every output is a count or a non-negative
+    * integer division (truncating `div` = flooring `//` on non-negative
+    * operands). A doc's boundary crossings are closed-form from the
+    * running sum: `spans = (end-1) div cap - start div cap`.
+    *
+    * Shape at scale: ONE hash exchange on the shard key; the running-sum
+    * window sorts within partitions only, and the per-shard rollup
+    * reuses the window's partitioning (no second exchange — pinned by
+    * RecipePackSpec). Nothing global, nothing corpus-sized on one task. */
+  val q137SequencePack = QueryDef(
+    "q137_sequence_pack",
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len($sqlWords) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT *,
+       |    CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM d),
+       |m AS (SELECT *,
+       |    CASE WHEN toks > 0
+       |      THEN ((cum - 1) // $PackCap) - ((cum - toks) // $PackCap)
+       |      ELSE 0 END AS spans
+       |  FROM c),
+       |g AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS docs_split,
+       |    CAST(SUM(spans) AS BIGINT) AS extra_spans
+       |  FROM m GROUP BY source)
+       |SELECT source, n_docs, total_tokens,
+       |  (total_tokens + ${PackCap - 1}) // $PackCap AS n_sequences,
+       |  ((total_tokens + ${PackCap - 1}) // $PackCap) * $PackCap
+       |    - total_tokens AS tail_pad,
+       |  docs_split,
+       |  (docs_split * 1000000) // n_docs AS split_ppm,
+       |  extra_spans
+       |FROM g
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast(LongType).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("spans",
+        when(col("toks") > 0,
+          expr(s"((cum - 1) div $PackCap) - ((cum - toks) div $PackCap)"))
+          .otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(when(col("spans") > 0, 1L).otherwise(0L)).as("docs_split"),
+        sum(col("spans")).as("extra_spans"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${PackCap - 1}) div $PackCap")
+          .as("n_sequences"),
+        (expr(s"(total_tokens + ${PackCap - 1}) div $PackCap") * PackCap
+          - col("total_tokens")).as("tail_pad"),
+        col("docs_split"),
+        expr("(docs_split * 1000000) div n_docs").as("split_ppm"),
+        col("extra_spans"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q118TokenWaterfill, q119DsirImportance, q120WinnowFingerprint,
       q121RecipeManifest, q122VocabCoverage, q123TemperatureMixture,
-      q124Boilerplate, q125ImportanceSample)
+      q124Boilerplate, q125ImportanceSample, q137SequencePack)
 }

@@ -239,4 +239,50 @@ class RecipeSpec extends AnyFunSuite with SparkTestSession {
     assert(q122.contains("TakeOrderedAndProject"), q122)
     assert(q122.contains("BroadcastHashJoin"), q122)
   }
+
+  test("q137: packing audit matches an independent imperative packer " +
+    "and the rollup reuses the window's shard partitioning") {
+    val df = Recipe.q137SequencePack.fn(spark, sfDir)
+    val got = df.collect().map(r => r.getAs[String]("source") -> r).toMap
+
+    // independent model: replay concat-and-chop per source in plain Scala
+    val cap = 512L
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("toks")))
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      var cum = 0L; var split = 0L; var spans = 0L
+      rows.sortBy(_._1).foreach { case (_, _, t) =>
+        val start = cum; cum += t
+        if (t > 0) {
+          val s = (cum - 1) / cap - start / cap
+          spans += s; if (s > 0) split += 1
+        }
+      }
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == rows.length, src)
+      assert(r.getAs[Long]("total_tokens") == cum, src)
+      assert(r.getAs[Long]("n_sequences") == (cum + cap - 1) / cap, src)
+      assert(r.getAs[Long]("tail_pad")
+        == ((cum + cap - 1) / cap) * cap - cum, src)
+      assert(r.getAs[Long]("docs_split") == split, src)
+      assert(r.getAs[Long]("extra_spans") == spans, src)
+      // a doc that straddles k boundaries appears in k+1 sequences
+      assert(r.getAs[Long]("extra_spans") >= r.getAs[Long]("docs_split"))
+    }
+
+    // plan: ONE hash exchange total — the per-shard rollup must consume
+    // the running-sum window's hash(source) partitioning, not re-shuffle
+    // (the orderBy adds a rangepartitioning exchange; that's the
+    // presentation sort, not a data-movement stage at scale)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"rollup must reuse the window partitioning (1 hash exchange):\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
 }
