@@ -119,6 +119,18 @@ object Mirror {
         org.apache.spark.sql.graftshim.Bridge.expression(b),
         evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
 
+  /** Left shift by a COLUMN amount (the `shiftleft` builtin only takes a
+    * literal shift). Exact integer op — the engine-safe way to build
+    * 2^k terms (`1L << k` then cast, never `pow(2.0, k)`, whose
+    * correct rounding on exact powers is libm's promise, not IEEE's).
+    * Usable inside HOF lambdas, like [[intDiv]]. */
+  def shiftL(a: Column, bits: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graftshim.Bridge.expression(a),
+        org.apache.spark.sql.graftshim.Bridge.expression(
+          bits.cast(org.apache.spark.sql.types.IntegerType))))
+
   /** Whitespace tokens. Single-space split, trailing empties kept — matches
     * DuckDB string_split semantics exactly. */
   def words(text: Column): Column = split(text, " ")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
@@ -500,8 +501,117 @@ object Stats {
       .orderBy(col("prev"), col("event_type"))
   }
 
+  /** HLL register count (m). 64 keeps the demo's standard-regime error
+    * ~1.04/√m ≈ 13 %; production picks 2^12-2^14. Must be a power of 2. */
+  private val HllM = 64L
+
+  /** q138: HyperLogLog cardinality sketch vs exact distinct — the
+    * associative-merge distinct-count structure a 100 TB scan actually
+    * uses (Flajolet et al. 2007), evaluated the q117 way: build the
+    * sketch AND the exact answer, report the measured error. Per source,
+    * [[HllM]] registers over 3-word shingles: register b keeps the max
+    * "leading-zero rank" ρ of any 60-bit shingle hash routed to b; the
+    * estimate is αm·m²/Σ2^(−R[b]).
+    *
+    * Everything compared is deterministic: ρ is integer bit-length math
+    * (`bin()` string length — identical across engines), 2^(−R) terms
+    * are exact powers of two built by INTEGER shift (never `pow`), the
+    * Σ is a left fold in register order ([[Mirror.foldSum]] discipline),
+    * and αm enters as the same literal arithmetic both engines evaluate
+    * with identical IEEE ops. No linear-counting branch: its m·ln(m/V)
+    * needs libm `ln`, which is not bit-reproducible — and the shingle
+    * domain (~1.4k/source at sf0.001) keeps every source in the
+    * standard regime (n_zero_regs = 0; err_pm lands in the expected
+    * ~1.04/√m band, asserted in StatsSketchSpec).
+    *
+    * Shape at scale: registers are a per-(source, bucket) MAX — partial
+    * aggregation absorbs any skew, state is m rows per source, and
+    * register tables MERGE (max is associative/commutative), which is
+    * the whole point: distinct-counting a 100 TB corpus becomes a
+    * shuffle of m·n_sources tiny rows. The exact branch exists to GRADE
+    * the sketch (drop it in production); both branches hang off one
+    * shared (source, shingle) distinct, whose exchange Spark reuses
+    * (ReuseExchange — asserted in the spec). */
+  /** The (source, shingle) distinct domain q138 sketches and grades on. */
+  private[operators] def hllShingles(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(shingleGen(col("text"))).as("sh"))
+      .distinct()
+
+  /** Per-(source, bucket) HLL registers over a shingle slice. MERGEABLE:
+    * the registers of a union of slices are the per-bucket max of each
+    * slice's registers (max is associative/commutative — proven in
+    * StatsSketchSpec), which is what lets 1000 executors sketch 100 TB
+    * with map-side partial maxes and an m-rows-per-source shuffle. */
+  private[operators] def hllRegistersOf(s: DataFrame): DataFrame = {
+    val v = expr(s"h60 div $HllM")
+    s.select(col("source"), hash60(col("sh")).as("h60"))
+      .select(col("source"), (col("h60") % HllM).as("bucket"),
+        when(v === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(v)).cast(LongType)).as("rho"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  val q138HllCardinality = QueryDef(
+    "q138_hll_cardinality",
+    s"""WITH s AS (SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest($sqlShingleGen) AS sh FROM documents)),
+       |h AS (SELECT source, ${sqlHash60("sh")} AS h60 FROM s),
+       |r AS (SELECT source, h60 % $HllM AS bucket,
+       |    MAX(CASE WHEN h60 // $HllM = 0 THEN 55
+       |        ELSE 55 - length(bin(h60 // $HllM)) END) AS rho
+       |  FROM h GROUP BY source, h60 % $HllM),
+       |f AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list(rho ORDER BY bucket),
+       |        x -> 1.0 / CAST((CAST(1 AS BIGINT) << x) AS DOUBLE))),
+       |      (acc, v) -> acc + v) AS fold_terms
+       |  FROM r GROUP BY source),
+       |e AS (SELECT source, $HllM - n_regs AS n_zero_regs,
+       |    fold_terms + ($HllM.0 - n_regs) AS sum_terms FROM f),
+       |x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       |  FROM s GROUP BY source)
+       |SELECT e.source, x.exact_distinct, e.n_zero_regs, e.sum_terms,
+       |  (0.7213 / (1.0 + 1.079 / $HllM.0)) * ${HllM * HllM}.0
+       |    / e.sum_terms AS est_raw,
+       |  CAST(floor(abs((0.7213 / (1.0 + 1.079 / $HllM.0))
+       |      * ${HllM * HllM}.0 / e.sum_terms
+       |      - CAST(x.exact_distinct AS DOUBLE))
+       |    * 1000000.0 / CAST(x.exact_distinct AS DOUBLE)) AS BIGINT)
+       |    AS err_pm
+       |FROM e JOIN x ON x.source = e.source
+       |ORDER BY e.source""".stripMargin) { (spark, dir) =>
+    val s = hllShingles(Tables(spark, dir, "documents"))
+    val regs = hllRegistersOf(s)
+    val folded = regs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_regs"),
+      foldSum(transform(
+        sort_array(collect_list(struct(col("bucket"), col("rho")))),
+        x => lit(1.0)
+          / shiftL(lit(1L), x.getField("rho")).cast(DoubleType)))
+        .as("fold_terms"))
+    val est = folded.select(col("source"),
+      (lit(HllM) - col("n_regs")).as("n_zero_regs"),
+      (col("fold_terms") + (lit(HllM.toDouble) - col("n_regs")))
+        .as("sum_terms"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    val exact = s.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("n_zero_regs"),
+        col("sum_terms"),
+        (alpha * lit((HllM * HllM).toDouble) / col("sum_terms"))
+          .as("est_raw"),
+        floor(abs(alpha * lit((HllM * HllM).toDouble) / col("sum_terms")
+          - col("exact_distinct").cast(DoubleType))
+          * 1000000.0 / col("exact_distinct").cast(DoubleType))
+          .cast(LongType).as("err_pm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
     q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp,
     q80TokenBudgetSample, q85RollingActiveUsers, q87FunnelStages,
-    q88CohortRetention, q90EventTransitions)
+    q88CohortRetention, q90EventTransitions, q138HllCardinality)
 }
