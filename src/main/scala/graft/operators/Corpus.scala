@@ -1528,6 +1528,124 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** q140: leakage-free train/val/test split — the eval-hygiene step a
+    * training pipeline runs AFTER near-dup clustering (q59) and BEFORE
+    * materialization: hash-assign whole duplicate COMPONENTS to splits,
+    * never individual documents, so no near-dup pair can straddle the
+    * train/eval boundary (the contamination-by-construction failure of
+    * per-doc splits; cf. the dedup/decontamination discussion in Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"). The report grades BOTH policies on the same corpus: the
+    * component split's `leak_pairs` is 0 by construction, while
+    * `naive_leak_pairs` — the same pair set under a per-doc hash split —
+    * counts every near-dup pair the naive policy tears across splits (a
+    * pair leaking between two splits is counted in each, since both
+    * sides' audits must list it).
+    *
+    * Determinism: split = hash60(assignment key) mod 10 (8/1/1) — a pure
+    * function of (corpus, key), the q53/q63 discipline; all outputs are
+    * integer counts.
+    *
+    * Shape at scale: components come from the q59 label propagation
+    * (rounds = cluster diameter, shuffles on the vertex key); the split
+    * label is a narrow map; the leak audit joins the O(pairs) artifact —
+    * tiny next to the corpus — against the label table twice, keyed on
+    * the doc PK. Singleton docs never enter the pair join at all. */
+  val q140LeakageSplit = QueryDef(
+    "q140_leakage_split",
+    s"""WITH RECURSIVE ${Dedup.sqlNearDupBody},
+       |p2 AS (${Dedup.sqlNearDupPairs}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p2
+       |          UNION ALL SELECT doc_b, doc_a FROM p2),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach
+       |  GROUP BY v),
+       |lab AS (SELECT d.doc_id, d.source,
+       |    CAST(len($sqlWords) AS BIGINT) AS toks,
+       |    COALESCE(c.component, d.doc_id) AS component,
+       |    CASE WHEN ${sqlHash60(
+              "CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)")} % 10 < 8
+       |         THEN 'train'
+       |         WHEN ${sqlHash60(
+              "CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)")} % 10 = 8
+       |         THEN 'val' ELSE 'test' END AS split,
+       |    CASE WHEN ${sqlHash60("CAST(d.doc_id AS VARCHAR)")} % 10 < 8
+       |         THEN 'train'
+       |         WHEN ${sqlHash60("CAST(d.doc_id AS VARCHAR)")} % 10 = 8
+       |         THEN 'val' ELSE 'test' END AS naive_split
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |per AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+       |  FROM lab GROUP BY split),
+       |lk AS (SELECT la.split AS sa, lb.split AS sb,
+       |    la.naive_split AS na, lb.naive_split AS nb
+       |  FROM p2 JOIN lab la ON la.doc_id = p2.doc_a
+       |          JOIN lab lb ON lb.doc_id = p2.doc_b),
+       |leak_c AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS leak_pairs
+       |  FROM (SELECT sa AS split FROM lk WHERE sa <> sb
+       |        UNION ALL SELECT sb FROM lk WHERE sa <> sb)
+       |  GROUP BY split),
+       |leak_n AS (SELECT split,
+       |    CAST(COUNT(*) AS BIGINT) AS naive_leak_pairs
+       |  FROM (SELECT na AS split FROM lk WHERE na <> nb
+       |        UNION ALL SELECT nb FROM lk WHERE na <> nb)
+       |  GROUP BY split)
+       |SELECT per.split, n_docs, n_tokens, n_components,
+       |  COALESCE(leak_c.leak_pairs, CAST(0 AS BIGINT)) AS leak_pairs,
+       |  COALESCE(leak_n.naive_leak_pairs, CAST(0 AS BIGINT))
+       |    AS naive_leak_pairs
+       |FROM per
+       |LEFT JOIN leak_c ON leak_c.split = per.split
+       |LEFT JOIN leak_n ON leak_n.split = per.split
+       |ORDER BY per.split""".stripMargin) { (spark, dir) =>
+    val pairs = Dedup.nearDupPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    def splitOf(key: Column): Column =
+      when(pmod(hash60(key.cast(org.apache.spark.sql.types.StringType)),
+        lit(10L)) < 8, "train")
+        .when(pmod(hash60(key.cast(org.apache.spark.sql.types.StringType)),
+          lit(10L)) === 8, "val")
+        .otherwise("test")
+    val lab = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast(LongType).as("toks"))
+      .join(comp.select(col("v").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        splitOf(coalesce(col("component"), col("doc_id"))).as("split"),
+        splitOf(col("doc_id")).as("naive_split"))
+    val per = lab.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+      countDistinct(col("component")).as("n_components"))
+    val lk = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("split").as("sa"),
+        col("naive_split").as("na")), Seq("doc_a"))
+      .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb"),
+        col("naive_split").as("nb")), Seq("doc_b"))
+    def leakOf(a: String, b: String, out: String): DataFrame = lk
+      .filter(col(a) =!= col(b))
+      .select(col(a).as("split"))
+      .unionByName(lk.filter(col(a) =!= col(b))
+        .select(col(b).as("split")))
+      .groupBy(col("split")).agg(count(lit(1)).as(out))
+    per
+      .join(leakOf("sa", "sb", "leak_pairs"), Seq("split"), "left_outer")
+      .join(leakOf("na", "nb", "naive_leak_pairs"), Seq("split"),
+        "left_outer")
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        col("n_components"),
+        coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"),
+        coalesce(col("naive_leak_pairs"), lit(0L))
+          .as("naive_leak_pairs"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q59DedupComponents, q60PackSequences, q61RepetitionMetrics,
       q62Contamination, q63StratifiedSample, q65PiiScrub,
@@ -1535,5 +1653,5 @@ object Corpus {
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
       q98DedupShrinkage, q104ApproxPercentileBound, q105NgramNovelty,
-      q107WinsorizedStats, q110SaturationCurve)
+      q107WinsorizedStats, q110SaturationCurve, q140LeakageSplit)
 }

@@ -533,7 +533,7 @@ object Stats {
     * shared (source, shingle) distinct, whose exchange Spark reuses
     * (ReuseExchange — asserted in the spec). */
   /** The (source, shingle) distinct domain q138 sketches and grades on. */
-  private[operators] def hllShingles(docs: DataFrame): DataFrame =
+  private[graft] def hllShingles(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(shingleGen(col("text"))).as("sh"))
       .distinct()
 
@@ -542,7 +542,7 @@ object Stats {
     * slice's registers (max is associative/commutative — proven in
     * StatsSketchSpec), which is what lets 1000 executors sketch 100 TB
     * with map-side partial maxes and an m-rows-per-source shuffle. */
-  private[operators] def hllRegistersOf(s: DataFrame): DataFrame = {
+  private[graft] def hllRegistersOf(s: DataFrame): DataFrame = {
     val v = expr(s"h60 div $HllM")
     s.select(col("source"), hash60(col("sh")).as("h60"))
       .select(col("source"), (col("h60") % HllM).as("bucket"),
@@ -610,8 +610,98 @@ object Stats {
       .orderBy(col("source"))
   }
 
+  /** Count-Min geometry: d rows × w counters. Tiny on purpose (the
+    * sf0.001 shingle domain then exercises the εN overcount bound, not
+    * just the collision-free regime); production sizes w ≈ e/ε. */
+  private val CmsD = 4L
+  private val CmsW = 256L
+
+  /** Count-Min counter table over the shingle occurrence stream: row i
+    * buckets each occurrence at `(h1 + i·h2) mod w` (Kirsch-Mitzenmacher
+    * double hashing from the two independent 60-bit digest windows) and
+    * counts. ASSOCIATIVE: counters of a union of slices are the
+    * element-wise SUM of each slice's counters (StatsSketchSpec), so
+    * 100 TB reduces to d·w cells per partition map-side, then one tiny
+    * merge — the frequency twin of [[hllRegistersOf]]'s max-merge. */
+  private[graft] def cmsCounters(occ: DataFrame): DataFrame =
+    occ.select(hash60(col("sh")).as("h1"), hash60b(col("sh")).as("h2"))
+      .select(explode(transform(sequence(lit(0L), lit(CmsD - 1)),
+        i => struct(i.as("i"),
+          ((col("h1") + i * col("h2")) % CmsW).as("bucket")))).as("ib"))
+      .groupBy(col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** q139: Count-Min frequency sketch vs exact counts — the other
+    * mergeable sketch a 100 TB profiler runs next to q138's HLL
+    * (Cormode & Muthukrishnan 2005): estimate the frequency of the
+    * top-20 true-heaviest shingles from a d×w counter table and report
+    * the overcount. Everything is integer (counts, 60-bit hashes,
+    * non-negative mod) — hash-exact across engines with no float
+    * discipline needed at all.
+    *
+    * The graded guarantees: `cms_est ≥ exact_n` ALWAYS (min over rows
+    * of sums that each include every true occurrence — one-sided by
+    * construction, asserted for EVERY key in StatsSketchSpec, not just
+    * the top 20), and overcount ≤ εN with ε = e/w at 1−(1/e)^d — the
+    * [[CmsW]]=256 geometry puts the sf0.001 shingle stream (~27k
+    * occurrences over ~21k keys) in the collision-heavy regime where
+    * that bound is actually load-bearing.
+    *
+    * Shape at scale: the counter build is the scan — the 4-way
+    * per-occurrence explode collapses to ≤ d·w rows per partition via
+    * partial aggregation before anything shuffles; the probe joins the
+    * 20-key top list against the broadcast ≤1024-cell table. The exact
+    * side (full per-key rollup + top-k) exists to GRADE the sketch and
+    * drops in production. */
+  val q139CountMin = QueryDef(
+    "q139_count_min",
+    s"""WITH occ AS (SELECT unnest($sqlShingleGen) AS sh FROM documents),
+       |hh AS (SELECT sh, ${sqlHash60("sh")} AS h1,
+       |    ${sqlHash60b("sh")} AS h2 FROM occ),
+       |r AS (SELECT unnest(range(0, $CmsD)) AS i),
+       |cm AS (SELECT i, (h1 + i * h2) % $CmsW AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM hh, r GROUP BY 1, 2),
+       |byk AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |  FROM occ GROUP BY sh),
+       |top AS (SELECT sh, exact_n FROM byk
+       |  ORDER BY exact_n DESC, sh LIMIT 20),
+       |probe AS (SELECT t.sh, t.exact_n, r.i,
+       |    (${sqlHash60("t.sh")} + r.i * ${sqlHash60b("t.sh")}) % $CmsW
+       |      AS bucket
+       |  FROM top t, r),
+       |est AS (SELECT p.sh, p.exact_n, MIN(cm.c) AS cms_est
+       |  FROM probe p JOIN cm ON cm.i = p.i AND cm.bucket = p.bucket
+       |  GROUP BY 1, 2)
+       |SELECT sh AS shingle, exact_n, cms_est,
+       |  cms_est - exact_n AS overcount
+       |FROM est ORDER BY exact_n DESC, shingle""".stripMargin) {
+    (spark, dir) =>
+    val occ = Tables(spark, dir, "documents")
+      .select(explode(shingleGen(col("text"))).as("sh"))
+    val cm = cmsCounters(occ)
+    val top = occ.groupBy(col("sh")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("sh")).limit(20)
+    top
+      .select(col("sh"), col("exact_n"), hash60(col("sh")).as("h1"),
+        hash60b(col("sh")).as("h2"))
+      .select(col("sh"), col("exact_n"),
+        explode(transform(sequence(lit(0L), lit(CmsD - 1)),
+          i => struct(i.as("i"),
+            ((col("h1") + i * col("h2")) % CmsW).as("bucket")))).as("ib"))
+      .select(col("sh"), col("exact_n"), col("ib.i").as("i"),
+        col("ib.bucket").as("bucket"))
+      .join(broadcast(cm), Seq("i", "bucket"))
+      .groupBy(col("sh"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("sh").as("shingle"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("shingle"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
     q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp,
     q80TokenBudgetSample, q85RollingActiveUsers, q87FunnelStages,
-    q88CohortRetention, q90EventTransitions, q138HllCardinality)
+    q88CohortRetention, q90EventTransitions, q138HllCardinality,
+    q139CountMin)
 }

@@ -355,4 +355,36 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3) == "v<NUM>.<NUM> costs <NUM>")
     assert(got(4) == "<EMAIL> <IP>")
   }
+
+  test("q140: components never straddle splits, the naive policy " +
+    "provably leaks, and the split accounting closes") {
+    val rows = Corpus.q140LeakageSplit.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    // leakage-free by construction; the naive contrast is non-vacuous
+    rows.foreach(r => assert(r.getAs[Long]("leak_pairs") == 0L))
+    assert(rows.map(_.getAs[Long]("naive_leak_pairs")).sum > 0,
+      "fixture: naive split must tear at least one near-dup pair")
+    // accounting: split doc counts partition the corpus
+    val total = graft.Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // independent check: every duplicate component lands in ONE split
+    val comp = Corpus.connectedComponents(
+      Dedup.nearDupPairs(spark, sfDir), "doc_a", "doc_b")
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("component"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(key: Long): Long = {
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10
+    }
+    // members inherit the COMPONENT's hash bucket, so unanimity within a
+    // cluster holds by construction; what needs evidence is that the
+    // corpus contains a multi-doc component whose members' PER-DOC
+    // buckets differ — the exact situation the naive policy tears apart
+    assert(comp.groupBy(_._2).exists { case (_, members) =>
+      members.length > 1 &&
+        members.map(m => splitOf(m._1)).distinct.length > 1
+    }, "fixture: no multi-doc component with differing per-doc buckets")
+  }
 }

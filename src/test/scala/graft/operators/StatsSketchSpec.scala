@@ -62,6 +62,61 @@ class StatsSketchSpec extends AnyFunSuite with SparkTestSession {
       "sliced-and-merged registers differ from whole-corpus registers")
   }
 
+  test("q139: the Count-Min estimate is one-sided for EVERY key and the " +
+    "observed overcount respects the e/w error bound") {
+    val occ = docs
+      .select(explode(Mirror.shingleGen(col("text"))).as("sh"))
+    val cm = Stats.cmsCounters(occ).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    val byKey = occ.groupBy(col("sh")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = byKey.map(_._2).sum
+    // imperative probe of every key (not just the query's top 20)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byKey.foreach { case (sh, exact) =>
+      val hex = md.digest(sh.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      val est = (0L until 4L).map(i => cm((i, (h1 + i * h2) % 256))).min
+      assert(est >= exact, s"one-sided guarantee broken for '$sh'")
+      // e/w * N at w=256; deterministic data, so a stable assertion
+      assert(est - exact <= (2718 * n) / (1000 * 256) + 1,
+        s"'$sh' overcount ${est - exact} above the eN/w bound")
+    }
+    // and the query's own output agrees with the imperative probe
+    val out = Stats.q139CountMin.fn(spark, sfDir).collect()
+    assert(out.length == 20)
+    val exactOf = byKey.toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("exact_n") ==
+        exactOf(r.getAs[String]("shingle")))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_n"))
+    }
+  }
+
+  test("q139: counters MERGE — element-wise sum of two disjoint slices " +
+    "equals the counters of the whole stream") {
+    def occOf(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(explode(Mirror.shingleGen(col("text"))).as("sh"))
+    val merged = Stats.cmsCounters(occOf(col("doc_id") % 2 === 0))
+      .unionByName(Stats.cmsCounters(occOf(col("doc_id") % 2 === 1)))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    val full = Stats.cmsCounters(
+      docs.select(explode(Mirror.shingleGen(col("text"))).as("sh")))
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    assert(merged == full,
+      "sliced-and-summed counters differ from whole-stream counters")
+  }
+
   test("q138 plan: the sketch and exact branches share one distinct " +
     "subtree (reused exchange), and nothing goes cartesian") {
     val df = Stats.q138HllCardinality.fn(spark, sfDir)
