@@ -1126,8 +1126,7 @@ object Corpus {
     val bk = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
-    val comp = connectedComponents(
-      Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+    val comp = CcCache.components(spark, dir)
     val surv = bk.select(col("doc_id"))
       .join(comp.select(col("v").as("doc_id"), col("component")),
         Seq("doc_id"), "left")
@@ -1354,8 +1353,7 @@ object Corpus {
        |FROM sz
        |GROUP BY comp_size
        |ORDER BY comp_size""".stripMargin) { (spark, dir) =>
-    val comp = connectedComponents(
-      Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+    val comp = CcCache.components(spark, dir)
     Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .join(comp.select(col("v").as("doc_id"), col("component")),
@@ -1410,7 +1408,7 @@ object Corpus {
        |FROM m WHERE rn = 1
        |ORDER BY component""".stripMargin) { (spark, dir) =>
     val pairs = Dedup.nearDupPairs(spark, dir)
-    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    val comp = CcCache.components(spark, dir)
     // both endpoints from one pass (explode, not union — the q83 lesson)
     val deg = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -1506,8 +1504,7 @@ object Corpus {
        |  CAST(SUM(CASE WHEN surv THEN toks ELSE 0 END) AS DOUBLE)
        |    / CAST(SUM(toks) AS DOUBLE) AS token_keep_frac
        |FROM lab GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
-    val comp = connectedComponents(
-      Dedup.nearDupPairs(spark, dir), "doc_a", "doc_b")
+    val comp = CcCache.components(spark, dir)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(Mirror.words(col("text"))).cast(LongType).as("toks"))
@@ -1604,7 +1601,7 @@ object Corpus {
        |ORDER BY per.split""".stripMargin) { (spark, dir) =>
     val pairs = Dedup.nearDupPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
-    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    val comp = CcCache.components(spark, dir)
     def splitOf(key: Column): Column =
       when(pmod(hash60(key.cast(org.apache.spark.sql.types.StringType)),
         lit(10L)) < 8, "train")
