@@ -188,4 +188,27 @@ object Mirror {
        | ELSE [text] END""".stripMargin.replace("\n", "")
 
   val sqlShingles3: String = s"list_distinct($sqlShingleGen)"
+
+  /** All 5-word shingles in order (docs shorter than 5 words shingle to
+    * the whole text) — the longer contamination unit q142 probes with:
+    * 3-grams collide on common phrases, 5-grams only on genuinely
+    * copied spans (real decontamination pipelines use 8-13). Declarative
+    * (interpreted lambda) — acceptable for its single consumer; the
+    * native-expression escalation path is [[shingleGen]]'s. */
+  def shingle5Gen(text: Column): Column = {
+    val w = words(text)
+    org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.size(w) >= 5,
+      transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(w) - 4),
+        i => concat_ws(" ", slice(w, i, lit(5)))))
+      .otherwise(array(text))
+  }
+
+  /** DuckDB fragment mirroring [[shingle5Gen]]. */
+  val sqlShingle5Gen: String =
+    s"""CASE WHEN len($sqlWords) >= 5
+       | THEN list_transform(range(1, len($sqlWords) - 3),
+       |                     i -> array_to_string(($sqlWords)[i:i+4], ' '))
+       | ELSE [text] END""".stripMargin.replace("\n", "")
 }

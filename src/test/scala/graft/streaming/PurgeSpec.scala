@@ -82,6 +82,16 @@ class PurgeSpec extends AnyFunSuite with SparkTestSession {
     assert(got == batch, s"stream report != batch q136\n$got\n$batch")
   }
 
+  test("q136 plan: the cascade joins the purged slice broadcast into " +
+    "the pair artifact — never a corpus-keyed shuffle") {
+    val df = Dedup.q136PurgeAudit.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("a pair whose endpoints are purged in DIFFERENT epochs counts " +
     "once per source (the batch DISTINCT, incrementally)") {
     val dir = java.nio.file.Files.createTempDirectory("purge-cross")
