@@ -631,6 +631,23 @@ object Stats {
       .groupBy(col("ib.i").as("i"), col("ib.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** [[cmsCounters]] derived from a per-key count table (sh, n) instead
+    * of the raw occurrence stream — element-wise IDENTICAL (a counter is
+    * a sum over occurrences; summing n per key groups the same terms),
+    * proven in StatsSketchSpec. q139 uses this path because its exact
+    * grading side materializes the per-key rollup anyway, so the counter
+    * build rides that shuffle instead of re-exploding every occurrence;
+    * [[cmsCounters]] remains the production path when no per-key rollup
+    * exists (the [[graft.streaming.SketchStream]] ingest shape). */
+  private[graft] def cmsCountersFromCounts(byKey: DataFrame): DataFrame =
+    byKey.select(col("n"), hash60(col("sh")).as("h1"),
+      hash60b(col("sh")).as("h2"))
+      .select(col("n"), explode(transform(sequence(lit(0L), lit(CmsD - 1)),
+        i => struct(i.as("i"),
+          ((col("h1") + i * col("h2")) % CmsW).as("bucket")))).as("ib"))
+      .groupBy(col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+      .agg(sum(col("n")).as("c"))
+
   /** q139: Count-Min frequency sketch vs exact counts — the other
     * mergeable sketch a 100 TB profiler runs next to q138's HLL
     * (Cormode & Muthukrishnan 2005): estimate the frequency of the
@@ -679,9 +696,13 @@ object Stats {
     (spark, dir) =>
     val occ = Tables(spark, dir, "documents")
       .select(explode(shingleGen(col("text"))).as("sh"))
-    val cm = cmsCounters(occ)
-    val top = occ.groupBy(col("sh")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("sh")).limit(20)
+    // ONE per-key rollup feeds both branches: counters ride its shuffle
+    // (cmsCountersFromCounts ≡ cmsCounters, see its Scaladoc) and the
+    // top-k exact side is the rollup's TakeOrdered
+    val byKey = occ.groupBy(col("sh")).agg(count(lit(1)).as("exact_n"))
+    val cm = cmsCountersFromCounts(
+      byKey.select(col("sh"), col("exact_n").as("n")))
+    val top = byKey.orderBy(col("exact_n").desc, col("sh")).limit(20)
     top
       .select(col("sh"), col("exact_n"), hash60(col("sh")).as("h1"),
         hash60b(col("sh")).as("h2"))

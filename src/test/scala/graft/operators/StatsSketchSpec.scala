@@ -97,6 +97,21 @@ class StatsSketchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q139: the per-key-derived counter build equals the occurrence-" +
+    "stream build cell for cell") {
+    val occ = docs
+      .select(explode(Mirror.shingleGen(col("text"))).as("sh"))
+    val fromOcc = Stats.cmsCounters(occ).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    val fromKeys = Stats.cmsCountersFromCounts(
+      occ.groupBy(col("sh")).agg(count(lit(1)).as("n"))).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    assert(fromKeys == fromOcc,
+      "per-key counter derivation differs from the occurrence stream")
+  }
+
   test("q139: counters MERGE — element-wise sum of two disjoint slices " +
     "equals the counters of the whole stream") {
     def occOf(f: org.apache.spark.sql.Column) = docs.filter(f)
@@ -126,5 +141,12 @@ class StatsSketchSpec extends AnyFunSuite with SparkTestSession {
       && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("ReusedExchange"),
       s"the (source, sh) distinct exchange must be computed once:\n$plan")
+    // q139: counter + top-k branches must share ONE per-key rollup
+    val df139 = Stats.q139CountMin.fn(spark, sfDir)
+    df139.collect()
+    val p139 = df139.queryExecution.executedPlan.toString
+    assert(p139.contains("ReusedExchange"),
+      s"q139's branches must share the (sh) rollup exchange:\n$p139")
+    assert(!p139.contains("CartesianProduct"), p139)
   }
 }
