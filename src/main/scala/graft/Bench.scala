@@ -105,6 +105,32 @@ object Bench {
       if (sentinelTimes.size >= 2 && sentinelTimes.min > 0)
         sentinelTimes.max / sentinelTimes.min
       else -1.0
+    // Second self-diagnostic (round-12): the q01 sentinel catches a host
+    // DEGRADING over the run but not a localized noise burst (observed:
+    // one run's q71/q74/q111 at 1.6-2.2x floor while its total was the
+    // day's fastest and drift read 1.09). Compare each query against the
+    // COMMITTED floor (read BEFORE outPath is overwritten below) with the
+    // bench_gate bars; the outlier list makes "which queries to re-check"
+    // explicit in the reading itself. Regex parse — the floor file is
+    // this program's own single-line output, no JSON lib needed.
+    val floorOutliers: Seq[String] = try {
+      // default: the COMMITTED floor in the repo cwd (read before the
+      // write below replaces it), not outPath — an overridden outPath
+      // must not silently disable the diagnostic
+      val floorPath =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "bench_result.json")
+      val src = scala.io.Source.fromFile(floorPath)
+      val text = try src.mkString finally src.close()
+      val entry = "\"(q[0-9]+[a-z0-9_]*)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+      val floors = entry.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      results.collect {
+        case (name, v) if v > 0 && floors.getOrElse(name, -1.0) > 0 &&
+          v >= 1.5 * floors(name) &&
+          v - floors(name) >= math.min(0.3, math.max(0.1, floors(name))) =>
+          name
+      }
+    } catch { case _: Throwable => Seq.empty }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Total sums SUCCESSFUL queries only: a -1 failure sentinel must not
@@ -118,8 +144,10 @@ object Bench {
       .mkString("[", ",", "]")
     val driftStr =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(sentinelDrift))
+    val outliersJson = floorOutliers.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"floor_outliers":$outliersJson,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
@@ -142,8 +170,10 @@ object Bench {
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f3(v))
     }.mkString("{", ",", "}")
+    val outliersShort = floorOutliers.take(5)
+      .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
