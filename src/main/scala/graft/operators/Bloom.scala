@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -39,8 +39,48 @@ object Bloom {
   /** Eval-set membership: ~2 % of docs, keyed on the SECOND digest
     * window so the split is independent of every other hash-derived
     * assignment in the suite (q53 buckets, q125 rolls use hash60). */
-  private def isEval(doc: Column): Column =
+  private[graft] def isEval(doc: Column): Column =
     pmod(graft.operators.Mirror.hash60b(doc.cast(StringType)), lit(50L)) === 0
+
+  /** The (word, bits) filter table over a shingle set — ≤ 32 K rows.
+    * OR-MERGEABLE: the filter of a union of shingle slices is the
+    * per-word bitwise OR of each slice's words (BloomSpec), and OR is
+    * IDEMPOTENT (a|a = a), so unlike Count-Min's sum-merge this state
+    * absorbs duplicate deliveries with no id gate at all
+    * ([[graft.streaming.BloomFilterStream]] leans on exactly that). */
+  private[graft] def filterWords(sh: DataFrame): DataFrame = {
+    import Mirror.{hash60, hash60b, intDiv, shiftL}
+    sh.select(explode(array(pmod(hash60(col("sh")), lit(BloomBits)),
+      pmod(hash60b(col("sh")), lit(BloomBits)))).as("b"))
+      .select(intDiv(col("b"), lit(WordBits)).as("word"),
+        shiftL(lit(1L), pmod(col("b"), lit(WordBits))).as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** The candidate (doc_id, source, sh) rows whose BOTH probe bits are
+    * set in `filter` — q142's pre-filter stage over any (doc_id,
+    * source, text) relation; the filter side is broadcast. */
+  private[graft] def candidates(corpus: DataFrame,
+      filter: DataFrame): DataFrame = {
+    import Mirror.{hash60, hash60b, intDiv, shiftL, shingle5Gen}
+    corpus
+      .select(col("doc_id"), col("source"),
+        explode(shingle5Gen(col("text"))).as("sh")).distinct()
+      .select(col("doc_id"), col("source"), col("sh"),
+        explode(array(pmod(hash60(col("sh")), lit(BloomBits)),
+          pmod(hash60b(col("sh")), lit(BloomBits)))).as("b"))
+      .select(col("doc_id"), col("source"), col("sh"),
+        intDiv(col("b"), lit(WordBits)).as("word"),
+        shiftL(lit(1L), pmod(col("b"), lit(WordBits))).as("mask"))
+      .join(broadcast(filter), Seq("word"), "left_outer")
+      .select(col("doc_id"), col("source"), col("sh"),
+        when(col("bits").isNull, 0L)
+          .when(col("bits").bitwiseAND(col("mask")) === col("mask"), 1L)
+          .otherwise(0L).as("h"))
+      .groupBy(col("doc_id"), col("source"), col("sh"))
+      .agg(min(col("h")).as("hmin")).filter(col("hmin") === 1)
+      .select(col("doc_id"), col("source"), col("sh"))
+  }
   private val sqlIsEval =
     s"${Mirror.sqlHash60b("CAST(doc_id AS VARCHAR)")} % 50 = 0"
 
@@ -108,35 +148,12 @@ object Bloom {
        |LEFT JOIN fb ON fb.source = per.source
        |LEFT JOIN fx ON fx.source = per.source
        |ORDER BY per.source""".stripMargin) { (spark, dir) =>
-    import Mirror.{hash60, hash60b, intDiv, shiftL, shingle5Gen}
+    import Mirror.shingle5Gen
     val docs = Tables(spark, dir, "documents")
     val ev = docs.filter(isEval(col("doc_id")))
       .select(explode(shingle5Gen(col("text"))).as("sh")).distinct()
-    def pos(h: Column): Column = pmod(h, lit(BloomBits))
-    val bloom = ev
-      .select(explode(array(pos(hash60(col("sh"))),
-        pos(hash60b(col("sh"))))).as("b"))
-      .select(intDiv(col("b"), lit(WordBits)).as("word"),
-        shiftL(lit(1L), pmod(col("b"), lit(WordBits))).as("mask"))
-      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
     val corpus = docs.filter(!isEval(col("doc_id")))
-    val probe = corpus
-      .select(col("doc_id"), col("source"),
-        explode(shingle5Gen(col("text"))).as("sh")).distinct()
-      .select(col("doc_id"), col("source"), col("sh"),
-        explode(array(pos(hash60(col("sh"))),
-          pos(hash60b(col("sh"))))).as("b"))
-      .select(col("doc_id"), col("source"), col("sh"),
-        intDiv(col("b"), lit(WordBits)).as("word"),
-        shiftL(lit(1L), pmod(col("b"), lit(WordBits))).as("mask"))
-      .join(broadcast(bloom), Seq("word"), "left_outer")
-      .select(col("doc_id"), col("source"), col("sh"),
-        when(col("bits").isNull, 0L)
-          .when(col("bits").bitwiseAND(col("mask")) === col("mask"), 1L)
-          .otherwise(0L).as("h"))
-    val cand = probe.groupBy(col("doc_id"), col("source"), col("sh"))
-      .agg(min(col("h")).as("hmin")).filter(col("hmin") === 1)
-      .select(col("doc_id"), col("source"), col("sh"))
+    val cand = candidates(corpus, filterWords(ev))
     val flagB = cand.select(col("doc_id"), col("source")).distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("flagged_bloom"))
     val flagX = cand.join(ev, Seq("sh"), "left_semi")
