@@ -59,6 +59,23 @@ class CcCacheSpec extends AnyFunSuite with SparkTestSession
       .count(_.isDirectory) == 1, "second load must not re-publish")
   }
 
+  test("concurrent first-use resolves race to exactly ONE published " +
+    "artifact, and every caller reads identical labels") {
+    deleteRec(localRoot)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).map(_ => Future {
+        labelSet(CcCache.components(spark, sfDir))
+      })), 5.minutes)
+    assert(results.distinct.size == 1, "racing callers disagree")
+    assert(results.head.nonEmpty)
+    assert(Option(localRoot.listFiles()).getOrElse(Array.empty)
+      .count(_.isDirectory) == 1,
+      "the race must publish exactly one fingerprint dir")
+  }
+
   test("spark.graft.cccache=false bypasses the store entirely") {
     deleteRec(localRoot)
     try {
