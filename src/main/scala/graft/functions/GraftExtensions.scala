@@ -100,6 +100,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("phash16", 1, children)
         Phash16(children.head)
+      }),
+    (FunctionIdentifier("pairs_gen"),
+      info("pairs_gen",
+        "pairs_gen(arr) - all index-ordered pairs (i < j) of arr as " +
+          "(a, b) structs; n*(n-1)/2 rows, any element type"),
+      (children: Seq[Expression]) => {
+        checkArity("pairs_gen", 1, children)
+        PairGen(children.head)
       }))
 
   /** Register into an already-built session (the extension path only runs

@@ -86,8 +86,16 @@ object Mirror {
     * the shuffle-free way to enumerate candidate pairs inside an LSH bucket
     * (vs a bucket self-join, which re-executes the whole upstream plan for
     * the second side). Bucket sizes are bounded by band width at scale, so
-    * the quadratic stays local and small. */
-  def pairs(ids: Column): Column =
+    * the quadratic stays local and small. Native expression
+    * ([[graft.functions.PairGen]]): the declarative form below evaluates
+    * two nested interpreted lambdas plus a `slice` copy per element, and
+    * the expansion is the hot inner step of q79 (up to n²/2 structs per
+    * doc) and the capped LSH bucket enumeration. */
+  def pairs(ids: Column): Column = graft.functions.PairGen(ids)
+
+  /** Declarative specification of [[pairs]] (the executable spec the
+    * native expression is tested against). */
+  def pairsSpec(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))
