@@ -38,6 +38,13 @@ object Bench {
       try Tables(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
+    // Managed cold-start (round-12 post-mortem): resolve-or-publish every
+    // ArtifactStore artifact BEFORE any sentinel/timed pass, and measure
+    // it. An artifact-cold run (fresh checkout, rotated fingerprints)
+    // self-labels via artifacts_published/warm_secs in the JSON instead of
+    // republish cost masquerading as a timed-suite regression.
+    val (artifactsPublished, warmSecs) =
+      try Warm.run(spark, sfDir) catch { case _: Throwable => (-1L, -1.0) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -146,8 +153,10 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(sentinelDrift))
     val outliersJson = floorOutliers.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val warmSecsStr =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(warmSecs))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"floor_outliers":$outliersJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"floor_outliers":$outliersJson,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
@@ -173,7 +182,7 @@ object Bench {
     val outliersShort = floorOutliers.take(5)
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

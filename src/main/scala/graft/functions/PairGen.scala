@@ -15,7 +15,13 @@ object PairUtil {
     * order-preserving, duplicates kept, n·(n−1)/2 rows. */
   def pairs(arr: ArrayData, elemType: DataType): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[AnyRef]((n * (n - 1)) / 2)
+    // Long arithmetic: n >= 46341 overflows Int (n·(n−1)/2 > 2^31), and
+    // pairs_gen is a generic SQL function — nothing upstream bounds n.
+    val count = n.toLong * (n - 1) / 2
+    if (count > Int.MaxValue) throw new IllegalArgumentException(
+      s"pairs_gen: array of $n elements expands to $count pairs, " +
+        "exceeding the maximum JVM array size; cap or pre-slice the input")
+    val out = new Array[AnyRef](count.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -44,6 +44,12 @@ private[graft] object ArtifactStore {
   /** Serializes intra-JVM publishes; cross-JVM races are benign (above). */
   val lock = new Object
 
+  /** Count of artifact publishes in this JVM — observability for
+    * [[graft.Warm]]/[[graft.Bench]]: a bench run that had to publish
+    * (train/build) artifacts is cold, and its JSON self-labels with the
+    * count instead of masquerading as a regression. */
+  val published = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val BlockBytes = 64 * 1024
 
   /** Don't prune artifact dirs modified within this window: another JVM
@@ -147,6 +153,7 @@ private[graft] object ArtifactStore {
     write(attempt)
     writeSmall(fs, new Path(fpDir, "_graft_input"), inputTag)
     writeSmall(fs, new Path(fpDir, "_COMMITTED"), attempt.getName)
+    published.incrementAndGet()
     resolve(fs, fpDir)
   }
 
@@ -166,6 +173,28 @@ private[graft] object ArtifactStore {
         e.getModificationTime < cutoff &&
         readSmall(fs, new Path(e.getPath, "_graft_input"))
           .contains(inputTag)) {
+        try { fs.delete(e.getPath, true); () }
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** One-shot migration sweep: delete artifact dirs whose `_graft_input`
+    * equals their OWN directory name — the pre-round-13 [[ModelCache]]
+    * self-tagging bug, under which [[pruneSuperseded]] was provably a
+    * no-op (the only dir tagged `f` was `f` itself) and every fingerprint
+    * rotation leaked its model dir forever. Current publishers tag with a
+    * STABLE input identity distinct from the fingerprint, so a self-tagged
+    * dir can only be a legacy leak. Grace-period guarded like
+    * [[pruneSuperseded]]. */
+  def pruneLegacySelfTagged(fs: FileSystem, root: Path): Unit = {
+    val cutoff = System.currentTimeMillis() - pruneGraceMs
+    val entries =
+      try fs.listStatus(root) catch { case _: Throwable => return }
+    entries.foreach { e =>
+      if (e.isDirectory && e.getModificationTime < cutoff &&
+        readSmall(fs, new Path(e.getPath, "_graft_input"))
+          .contains(e.getPath.getName)) {
         try { fs.delete(e.getPath, true); () }
         catch { case _: Throwable => () }
       }

@@ -36,7 +36,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the corpus — so at 100 TB it is a broadcast-sized parquet read where
   * retraining would be a corpus-scale shuffle.
   */
-private[operators] object BpeCache {
+private[graft] object BpeCache {
 
   /** Everything BPE training's semantics flow through: the merge loop +
     * vocabulary build (TextAnalysis) and the tokenization primitive
@@ -62,48 +62,62 @@ private[operators] object BpeCache {
       dir: String): (DataFrame, Seq[(Int, String, String, Long)]) = {
     def compute = TextAnalysis.bpeTrain(Tables(spark, dir, "documents"))
     if (!enabled(spark)) return compute
+    // Every store touch below guards NonFatal ONLY, scoped to the store
+    // access itself (fingerprint / resolve / read-back / publish) — a
+    // genuine TRAINING failure propagates instead of silently rerunning
+    // from scratch, and fatal errors (OOM, LinkageError) are never eaten.
+    // This is the PairCache/CcCache contract.
+    import scala.util.control.NonFatal
     val root = new Path(cacheRoot)
-    try {
-      val fs = ArtifactStore.fileSystem(spark, root)
-      val input = fs.makeQualified(new Path(dir, "documents.parquet"))
-      val fp = for {
-        content <- ArtifactStore.contentStamp(fs, input)
-        code <- ArtifactStore.codeStamp(CodeClasses)
-      } yield ArtifactStore.md5Hex(
-        Seq(input.toString, content, code).mkString("|"))
-      fp match {
-        case None => compute // fail closed: never risk a stale model
-        case Some(f) =>
-          val fpDir = new Path(root, f)
-          val payload = ArtifactStore.lock.synchronized {
-            ArtifactStore.resolve(fs, fpDir).orElse {
-              val (vocab, merges) = compute
-              val p = ArtifactStore.publish(fs, fpDir, input.toString) { att =>
-                vocab.write.mode("overwrite")
-                  .parquet(new Path(att, "vocab").toString)
-                import spark.implicits._
-                merges.toDF("rnd", "sym_a", "sym_b", "cnt")
-                  .coalesce(1).write.mode("overwrite")
-                  .parquet(new Path(att, "merges").toString)
-              }
-              vocab.unpersist(false) // consumers re-read from the artifact
-              ArtifactStore.pruneSuperseded(fs, root, input.toString, keep = f)
-              p
+    val keys: Option[(org.apache.hadoop.fs.FileSystem, String, String)] =
+      try {
+        val fs = ArtifactStore.fileSystem(spark, root)
+        val input = fs.makeQualified(new Path(dir, "documents.parquet"))
+        for {
+          content <- ArtifactStore.contentStamp(fs, input)
+          code <- ArtifactStore.codeStamp(CodeClasses)
+        } yield (fs, input.toString, ArtifactStore.md5Hex(
+          Seq(input.toString, content, code).mkString("|")))
+      } catch { case NonFatal(_) => None } // unreachable store: no cache
+    keys match {
+      case None => compute // fail closed: never risk a stale model
+      case Some((fs, input, f)) =>
+        val fpDir = new Path(root, f)
+        def readPayload(p: Path): (DataFrame, Seq[(Int, String, String, Long)]) = {
+          val vocab = spark.read.parquet(new Path(p, "vocab").toString)
+          val merges = spark.read
+            .parquet(new Path(p, "merges").toString)
+            .collect()
+            .map(r => (r.getAs[Int]("rnd"), r.getAs[String]("sym_a"),
+              r.getAs[String]("sym_b"), r.getAs[Long]("cnt")))
+            .sortBy(_._1).toSeq
+          (vocab, merges)
+        }
+        val cached =
+          try ArtifactStore.lock.synchronized {
+            ArtifactStore.resolve(fs, fpDir).map(readPayload)
+          } catch { case NonFatal(_) => None }
+        cached.getOrElse {
+          val (vocab, merges) = compute // failures propagate — not cache noise
+          try ArtifactStore.lock.synchronized {
+            val p = ArtifactStore.publish(fs, fpDir, input) { att =>
+              vocab.write.mode("overwrite")
+                .parquet(new Path(att, "vocab").toString)
+              import spark.implicits._
+              merges.toDF("rnd", "sym_a", "sym_b", "cnt")
+                .coalesce(1).write.mode("overwrite")
+                .parquet(new Path(att, "merges").toString)
             }
+            vocab.unpersist(false) // consumers re-read from the artifact
+            ArtifactStore.pruneSuperseded(fs, root, input, keep = f)
+            p.map(readPayload).getOrElse((vocab, merges))
+          } catch {
+            // publish/read-back failed mid-flight: the freshly trained
+            // model is still correct — serve it (vocab persist state is
+            // whatever the failure left; correctness is unaffected)
+            case NonFatal(_) => (vocab, merges)
           }
-          payload match {
-            case Some(p) =>
-              val vocab = spark.read.parquet(new Path(p, "vocab").toString)
-              val merges = spark.read
-                .parquet(new Path(p, "merges").toString)
-                .collect()
-                .map(r => (r.getAs[Int]("rnd"), r.getAs[String]("sym_a"),
-                  r.getAs[String]("sym_b"), r.getAs[Long]("cnt")))
-                .sortBy(_._1).toSeq
-              (vocab, merges)
-            case None => compute // unreadable store — never serve junk
-          }
-      }
-    } catch { case _: Throwable => compute } // unreachable store: no cache
+        }
+    }
   }
 }

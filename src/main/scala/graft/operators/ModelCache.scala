@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   * `spark.graft.modelcache=false` disables the disk tier (the per-JVM memo
   * still applies — the round-7 behavior).
   */
-private[operators] object ModelCache {
+private[graft] object ModelCache {
 
   /** Everything centroid training's semantics flow through: the Lloyd loop
     * + seeding (Similarity), assignment (NearestCentroid/s), the vector
@@ -41,6 +41,17 @@ private[operators] object ModelCache {
       .orElse(sys.env.get("SPARK_GRAFT_MODELCACHE_DIR"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-modelcache")
 
+  /** One-shot hygiene sweep ([[graft.Warm]] calls this): delete model dirs
+    * still carrying the round-12 self-tag (`_graft_input` == own dir name),
+    * which the fixed prune predicate can never match again. Grace-period
+    * rules apply. */
+  def sweepLegacy(spark: SparkSession): Unit =
+    try {
+      val root = new Path(cacheRoot)
+      val fs = ArtifactStore.fileSystem(spark, root)
+      if (fs.exists(root)) ArtifactStore.pruneLegacySelfTagged(fs, root)
+    } catch { case _: Throwable => () }
+
   /** Disk fingerprint for a training run. `memoKey` is the memo's
     * (leaf-paths + canonical plan, iters, k, exact) tuple rendered to a
     * string — leaf paths already carry content stamps
@@ -53,8 +64,19 @@ private[operators] object ModelCache {
 
   /** Load the persisted model for `memoKey`, or train-and-persist via
     * `train`. Falls back to plain training when the disk tier is disabled
-    * or unavailable. */
-  def loadOrTrain(spark: SparkSession, memoKey: String)(
+    * or unavailable.
+    *
+    * `stableTag` is the artifact's STABLE input identity — the memo key
+    * with the volatile stamps (data content hash, code build stamp)
+    * stripped, so it survives exactly the rotations the fingerprint must
+    * not. Tagging the payload with it (instead of the round-12 bug:
+    * `inputTag = f`, its own fingerprint, which made `pruneSuperseded`'s
+    * same-tag-different-name predicate provably a no-op) lets a publish
+    * after a rebuild or data regeneration actually sweep the superseded
+    * model dir. Distinct logical models over the same files (q68's 8
+    * subspace codebooks) differ in their canonicalized plan and so keep
+    * distinct tags. */
+  def loadOrTrain(spark: SparkSession, memoKey: String, stableTag: String)(
       train: () => Array[(Long, Array[Double])])
       : Array[(Long, Array[Double])] = {
     if (!enabled(spark)) return train()
@@ -70,10 +92,12 @@ private[operators] object ModelCache {
               .flatMap(att => read(fs, new Path(att, "centroids.bin")))
               .getOrElse {
                 val m = train()
-                ArtifactStore.publish(fs, fpDir, inputTag = f) { att =>
+                ArtifactStore.publish(fs, fpDir, inputTag = stableTag) { att =>
                   write(fs, new Path(att, "centroids.bin"), m)
                 }
-                ArtifactStore.pruneSuperseded(fs, root, inputTag = f, keep = f)
+                ArtifactStore.pruneSuperseded(fs, root,
+                  inputTag = stableTag, keep = f)
+                ArtifactStore.pruneLegacySelfTagged(fs, root)
                 m
               }
           }

@@ -490,7 +490,7 @@ object Similarity {
     * silently serving sf0.1, or two crafted test inputs sharing one
     * model). File paths pin the data identity; anything else trains
     * uncached. */
-  private def fileLeafPaths(df: DataFrame): Option[String] = {
+  private def fileLeafPaths(df: DataFrame): Option[(String, String)] = {
     import org.apache.spark.sql.execution.datasources.{
       HadoopFsRelation, LogicalRelation}
     val leaves = df.queryExecution.analyzed.collectLeaves()
@@ -506,30 +506,39 @@ object Similarity {
               .contentStamp(ArtifactStore.fileSystem(df.sparkSession, p), p)
               .map(c => s"$p@$c")
           }
-          if (stamps.forall(_.isDefined)) Some(stamps.flatten.mkString(","))
+          if (stamps.forall(_.isDefined))
+            Some((stamps.flatten.mkString(","),
+              rel.location.rootPaths.mkString(",")))
           else None
         case _ => None
       }
       case _ => None
     }
-    if (paths.length == leaves.length) Some(paths.mkString(";")) else None
+    if (paths.length == leaves.length)
+      Some((paths.map(_._1).mkString(";"), paths.map(_._2).mkString(";")))
+    else None
   }
 
   private[graft] def lloydCentroids(emb: DataFrame, iters: Int,
       k: Int = KmeansK): Array[(Long, Array[Double])] = {
     val exact = exactMeans(emb)
     fileLeafPaths(emb) match {
-      case Some(p) =>
-        val key = (p + "\n" +
-          emb.queryExecution.analyzed.canonicalized.toString,
-          iters, k, exact)
+      case Some((p, plainPaths)) =>
+        val canonical = emb.queryExecution.analyzed.canonicalized.toString
+        val key = (p + "\n" + canonical, iters, k, exact)
+        // The artifact's stable input identity: leaf PATHS (no content
+        // stamp) + canonical plan + training params — everything that
+        // names the logical model slot, nothing that rotates with a
+        // rebuild or data regeneration. pruneSuperseded matches on it.
+        val stableTag = ArtifactStore.md5Hex(
+          Seq(plainPaths, canonical, iters, k, exact).mkString("|"))
         // memo miss → disk tier ([[ModelCache]]): a cold JVM reloads the
         // persisted quantizer bit-exactly instead of re-paying the Lloyd
         // training scans. The memo key string IS the disk key basis (leaf
         // paths carry content stamps, so data identity is covered).
         modelCache.computeIfAbsent(key,
           _ => ModelCache.loadOrTrain(emb.sparkSession,
-            Seq(key._1, iters, k, exact).mkString("|"))(
+            Seq(key._1, iters, k, exact).mkString("|"), stableTag)(
             () => trainLloyd(emb, iters, k, exact)))
       case None =>
         // uncacheable input (crafted/local data): nothing downstream can

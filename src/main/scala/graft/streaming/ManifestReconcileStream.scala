@@ -160,7 +160,10 @@ object ManifestReconcileStream {
     val cur = readSmall(fs, new Path(stateDir, "_manifest_clock"))
       .map(_.split(",")(1).toLong)
     cur match {
-      case None => spark.emptyDataFrame
+      case None => // typed empty (like closures()/PurgeStream.read): callers
+        // selecting doc_id/source must get zero rows, not AnalysisException
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("source")).limit(0)
       case Some(mx) =>
         spark.read.parquet(s"$stateDir/presence")
           .filter(col("snap") === lit(mx))

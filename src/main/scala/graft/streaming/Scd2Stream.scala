@@ -221,7 +221,10 @@ object Scd2Stream {
             // between leaves it stale by one epoch (guard is fail-fast,
             // not the replay contract). Replay rewrites the same value.
             writeSmall(fs, clockPath, s"${snaps.head},${snaps.last}")
-            publish(epochId, ext, opened) // after commit: at-least-once
+            // base-adjusted epoch, like the other streams: after a
+            // fresh-lineage restart the raw epochId restarts at 0 and
+            // would collide for consumers keying reports by epoch
+            publish(base + epochId, ext, opened) // after commit: at-least-once
           }
         } finally { pinned.foreach(_.unpersist()); () }
       }

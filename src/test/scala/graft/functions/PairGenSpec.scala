@@ -48,4 +48,16 @@ class PairGenSpec extends AnyFunSuite with SparkTestSession {
       "SELECT size(pairs_gen(sequence(1, 6))) AS n").collect()
     assert(rows.head.getInt(0) == 15)
   }
+
+  test("an array too large to expand fails with a clear error instead of " +
+    "Int-overflowing to NegativeArraySizeException") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.LongType
+    // n = 65537 → n·(n−1)/2 = 2_147_516_416 > Int.MaxValue. The size check
+    // precedes any element access, so null elements are fine and the call
+    // returns immediately — no giant allocation.
+    val big = new GenericArrayData(new Array[Any](65537))
+    val e = intercept[IllegalArgumentException](PairUtil.pairs(big, LongType))
+    assert(e.getMessage.contains("pairs_gen"))
+  }
 }

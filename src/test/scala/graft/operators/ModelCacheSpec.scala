@@ -111,4 +111,54 @@ class ModelCacheSpec extends AnyFunSuite with SparkTestSession
     deleteRec(localRoot)
     Similarity.clearModelMemoForTest()
   }
+
+  test("publish prunes a superseded generation with the same stable input " +
+    "tag, and sweeps legacy self-tagged dirs (the round-12 prune no-op)") {
+    deleteRec(localRoot)
+    Similarity.clearModelMemoForTest()
+    val trained = Similarity.lloydCentroids(emb, Similarity.KmeansIters)
+    val dirs = Option(localRoot.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.isDirectory)
+    assert(dirs.length == 1, "training must publish exactly one artifact")
+    val genuine = dirs.head
+    val tag = java.nio.file.Files
+      .readString(new File(genuine, "_graft_input").toPath).trim
+    assert(tag != genuine.getName,
+      "payload must be tagged with the stable input identity, not its own " +
+        "fingerprint — self-tagging made pruneSuperseded provably a no-op")
+
+    // a superseded generation: SAME stable tag, different fingerprint name
+    // (what a rebuild or data regeneration leaves behind)
+    val superseded = new File(localRoot, "0" * 32)
+    superseded.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(superseded, "_graft_input").toPath, tag)
+    // a legacy self-tagged leak (the round-12 bug's on-disk shape)
+    val legacy = new File(localRoot, "f" * 32)
+    legacy.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(legacy, "_graft_input").toPath, legacy.getName)
+
+    // negative grace → the prune cutoff is in the future, so the dirs just
+    // created are eligible (pruneGraceMs is re-read per call)
+    sys.props("graft.artifact.prune.grace.ms") = "-60000"
+    try {
+      // force a republish: genuine artifact dropped + memo cleared → the
+      // publish path runs pruneSuperseded(stable tag) + the legacy sweep
+      deleteRec(genuine)
+      Similarity.clearModelMemoForTest()
+      val retrained = Similarity.lloydCentroids(emb, Similarity.KmeansIters)
+      assert(sameModel(retrained, trained))
+      assert(!superseded.exists(),
+        "publish must prune the superseded same-tag generation")
+      assert(!legacy.exists(),
+        "publish must sweep legacy self-tagged dirs")
+      val now = Option(localRoot.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.isDirectory)
+      assert(now.map(_.getName).toSeq == Seq(genuine.getName),
+        "only the live fingerprint may remain")
+    } finally sys.props.remove("graft.artifact.prune.grace.ms")
+    deleteRec(localRoot)
+    Similarity.clearModelMemoForTest()
+  }
 }

@@ -93,4 +93,59 @@ class SketchStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(regsOf(SketchStream.registers(spark, state)) == bRegs)
     assert(cmOf(SketchStream.counters(spark, state)) == bCm)
   }
+
+  test("a crashed compaction never double-counts the SUM-merged counters: " +
+    "mid-fold crash leaves originals authoritative, fold-committed crash " +
+    "leaves the folded generation authoritative, compactState repairs") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("sketch-crash")
+    val rows = docRows
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    run(dir, "ckpt1", Seq(b1, b2)) // ≥ 2 epoch partitions per table
+    val state = dir.resolve("state").toString
+    val c0 = cmOf(SketchStream.counters(spark, state))
+    val r0 = regsOf(SketchStream.registers(spark, state))
+    val root = s"$state/counters"
+    val fs = EpochState.fs(spark, root)
+    val epochs = fs.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+    assert(epochs.length >= 2, s"need multiple epochs, got $epochs")
+    val next = epochs.min - 1
+
+    // --- crash point 1: marker PUT, fold crashed mid-write (no _SUCCESS).
+    // Readers must treat the partial folded dir as invisible.
+    val out = fs.create(new Path(root, "_compacting"), true)
+    try out.write(s"$next;${epochs.mkString(";")}".getBytes("UTF-8"))
+    finally out.close()
+    spark.read.parquet(root).filter(col("epoch") =!= lit(next))
+      .drop("epoch").limit(5)
+      .write.mode("overwrite").parquet(s"$root/epoch=$next")
+    fs.delete(new Path(s"$root/epoch=$next/_SUCCESS"), false) // torn write
+    assert(cmOf(SketchStream.counters(spark, state)) == c0,
+      "mid-fold crash: originals must stay authoritative")
+
+    // --- crash point 2: fold fully committed (its _SUCCESS on disk) but
+    // the covered epoch dirs were NOT deleted — the double-count hazard
+    // the round-12 advice flagged. Readers must count exactly once.
+    spark.read.parquet(root).filter(col("epoch") =!= lit(next))
+      .drop("epoch").groupBy(col("i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .write.mode("overwrite").parquet(s"$root/epoch=$next")
+    assert(fs.exists(new Path(s"$root/epoch=$next/_SUCCESS")))
+    assert(cmOf(SketchStream.counters(spark, state)) == c0,
+      "fold-committed crash: both generations on disk must read ONCE")
+
+    // --- repair: compactState completes the interrupted compaction and
+    // leaves one generation, no marker, identical state
+    SketchStream.compactState(spark, state)
+    assert(!fs.exists(new Path(root, "_compacting")),
+      "repair must clear the marker")
+    val after = fs.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+    assert(after == Seq(s"epoch=$next"),
+      s"repair must leave only the folded generation, got $after")
+    assert(cmOf(SketchStream.counters(spark, state)) == c0)
+    assert(regsOf(SketchStream.registers(spark, state)) == r0)
+  }
 }
