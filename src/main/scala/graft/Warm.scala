@@ -54,6 +54,7 @@ object Warm {
     guard(operators.PairCache.pairStats(spark, dir))
     guard(operators.CcCache.components(spark, dir))
     guard(operators.BpeCache.trained(spark, dir))
+    guard(operators.UnigramCache.pieces(spark, dir))
     // Model tier: execute each training query's plan once — ModelCache
     // publishes on the memo/disk miss inside the plan build; count()
     // forces plans whose training is lazy in the action.

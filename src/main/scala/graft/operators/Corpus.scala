@@ -1215,6 +1215,75 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring dedup — the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" operator itself: find every MAXIMAL
+    * span of ≥ [[SpanN]] tokens whose text also occurs elsewhere in the
+    * corpus (another document OR another position of the same document) and
+    * report its exact token range — the ranges that paper's suffix-array
+    * pass cuts out of the training set. q82 reports per-document duplicated
+    * FRACTIONS; this emits the spans.
+    *
+    * The suffix-array shape, Spark-first: a position is covered by a
+    * repeated ≥N-token substring iff its N-token shingle occurs ≥2 times in
+    * the corpus, and a maximal repeated span is a maximal RUN of
+    * consecutive duplicated-shingle positions — so the whole operator is
+    * positioned shingles → global occurrence counts → gaps-and-islands
+    * span merge. No all-pairs anywhere:
+    *  - shingles hash to 60-bit longs before anything shuffles (the q37
+    *    compact-key rule), so the count agg and the frequency join move
+    *    (doc_id, pos, long) rows only — O(tokens) total, linear in corpus;
+    *  - the frequency table is distinct-shingle-sized (sublinear); the
+    *    lookup join shuffles on the hash with AQE absorbing boilerplate
+    *    skew, exactly q82's plan shape;
+    *  - the run merge is a window PARTITIONED BY doc_id ordered by
+    *    position — per-task state bounded by one document's length, never
+    *    corpus-global (the pos − row_number gaps-and-islands identity,
+    *    q56's pattern).
+    * CorpusSpec proves the span merge equals a brute-force small-case
+    * (every position's shingle counted corpus-wide, runs merged by hand).
+    * Reference scope: file:line n/a — the reference has no dedup surface;
+    * this is the LLM-pipeline extension tier. */
+  val q143SubstringSpans = QueryDef(
+    "q143_substring_spans",
+    s"""WITH d AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |  WHERE len($sqlWords) >= $SpanN),
+       |g AS (SELECT doc_id, i AS pos,
+       |    array_to_string(w[i:i+${SpanN - 1}], ' ') AS span
+       |  FROM (SELECT doc_id, w,
+       |        unnest(range(1, len(w) - ${SpanN - 2})) AS i FROM d)),
+       |h AS (SELECT doc_id, pos, ${sqlHash60("span")} AS sh FROM g),
+       |f AS (SELECT sh, COUNT(*) AS cnt FROM h GROUP BY sh),
+       |dup AS (SELECT doc_id, pos FROM h JOIN f USING (sh)
+       |  WHERE cnt >= 2),
+       |isl AS (SELECT doc_id, pos, pos - row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM dup),
+       |sp AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) AS b
+       |  FROM isl GROUP BY doc_id, isl)
+       |SELECT doc_id, CAST(a AS BIGINT) AS start_pos,
+       |  CAST(b + ${SpanN - 1} AS BIGINT) AS end_pos,
+       |  CAST(b + $SpanN - a AS BIGINT) AS span_tokens
+       |FROM sp
+       |ORDER BY doc_id, start_pos""".stripMargin) { (spark, dir) =>
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.NGramGen(col("text"), SpanN))
+          .as(Seq("pos0", "span")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        hash60(col("span")).as("sh"))
+    val freq = pos.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+    val dup = pos.join(freq.filter(col("cnt") >= 2), "sh")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"))
+      .select(col("doc_id"), col("a").as("start_pos"),
+        (col("b") + (SpanN - 1)).as("end_pos"),
+        (col("b") + SpanN - col("a")).as("span_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
   /** Shard size (docs) and bucket fan-out for the balanced-shard export.
     * Both powers of two so position→shard and hash→bucket are exact bit
     * shifts (no double division, whose 53-bit mantissa can't represent a
@@ -1650,5 +1719,6 @@ object Corpus {
       q76SourceDatasheet, q78TrainCorpus, q82SpanDedup, q84BalancedShards,
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
       q98DedupShrinkage, q104ApproxPercentileBound, q105NgramNovelty,
-      q107WinsorizedStats, q110SaturationCurve, q140LeakageSplit)
+      q107WinsorizedStats, q110SaturationCurve, q140LeakageSplit,
+      q143SubstringSpans)
 }

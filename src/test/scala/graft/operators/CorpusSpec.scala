@@ -336,6 +336,66 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(got.exists(_.getLong(2) > 0) && got.exists(_.getLong(2) == 0))
   }
 
+  test("q143: maximal repeated-substring spans equal a brute-force merge — " +
+    "crafted cross-doc/within-doc cases, then the full sf0.001 corpus") {
+    import spark.implicits._
+    // crafted (SpanN = 8): d1/d2 share a 10-token run, d3 repeats its own
+    // 8-token run at two positions, d4 is clean, d5 is too short to shingle
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $shared b1 b2 b3 b4 b5"),
+      (2L, s"c1 c2 c3 c4 c5 c6 c7 $shared e1 e2 e3"),
+      (3L, s"$rep f1 f2 f3 f4 $rep"),
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      (5L, (1 to 7).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("subspan").toFile
+    tmp.deleteOnExit()
+    docs.write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val crafted = Corpus.q143SubstringSpans.fn(spark, tmp.getPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(crafted == Seq(
+      (1L, 6L, 15L, 10L), // the shared run, exactly, in d1…
+      (2L, 8L, 17L, 10L), // …and at its shifted position in d2
+      (3L, 1L, 8L, 8L), (3L, 13L, 20L, 8L)), // within-doc repeat: two spans
+      s"crafted spans: ${crafted.mkString(";")}")
+
+    // brute force over the real corpus: count EVERY 8-gram occurrence
+    // corpus-wide, mark positions with count >= 2, merge adjacent runs
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def grams(t: String): Array[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 8) w.sliding(8).map(_.mkString(" ")).toArray
+      else Array.empty[String]
+    }
+    val perDoc = texts.map { case (id, t) => id -> grams(t) }
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    perDoc.foreach(_._2.foreach(g => occ(g) = occ.getOrElse(g, 0) + 1))
+    val want = perDoc.flatMap { case (id, gs) =>
+      val dupPos = gs.zipWithIndex.collect {
+        case (g, i) if occ(g) >= 2 => (i + 1).toLong
+      }
+      // merge consecutive positions into maximal runs
+      dupPos.foldLeft(List.empty[(Long, Long)]) {
+        case ((a, b) :: tail, p) if p == b + 1 => (a, p) :: tail
+        case (acc, p) => (p, p) :: acc
+      }.reverse.map { case (a, b) => (id, a, b + 7L, b + 8L - a) }
+    }
+    val got = Corpus.q143SubstringSpans.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want.sortBy(t => (t._1, t._2)),
+      s"got ${got.size} spans, want ${want.size}")
+    // non-vacuous: the fixture contains real copied text
+    assert(got.nonEmpty && got.exists(_._4 > 8L),
+      "fixture must yield merged (>8-token) repeated spans")
+  }
+
   test("pii regexes agree between Java and the oracle on crafted cases") {
     import spark.implicits._
     val cases = Seq(
