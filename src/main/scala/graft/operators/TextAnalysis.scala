@@ -686,7 +686,17 @@ object TextAnalysis {
     * not data). Single-char pieces cover every position by construction,
     * so the match never fails and the loop always terminates. */
   private def uniSegmentUsage(wf: DataFrame,
-      pieces: Seq[(String, Int)]): Map[String, Long] = {
+      pieces: Seq[(String, Int)]): Map[String, Long] =
+    uniSegment(wf, pieces, withVocab = false)._1
+
+  /** As [[uniSegmentUsage]]; with `withVocab` additionally returns the
+    * segmented vocabulary (w, n_pieces) — each step's surviving word set
+    * is banked (lineage-truncated via localCheckpoint, the
+    * connectedComponents discipline) and a word's piece count is the
+    * number of steps it survived. The application table the tokenizer
+    * family serializes (BPE's `syms` analog), consumed by q146. */
+  private def uniSegment(wf: DataFrame, pieces: Seq[(String, Int)],
+      withVocab: Boolean): (Map[String, Long], Option[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = wf.sparkSession
     import spark.implicits._
@@ -694,6 +704,7 @@ object TextAnalysis {
       broadcast(pieces.collect { case (p, `k`) => p }.toDF(s"p$k"))
     val bs = (1 to UniMaxPieceLen).map(k => k -> side(k)).toMap
     val usage = scala.collection.mutable.Map.empty[String, Long]
+    val wordFrames = Seq.newBuilder[DataFrame]
     // ONE action per step: the per-piece usage partial also carries the
     // count of still-unconsumed rows, so the loop needs no separate
     // count() job — at bench scale per-job scheduling overhead, not
@@ -727,6 +738,8 @@ object TextAnalysis {
         val p = r.getString(0)
         usage(p) = usage.getOrElse(p, 0L) + r.getLong(1)
       }
+      if (withVocab)
+        wordFrames += step.select(col("w")).localCheckpoint(true)
       prev.foreach(_.unpersist(false))
       prev = Some(step)
       if (partials.map(_.getLong(2)).sum == 0) {
@@ -737,7 +750,17 @@ object TextAnalysis {
         cur = step.filter(length(col("rem2")) > 0)
           .select(col("w"), col("freq"), col("rem2").as("rem"))
     }
-    usage.toMap
+    val vocab =
+      if (!withVocab) None
+      else Some {
+        val frames = wordFrames.result()
+        if (frames.isEmpty)
+          spark.range(0).select(col("id").cast("string").as("w"),
+            col("id").as("n_pieces")).limit(0)
+        else frames.reduce(_ unionByName _)
+          .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
+      }
+    (usage.toMap, vocab)
   }
 
   /** Unigram-LM tokenizer training — the SentencePiece (Kudo 2018) family
@@ -761,7 +784,8 @@ object TextAnalysis {
     * selection is orderBy+limit (TakeOrdered per-partition heaps, no
     * single-partition window); segmentation is broadcast-joined and
     * vocabulary-sized; the model lives on the driver between rounds. */
-  private[operators] def unigramTrain(docs: DataFrame): DataFrame = {
+  private[operators] def unigramTrainFull(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
@@ -794,13 +818,18 @@ object TextAnalysis {
         .sortBy { case (p, c) => (-c, p) }.take(keep)
       pieces = chars ++ kept.map { case (p, _) => (p, p.length) }
     }
-    val fin = uniSegmentUsage(wf, pieces)
+    val (fin, vocab) = uniSegment(wf, pieces, withVocab = true)
     wf.unpersist(false)
-    fin.toSeq.sortBy { case (p, c) => (-c, p) }
+    val pieceTable = fin.toSeq.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, p.length.toLong, c) }
       .toDF("piece", "plen", "usage")
       .orderBy(col("usage").desc, col("piece"))
+    (pieceTable, vocab.get)
   }
+
+  /** [[unigramTrainFull]]'s piece table alone (q145's output shape). */
+  private[operators] def unigramTrain(docs: DataFrame): DataFrame =
+    unigramTrainFull(docs)._1
 
   /** One greedy-segmentation pass of the oracle as a recursive CTE:
     * leftmost-longest match via 4 prefix LEFT JOINs (longest wins through
@@ -834,12 +863,13 @@ object TextAnalysis {
        |  FROM $from WHERE len(piece) >= 2) WHERE rn <= $keep
        |UNION ALL SELECT piece, plen FROM uchars)""".stripMargin
 
-  /** The q144/q145 oracle: full training as one recursive-CTE chain —
-    * shared verbatim so the cached and bypass paths are held to the
-    * identical ground truth (the q95/q135 discipline). */
-  private def sqlUnigramOracle: String =
-    s"""WITH RECURSIVE
-       |uwf AS (SELECT w, COUNT(*) AS freq FROM
+  /** The full training loop as one recursive-CTE chain (terminal tables:
+    * `seg2` = the final segmentation's per-piece emissions, `c2` = final
+    * usage counts) — shared verbatim by every unigram oracle so the
+    * cached, bypass, and application paths are held to the identical
+    * ground truth (the q95/q135 discipline). */
+  private def sqlUnigramChain: String =
+    s"""uwf AS (SELECT w, COUNT(*) AS freq FROM
        |    (SELECT unnest($sqlWords) AS w FROM documents)
        |  WHERE len(w) >= 1 GROUP BY w),
        |us1 AS (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i FROM uwf),
@@ -858,7 +888,11 @@ object TextAnalysis {
        |p1 AS ${sqlUniPrune("c0", UniKeepK.head)},
        |${sqlUniSeg("1", "p1")},
        |p2 AS ${sqlUniPrune("c1", UniKeepK(1))},
-       |${sqlUniSeg("2", "p2")}
+       |${sqlUniSeg("2", "p2")}""".stripMargin
+
+  private def sqlUnigramOracle: String =
+    s"""WITH RECURSIVE
+       |$sqlUnigramChain
        |SELECT piece, CAST(len(piece) AS BIGINT) AS plen,
        |  CAST(usage AS BIGINT) AS usage
        |FROM c2
@@ -882,10 +916,50 @@ object TextAnalysis {
     unigramTrain(Tables(spark, dir, "documents"))
   }
 
+  /** Tokenizer FERTILITY under the trained unigram pieces — q108's
+    * per-source compression report for the tokenizer family's second
+    * member, and the application-side consumer that makes the
+    * [[UnigramCache]] artifact a multi-reader table like BPE's: the
+    * segmented vocabulary (w → n_pieces) comes back as a broadcast-sized
+    * parquet read, so application is one word join + a map-side
+    * combinable per-source sum — no re-segmentation, ever. The oracle
+    * derives n_pieces from the shared chain's `seg2` emissions (one row
+    * per greedy step), pinning the Spark-side vocabulary payload to the
+    * same ground truth as training itself. */
+  val q146UnigramFertility = QueryDef(
+    "q146_unigram_fertility",
+    s"""WITH RECURSIVE
+       |$sqlUnigramChain,
+       |wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM seg2
+       |  WHERE piece IS NOT NULL GROUP BY w),
+       |dw AS (SELECT source, w FROM
+       |    (SELECT source, unnest($sqlWords) AS w FROM documents)
+       |  WHERE len(w) >= 1)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(t.n_sub) AS BIGINT) AS uni_tokens,
+       |  CAST(SUM(t.n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS fertility
+       |FROM dw d JOIN wt t ON t.w = d.w
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val wt = UnigramCache.vocab(spark, dir)
+      .select(col("w"), col("n_pieces").as("n_sub"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wt, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("uni_tokens"))
+      .select(col("source"), col("n_words"), col("uni_tokens"),
+        (col("uni_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("fertility"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
       q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
       q91TopQualityPerSource, q95BpeMerges, q103BpeEncode,
       q108BpeFertility, q135BpeTrainPipeline, q144UnigramPieces,
-      q145UnigramTrainPipeline)
+      q145UnigramTrainPipeline, q146UnigramFertility)
 }

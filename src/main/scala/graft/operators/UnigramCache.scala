@@ -41,11 +41,13 @@ private[graft] object UnigramCache {
       .orElse(sys.env.get("SPARK_GRAFT_UNIGRAMCACHE_DIR"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-unigramcache")
 
-  /** The trained piece table (piece, plen, usage) for `dir`'s documents —
+  /** Both trained payloads for `dir`'s documents — the piece table
+    * (piece, plen, usage) and the segmented vocabulary (w, n_pieces) —
     * from the on-disk artifact when enabled (training + publishing on
     * first use), else trained inline. */
-  def pieces(spark: SparkSession, dir: String): DataFrame = {
-    def compute = TextAnalysis.unigramTrain(Tables(spark, dir, "documents"))
+  def trained(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    def compute =
+      TextAnalysis.unigramTrainFull(Tables(spark, dir, "documents"))
     if (!enabled(spark)) return compute
     import scala.util.control.NonFatal
     val root = new Path(cacheRoot)
@@ -63,23 +65,34 @@ private[graft] object UnigramCache {
       case None => compute // fail closed
       case Some((fs, input, f)) =>
         val fpDir = new Path(root, f)
-        def readPayload(p: Path): DataFrame =
-          spark.read.parquet(new Path(p, "pieces").toString)
+        def readPayload(p: Path): (DataFrame, DataFrame) =
+          (spark.read.parquet(new Path(p, "pieces").toString),
+            spark.read.parquet(new Path(p, "vocab").toString))
         val cached =
           try ArtifactStore.lock.synchronized {
             ArtifactStore.resolve(fs, fpDir).map(readPayload)
           } catch { case NonFatal(_) => None }
         cached.getOrElse {
-          val trained = compute // training failures propagate
+          val (pieces, vocab) = compute // training failures propagate
           try ArtifactStore.lock.synchronized {
             val p = ArtifactStore.publish(fs, fpDir, input) { att =>
-              trained.coalesce(1).write.mode("overwrite")
+              pieces.coalesce(1).write.mode("overwrite")
                 .parquet(new Path(att, "pieces").toString)
+              vocab.coalesce(1).write.mode("overwrite")
+                .parquet(new Path(att, "vocab").toString)
             }
             ArtifactStore.pruneSuperseded(fs, root, input, keep = f)
-            p.map(readPayload).getOrElse(trained)
-          } catch { case NonFatal(_) => trained }
+            p.map(readPayload).getOrElse((pieces, vocab))
+          } catch { case NonFatal(_) => (pieces, vocab) }
         }
     }
   }
+
+  /** The trained piece table (piece, plen, usage). */
+  def pieces(spark: SparkSession, dir: String): DataFrame =
+    trained(spark, dir)._1
+
+  /** The segmented vocabulary (w, n_pieces) — the application table. */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    trained(spark, dir)._2
 }

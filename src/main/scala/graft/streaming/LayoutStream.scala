@@ -100,8 +100,15 @@ object LayoutStream {
     val fs = EpochState.fs(spark, tableDir)
     val ptr = pointers(fs, s"$tableDir/base")
     val deltaRoot = new Path(s"$tableDir/delta")
+    // "has delta" = at least one epoch dir with a zp slice inside — an
+    // all-empty-dirs state (every slice vacuumed) must not reach schema
+    // inference
+    val hasDelta = fs.exists(deltaRoot) && fs.listStatus(deltaRoot)
+      .exists(e => e.isDirectory &&
+        (try fs.listStatus(e.getPath).exists(_.isDirectory)
+        catch { case _: Throwable => false }))
     val delta: DataFrame =
-      if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty) {
+      if (hasDelta) {
         val all = spark.read.parquet(deltaRoot.toString)
         val masked = maskEpoch.fold(all)(e => all.filter(col("epoch") =!= e))
         val live = ptr.foldLeft(masked) { case (df, (zp, (_, es))) =>
@@ -173,6 +180,59 @@ object LayoutStream {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** Offline garbage sweep — deletes what compaction left unreferenced:
+    * superseded base generations (any `gen=` dir a pointer no longer
+    * names) and covered delta slices (folded into a committed
+    * generation), plus delta epoch dirs emptied by the sweep. Reads never
+    * depend on these deletes (they resolve pointers), so vacuum can run
+    * any time; the [[graft.operators.ArtifactStore.pruneGraceMs]] window
+    * protects concurrent readers that planned against the old pointer.
+    * Returns (#generations, #slices) deleted. */
+  def vacuum(spark: SparkSession, tableDir: String): (Long, Long) = {
+    val fs = EpochState.fs(spark, tableDir)
+    val cutoff = System.currentTimeMillis() -
+      graft.operators.ArtifactStore.pruneGraceMs
+    val ptr = pointers(fs, s"$tableDir/base")
+    var gens = 0L
+    var slices = 0L
+    ptr.foreach { case (zp, (g, _)) =>
+      val zpDir = new Path(s"$tableDir/base/zp=$zp")
+      try fs.listStatus(zpDir).foreach { e =>
+        if (e.isDirectory && e.getPath.getName.startsWith("gen=") &&
+          e.getPath.getName != s"gen=$g" && e.getModificationTime < cutoff) {
+          if (try fs.delete(e.getPath, true)
+              catch { case _: Throwable => false }) gens += 1
+        }
+      } catch { case _: Throwable => () }
+    }
+    val deltaRoot = new Path(s"$tableDir/delta")
+    if (try fs.exists(deltaRoot) catch { case _: Throwable => false })
+      fs.listStatus(deltaRoot).foreach { e =>
+        if (e.isDirectory && e.getPath.getName.startsWith("epoch=")) {
+          val epoch = e.getPath.getName.stripPrefix("epoch=").toLong
+          try {
+            fs.listStatus(e.getPath).foreach { z =>
+              if (z.isDirectory && z.getPath.getName.startsWith("zp=") &&
+                z.getModificationTime < cutoff) {
+                val zp = z.getPath.getName.stripPrefix("zp=").toLong
+                if (ptr.get(zp).exists(_._2.contains(epoch)) &&
+                  (try fs.delete(z.getPath, true)
+                  catch { case _: Throwable => false })) slices += 1
+              }
+            }
+            // an epoch dir emptied by the sweep would poison schema
+            // inference on the delta read — remove it too
+            if (fs.listStatus(e.getPath)
+              .forall(s => s.getPath.getName.startsWith("_")) &&
+              e.getModificationTime < cutoff) {
+              fs.delete(e.getPath, true); ()
+            }
+          } catch { case _: Throwable => () }
+        }
+      }
+    (gens, slices)
   }
 
   /** Uncovered delta slices per zp: (zp, epoch) pairs present on disk and

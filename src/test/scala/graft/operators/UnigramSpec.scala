@@ -36,8 +36,10 @@ class UnigramSpec extends AnyFunSuite with SparkTestSession
     f.delete(); ()
   }
 
-  /** Plain-Scala reference of the whole trainer. */
-  private def reference(texts: Seq[String]): Seq[(String, Long, Long)] = {
+  /** Plain-Scala reference of the whole trainer: the final piece table
+    * AND the segmented vocabulary (w → n_pieces) under the final set. */
+  private def reference(texts: Seq[String])
+      : (Seq[(String, Long, Long)], Map[String, Long]) = {
     val wf: Map[String, Long] = texts
       .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -49,8 +51,10 @@ class UnigramSpec extends AnyFunSuite with SparkTestSession
     val chars = sub.keys.filter(_.length == 1).toSeq.sorted
     val seed = sub.toSeq.filter(_._1.length >= 2)
       .sortBy { case (p, c) => (-c, p) }.take(256).map(_._1)
-    def segmentUsage(pieces: Set[String]): Map[String, Long] = {
+    def segment(pieces: Set[String])
+        : (Map[String, Long], Map[String, Long]) = {
       val u = scala.collection.mutable.Map.empty[String, Long]
+      val np = scala.collection.mutable.Map.empty[String, Long]
       wf.foreach { case (w, f) =>
         var i = 0
         while (i < w.length) {
@@ -58,20 +62,21 @@ class UnigramSpec extends AnyFunSuite with SparkTestSession
             i + k <= w.length && pieces(w.substring(i, i + k))).get
           val p = w.substring(i, i + k)
           u(p) = u.getOrElse(p, 0L) + f
+          np(w) = np.getOrElse(w, 0L) + 1L
           i += k
         }
       }
-      u.toMap
+      (u.toMap, np.toMap)
     }
     var pieces = (chars ++ seed).toSet
     Seq(192, 128).foreach { keep =>
-      val u = segmentUsage(pieces)
+      val u = segment(pieces)._1
       pieces = (chars ++ u.toSeq.filter(_._1.length >= 2)
         .sortBy { case (p, c) => (-c, p) }.take(keep).map(_._1)).toSet
     }
-    segmentUsage(pieces).toSeq
-      .sortBy { case (p, c) => (-c, p) }
-      .map { case (p, c) => (p, p.length.toLong, c) }
+    val (fin, np) = segment(pieces)
+    (fin.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, p.length.toLong, c) }, np)
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
@@ -82,10 +87,18 @@ class UnigramSpec extends AnyFunSuite with SparkTestSession
     val texts = graft.Tables(spark, sfDir, "documents")
       .select(org.apache.spark.sql.functions.col("text")).collect()
       .map(_.getString(0)).toSeq
-    val want = reference(texts)
+    val (want, wantVocab) = reference(texts)
     val got = rows(TextAnalysis.q145UnigramTrainPipeline.fn(spark, sfDir))
     assert(got == want, s"got ${got.size} pieces, want ${want.size}; " +
       s"first diff: ${got.zip(want).find { case (a, b) => a != b }}")
+    // the segmented-vocabulary payload: per-word piece counts under the
+    // final set equal the reference segmentation word for word
+    val (_, vocabDf) = TextAnalysis
+      .unigramTrainFull(graft.Tables(spark, sfDir, "documents"))
+    val gotVocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotVocab == wantVocab,
+      s"vocab drift: ${gotVocab.size} vs ${wantVocab.size} words")
     // non-vacuous: multi-char pieces must dominate usage (the tokenizer
     // actually learned subwords, it isn't falling back to characters)
     val multi = got.filter(_._2 > 1).map(_._3).sum

@@ -134,5 +134,22 @@ class LayoutStreamSpec extends AnyFunSuite with SparkTestSession {
       s"box must prune: $boxFiles vs $totalFiles")
     // pruned read returns the same rows as the audit's count for that zp
     assert(box.count() == got.find(_._1 == hotZp).get._2)
+
+    // ---- vacuum: deletes only unreferenced garbage ----
+    sys.props("graft.artifact.prune.grace.ms") = "-60000"
+    try {
+      val (gens, slices) = LayoutStream.vacuum(spark, table)
+      assert(gens + slices >= 1,
+        s"compaction left garbage vacuum must collect: $gens/$slices")
+      assert(auditRows(LayoutStream.audit(spark, table)) == want,
+        "vacuum must not change the table")
+      val afterAll = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$table/base/zp=$hotZp"))
+        .filter(_.isDirectory)
+        .map(g => parquetFiles(g.getPath.toString)).sum +
+        epochs.map(e => parquetFiles(s"$table/delta/epoch=$e/zp=$hotZp")).sum
+      assert(afterAll == liveFiles,
+        s"after vacuum only live files remain: $afterAll vs $liveFiles")
+    } finally sys.props.remove("graft.artifact.prune.grace.ms")
   }
 }
