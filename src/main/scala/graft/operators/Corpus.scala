@@ -1243,6 +1243,37 @@ object Corpus {
     * (every position's shingle counted corpus-wide, runs merged by hand).
     * Reference scope: file:line n/a — the reference has no dedup surface;
     * this is the LLM-pipeline extension tier. */
+  /** q143's span subtree over an arbitrary positioned-shingle table
+    * (doc_id, pos, sh): duplicated positions (global occurrence ≥ 2) →
+    * per-doc gaps-and-islands run merge → (doc_id, start_pos, end_pos,
+    * span_tokens). Shared by q143/q147 and the streaming
+    * [[graft.streaming.SpanStream]], which maintains the positioned
+    * table incrementally so the text is never re-tokenized. */
+  private[graft] def mergedSpans(pos: DataFrame): DataFrame = {
+    val freq = pos.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+    val dup = pos.join(freq.filter(col("cnt") >= 2), "sh")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"))
+      .select(col("doc_id"), col("a").as("start_pos"),
+        (col("b") + (SpanN - 1)).as("end_pos"),
+        (col("b") + SpanN - col("a")).as("span_tokens"))
+  }
+
+  /** The positioned [[SpanN]]-shingle table of `documents` (doc_id, pos,
+    * sh) — 1-based positions, 60-bit hashes, empty for docs shorter than
+    * SpanN words. */
+  private[graft] def positionedShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.NGramGen(col("text"), SpanN))
+          .as(Seq("pos0", "span")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        hash60(col("span")).as("sh"))
+
   val q143SubstringSpans = QueryDef(
     "q143_substring_spans",
     s"""WITH d AS (SELECT doc_id, $sqlWords AS w FROM documents
@@ -1264,24 +1295,62 @@ object Corpus {
        |  CAST(b + $SpanN - a AS BIGINT) AS span_tokens
        |FROM sp
        |ORDER BY doc_id, start_pos""".stripMargin) { (spark, dir) =>
-    val pos = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(graft.functions.NGramGen(col("text"), SpanN))
-          .as(Seq("pos0", "span")))
-      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-        hash60(col("span")).as("sh"))
-    val freq = pos.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-    val dup = pos.join(freq.filter(col("cnt") >= 2), "sh")
-      .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dup
-      .withColumn("isl", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("a"), max(col("pos")).as("b"))
-      .select(col("doc_id"), col("a").as("start_pos"),
-        (col("b") + (SpanN - 1)).as("end_pos"),
-        (col("b") + SpanN - col("a")).as("span_tokens"))
+    mergedSpans(positionedShingles(Tables(spark, dir, "documents")))
       .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  /** The excision plan q143's spans imply — the ACTION of Lee et al.
+    * 2022's dedup: per document, how many tokens the merged repeated
+    * spans cover (spans are maximal and disjoint after the run merge, so
+    * the per-doc sum is exact, never double-counted) and what fraction of
+    * the document a cut would remove. Every document with ≥ 1 token
+    * appears (dup 0 when clean or too short to shingle) — the report a
+    * pipeline reads to size the cut before committing to it, the
+    * substring-level complement of q82's occurrence fractions.
+    *
+    * Shape: q143's subtree plus one per-doc rollup and a broadcast-free
+    * left join on doc_id (both sides shuffle-partitioned by the key; the
+    * span side is tiny). */
+  val q147SpanExcision = QueryDef(
+    "q147_span_excision",
+    s"""WITH d AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |  WHERE len($sqlWords) >= $SpanN),
+       |g AS (SELECT doc_id, i AS pos,
+       |    array_to_string(w[i:i+${SpanN - 1}], ' ') AS span
+       |  FROM (SELECT doc_id, w,
+       |        unnest(range(1, len(w) - ${SpanN - 2})) AS i FROM d)),
+       |h AS (SELECT doc_id, pos, ${sqlHash60("span")} AS sh FROM g),
+       |f AS (SELECT sh, COUNT(*) AS cnt FROM h GROUP BY sh),
+       |dup AS (SELECT doc_id, pos FROM h JOIN f USING (sh)
+       |  WHERE cnt >= 2),
+       |isl AS (SELECT doc_id, pos, pos - row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM dup),
+       |sp AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) AS b
+       |  FROM isl GROUP BY doc_id, isl),
+       |per AS (SELECT doc_id, SUM(b + $SpanN - a) AS dup_tokens
+       |  FROM sp GROUP BY doc_id),
+       |alldocs AS (SELECT doc_id, CAST(len($sqlWords) AS BIGINT)
+       |    AS n_tokens FROM documents WHERE len($sqlWords) >= 1)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) /
+       |    CAST(d.n_tokens AS DOUBLE) AS dup_frac
+       |FROM alldocs d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val per = mergedSpans(positionedShingles(docs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 
   /** Shard size (docs) and bucket fan-out for the balanced-shard export.
@@ -1720,5 +1789,5 @@ object Corpus {
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
       q98DedupShrinkage, q104ApproxPercentileBound, q105NgramNovelty,
       q107WinsorizedStats, q110SaturationCurve, q140LeakageSplit,
-      q143SubstringSpans)
+      q143SubstringSpans, q147SpanExcision)
 }

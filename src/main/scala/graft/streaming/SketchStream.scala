@@ -92,93 +92,19 @@ object SketchStream {
       .groupBy(col("i"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
-  // --- compaction commit protocol -----------------------------------------
-  //
-  // MAX/distinct folds are idempotent under a crashed compaction, but the
-  // counters table is SUM-merged: a crash between writing the folded
-  // generation and deleting the originals would leave BOTH on disk and
-  // every read would double-count permanently (round-12 advice). So a
-  // compaction commits through a single-object marker (`_compacting`,
-  // underscore-prefixed — invisible to partition discovery; a one-key PUT
-  // is atomic on every store Hadoop targets) naming the folded generation
-  // and the epochs it covers, and reads resolve the marker:
-  //  - no marker                       → all epoch dirs authoritative;
-  //  - marker, folded gen NOT committed → fold crashed mid-write: ignore
-  //    the partial folded gen, originals authoritative (the folded dir is
-  //    only readable once its `_SUCCESS` job-commit file lands);
-  //  - marker, folded gen committed     → folded gen authoritative, the
-  //    covered epochs (deleted or not-yet-deleted) are excluded.
-  // Every crash point therefore reads exactly once. Exclusion filters hit
-  // the `epoch` PARTITION column, so superseded dirs are pruned, never
-  // scanned. compactState first COMPLETES any interrupted compaction
-  // (delete covered dirs or the partial fold, clear the marker), making a
-  // re-run the repair path.
-
-  private def marker(root: String) = new Path(root, "_compacting")
-
-  private case class Pending(next: Long, covers: Set[Long])
-
-  private def readPending(fs: org.apache.hadoop.fs.FileSystem,
-      root: String): Option[Pending] =
-    try {
-      val p = marker(root)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val parts = text.trim.split(";")
-        Some(Pending(parts(0).toLong,
-          parts.drop(1).filter(_.nonEmpty).map(_.toLong).toSet))
-      }
-    } catch { case _: Throwable => None }
-
-  private def foldedCommitted(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, next: Long): Boolean =
-    try fs.exists(new Path(s"$root/epoch=$next/_SUCCESS"))
-    catch { case _: Throwable => false }
-
-  /** Epoch partitions a reader must EXCLUDE right now (marker-resolved). */
-  private[streaming] def excludedEpochs(
-      fs: org.apache.hadoop.fs.FileSystem, root: String): Set[Long] =
-    readPending(fs, root) match {
-      case Some(p) if foldedCommitted(fs, root, p.next) => p.covers
-      case Some(p) => Set(p.next) // partial fold: originals authoritative
-      case None => Set.empty
-    }
-
-  private def readTable(spark: SparkSession, root: String): DataFrame = {
-    val excluded = excludedEpochs(EpochState.fs(spark, root), root)
-    val df = spark.read.parquet(root)
-    if (excluded.isEmpty) df
-    else df.filter(!col("epoch").isin(excluded.toSeq: _*)) // partition-pruned
-  }
-
-  /** Finish an interrupted compaction: committed fold → delete the covered
-    * dirs; uncommitted fold → delete the partial folded dir. Then clear
-    * the marker. Idempotent. */
-  private def completePending(spark: SparkSession, root: String): Unit = {
-    val fs = EpochState.fs(spark, root)
-    readPending(fs, root).foreach { p =>
-      if (foldedCommitted(fs, root, p.next))
-        p.covers.foreach { e =>
-          try { fs.delete(new Path(s"$root/epoch=$e"), true); () }
-          catch { case _: Throwable => () }
-        }
-      else {
-        try { fs.delete(new Path(s"$root/epoch=${p.next}"), true); () }
-        catch { case _: Throwable => () }
-      }
-      fs.delete(marker(root), false)
-    }
-  }
+  private def readTable(spark: SparkSession, root: String): DataFrame =
+    Compaction.readTable(spark, root)
 
   /** Offline small-files maintenance (run while the stream is stopped):
     * fold each table's epochs into one generation numbered below every
     * existing epoch. The folds are the tables' own merge operations, so
-    * resolve-after-compact ≡ resolve-before-compact — and the marker
-    * protocol above makes that equality hold across a crash at ANY point
-    * of the compaction (SketchStreamSpec's crash-replay tests). */
+    * resolve-after-compact ≡ resolve-before-compact — and the
+    * [[Compaction]] marker protocol makes that equality hold across a
+    * crash at ANY point of the compaction, which matters here because
+    * the counters table is SUM-merged (a crash leaving both generations
+    * on disk would otherwise double-count forever — the round-12
+    * advice finding; SketchStreamSpec's crash-replay tests drive every
+    * crash point). */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     val folds: Seq[(String, DataFrame => DataFrame)] = Seq(
       "regs" -> (df => df.groupBy(col("source"), col("bucket"))
@@ -187,31 +113,7 @@ object SketchStream {
         .agg(sum(col("c")).as("c"))),
       "seen" -> (df => df.select(col("doc_id")).distinct()))
     folds.foreach { case (t, fold) =>
-      val root = s"$stateDir/$t"
-      val fs = EpochState.fs(spark, root)
-      val rootPath = new Path(root)
-      if (fs.exists(rootPath)) {
-        completePending(spark, root) // repair any interrupted compaction
-        val epochs = fs.listStatus(rootPath).toSeq
-          .filter(_.getPath.getName.startsWith("epoch="))
-        if (epochs.length > 1) {
-          val nums = epochs
-            .map(_.getPath.getName.stripPrefix("epoch=").toLong)
-          val next = nums.min - 1
-          // marker FIRST: until the folded gen's _SUCCESS lands, readers
-          // resolve the marker to "ignore epoch=next" — a crash mid-fold
-          // leaves the originals authoritative, never both generations
-          val out = fs.create(marker(root), true)
-          try out.write(s"$next;${nums.mkString(";")}".getBytes("UTF-8"))
-          finally out.close()
-          val folded = fold(spark.read.parquet(root)
-            .filter(col("epoch") =!= lit(next)).drop("epoch"))
-          folded.write.mode("overwrite").parquet(s"$root/epoch=$next")
-          // _SUCCESS is on disk → folded gen authoritative from here on
-          epochs.foreach(e => fs.delete(e.getPath, true))
-          fs.delete(marker(root), false)
-        }
-      }
+      Compaction.compactTable(spark, s"$stateDir/$t", fold)
     }
   }
 }
