@@ -39,4 +39,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val back = ds.collect().sortBy(_.doc_id)
     assert(back(0).media.toSeq == "hello world".getBytes("UTF-8").toSeq)
   }
+
+  test("q148: clusters respect Hamming-1 adjacency, survivors are the " +
+    "per-cluster min doc_id, and signature-space merging is non-vacuous") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.q148MediaClusters.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byCluster = rows.groupBy(_._3)
+    // exactly one survivor per cluster: the min doc_id
+    byCluster.foreach { case (c, ms) =>
+      val survivors = ms.filter(_._5).map(_._1)
+      assert(survivors.toSeq == Seq(ms.map(_._1).min),
+        s"cluster $c: ${survivors.toSeq}")
+      assert(ms.forall(_._4 == ms.length), s"cluster $c size mismatch")
+    }
+    // same-or-Hamming-1 phashes always share a cluster
+    val clusterOf = rows.map(m => m._2 -> m._3).toMap // phash -> cluster
+    clusterOf.keys.foreach { p =>
+      (0 until 16).foreach { j =>
+        val q = p ^ (1L << j)
+        clusterOf.get(q).foreach(cq =>
+          assert(cq == clusterOf(p), s"$p and $q split across clusters"))
+      }
+    }
+    // non-vacuous: some cluster merges >= 2 DISTINCT signatures
+    assert(byCluster.exists(_._2.map(_._2).distinct.length >= 2),
+      "fixture must produce at least one multi-signature cluster")
+  }
 }
