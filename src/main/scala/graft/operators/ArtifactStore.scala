@@ -101,17 +101,34 @@ private[graft] object ArtifactStore {
     } catch { case _: Throwable => None }
 
   /** Build stamp over every compiled class a cached pipeline's semantics
-    * flow through. None (→ caller disables its cache) when ANY resource is
-    * unresolvable — an unusual classloader must never stamp 0 and serve a
-    * stale artifact across a code change. */
+    * flow through — an MD5 over the class BYTES, not their timestamps.
+    * Byte-hashing matters operationally: launchers that package the
+    * classpath per invocation (sbt's bg-job jar, a spark-submit überjar
+    * rebuilt by CI) give every run a fresh entry mtime for IDENTICAL
+    * bytes, and a timestamp stamp then rotates every fingerprint per JVM —
+    * measured in round 13 as all four path-tagged caches plus both model
+    * keys republishing on every `sbt runMain graft.Warm` against a warm
+    * store. Content stamps are stable across repackaging and still
+    * invalidate on any real code change. None (→ caller disables its
+    * cache) when ANY resource is unresolvable — an unusual classloader
+    * must never stamp 0 and serve a stale artifact across a code change. */
   def codeStamp(resources: Seq[String]): Option[String] =
     try {
-      val stamps = resources.map { r =>
-        val url = getClass.getResource(r)
-        if (url == null) return None
-        url.openConnection().getLastModified
+      val md = MessageDigest.getInstance("MD5")
+      resources.foreach { r =>
+        val in = getClass.getResourceAsStream(r)
+        if (in == null) return None
+        try {
+          md.update(r.getBytes("UTF-8"))
+          val buf = new Array[Byte](BlockBytes)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) md.update(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally in.close()
       }
-      Some(stamps.mkString(","))
+      Some(md.digest().map("%02x".format(_)).mkString)
     } catch { case _: Throwable => None }
 
   private def readSmall(fs: FileSystem, p: Path): Option[String] =
@@ -153,6 +170,8 @@ private[graft] object ArtifactStore {
     write(attempt)
     writeSmall(fs, new Path(fpDir, "_graft_input"), inputTag)
     writeSmall(fs, new Path(fpDir, "_COMMITTED"), attempt.getName)
+    if (sys.env.contains("GRAFT_ARTIFACT_DEBUG") || sys.props.contains("graft.artifact.debug"))
+      System.err.println(s"[artifact-publish] $fpDir tag=$inputTag")
     published.incrementAndGet()
     resolve(fs, fpDir)
   }

@@ -720,9 +720,224 @@ object Stats {
       .orderBy(col("exact_n").desc, col("shingle"))
   }
 
+  /** KMV sketch size. 32 keeps the demo's standard error ~1/√(k−1) ≈ 18 %;
+    * production picks 1024-4096. Like [[HllM]], tiny on purpose so the
+    * small-SF run exercises the estimator, not the exhaustive regime. */
+  private[operators] val KmvK = 32L
+
+  /** 2^60 (the hash60 domain size) as an EXACT double — built by integer
+    * shift then cast, never `pow` ([[Mirror.shiftL]] discipline). */
+  private val KmvU = (1L << 60).toDouble
+
+  /** The distinct per-source hash domain KMV sketches: one row per
+    * (source, h60-of-shingle). Deduped on the HASH (not just the
+    * shingle) so per-source ranks over `h` are total orders and both
+    * engines keep the identical k-smallest set. */
+  private[graft] def kmvValues(docs: DataFrame): DataFrame =
+    hllShingles(docs)
+      .select(col("source"), hash60(col("sh")).as("h"))
+      .distinct()
+
+  /** Per-source KMV sketch: the [[KmvK]] SMALLEST distinct hash values.
+    * Applies its own distinct, so it is also the MERGE operation — the
+    * k-smallest of a union of per-slice k-smallest sets equals the
+    * k-smallest of the whole (min-union is associative/commutative and
+    * naturally idempotent; proven in StatsSketchSpec). The row_number ≤ k
+    * filter is the TopKPerKey rewrite's shape, so per-source state never
+    * exceeds k rows anywhere in the plan — 100 TB of shingles reduce to
+    * map-side partial top-k then a k·n_sources-row shuffle. */
+  private[graft] def kmvSketchOf(v: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    v.select(col("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .drop("rn")
+  }
+
+  /** q149: K-Minimum-Values distinct sketch vs exact distinct — the
+    * third mergeable sketch of the profiler triple (Bar-Yossef et al.
+    * 2002; the Theta-sketch family's base case), next to q138's HLL
+    * (max-merge) and q139's Count-Min (sum-merge): keep the k smallest
+    * distinct 60-bit shingle hashes per source; the k-th smallest value
+    * U(k) estimates distinct ≈ (k−1)·2^60/U(k). Every compared number
+    * is deterministic: the kept set is an exact rank over unique
+    * integers, the estimate is one IEEE multiply-divide both engines
+    * evaluate on identical operands, and err_pm is integer-floored ppm
+    * (the q138 grading convention). Sources with fewer than k distinct
+    * hashes report exactly (the sketch IS the set) — the CASE both
+    * engines evaluate identically.
+    *
+    * Why KMV next to HLL: registers only count — a KMV sketch is a
+    * uniform SAMPLE of the distinct domain, so the same k rows/source
+    * also answer set-expression queries (q150 rides these sketches for
+    * pairwise overlap, the union/intersection estimates HLL cannot
+    * give without inclusion-exclusion error stacking).
+    *
+    * Shape at scale: per-source state is ≤ k rows at every plan point
+    * (TopKPerKey partial top-k map-side); the exact branch exists to
+    * GRADE the sketch and drops in production. */
+  val q149KmvDistinct = QueryDef(
+    "q149_kmv_distinct",
+    s"""WITH s AS (SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest($sqlShingleGen) AS sh FROM documents)),
+       |v AS (SELECT DISTINCT source, ${sqlHash60("sh")} AS h FROM s),
+       |r AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM v),
+       |k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_k,
+       |    MAX(h) AS kth_min
+       |  FROM r WHERE rn <= $KmvK GROUP BY source),
+       |x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       |  FROM s GROUP BY source),
+       |e AS (SELECT k.source, x.exact_distinct, k.n_k, k.kth_min,
+       |    CASE WHEN k.n_k < $KmvK THEN CAST(x.exact_distinct AS DOUBLE)
+       |      ELSE ${KmvK - 1}.0
+       |        * CAST((CAST(1 AS BIGINT) << 60) AS DOUBLE)
+       |        / CAST(k.kth_min AS DOUBLE) END AS est_raw
+       |  FROM k JOIN x ON x.source = k.source)
+       |SELECT source, exact_distinct, n_k, kth_min, est_raw,
+       |  CAST(floor(abs(est_raw - CAST(exact_distinct AS DOUBLE))
+       |    * 1000000.0 / CAST(exact_distinct AS DOUBLE)) AS BIGINT)
+       |    AS err_pm
+       |FROM e ORDER BY source""".stripMargin) { (spark, dir) =>
+    val s = hllShingles(Tables(spark, dir, "documents"))
+    val sketch = kmvSketchOf(
+      s.select(col("source"), hash60(col("sh")).as("h")).distinct())
+    val k = sketch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_min"))
+    val exact = s.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val est = when(col("n_k") < KmvK, col("exact_distinct").cast(DoubleType))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvU)
+        / col("kth_min").cast(DoubleType))
+    k.join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("n_k"),
+        col("kth_min"), est.as("est_raw"))
+      .select(col("source"), col("exact_distinct"), col("n_k"),
+        col("kth_min"), col("est_raw"),
+        floor(abs(col("est_raw") - col("exact_distinct").cast(DoubleType))
+          * 1000000.0 / col("exact_distinct").cast(DoubleType))
+          .cast(LongType).as("err_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** q150: pairwise source overlap from the q149 KMV sketches vs the
+    * exact pairwise Jaccard — the estimator that makes KMV worth its k
+    * rows (Beyer et al. 2007): for each source pair, take the k smallest
+    * of the two sketches' VALUE union; the fraction of those present in
+    * BOTH sketches estimates Jaccard, and scaling by the union-sketch's
+    * own (k−1)·2^60/θ distinct estimate gives the intersection size.
+    * This is q97's approximate twin: exact source-overlap at 100 TB
+    * joins the corpus against itself per pair — the KMV version touches
+    * ONLY the k·n_sources-row sketch table (every stage after sketch
+    * construction is O(n_sources²·k), corpus-independent).
+    *
+    * Determinism: membership flags are integer MAX over exact ranks of
+    * unique integers; est_jaccard = n_both/k is exact (small int over a
+    * power of two); the union estimate is the q149 IEEE form; err_pm
+    * grades the JACCARD estimate in absolute ppm (exact_j can be 0, so
+    * relative error is undefined — both engines floor the same product).
+    * The exact branch (pair-join over the distinct shingle domain)
+    * exists to GRADE and drops in production. */
+  val q150KmvOverlap = QueryDef(
+    "q150_kmv_overlap",
+    s"""WITH s AS (SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest($sqlShingleGen) AS sh FROM documents)),
+       |v AS (SELECT DISTINCT source, ${sqlHash60("sh")} AS h FROM s),
+       |r AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM v),
+       |k AS (SELECT source, h FROM r WHERE rn <= $KmvK),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b
+       |  FROM (SELECT DISTINCT source FROM s) a
+       |  JOIN (SELECT DISTINCT source FROM s) b ON a.source < b.source),
+       |uv AS (SELECT p.src_a, p.src_b, k.h,
+       |    MAX(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM p JOIN k ON k.source IN (p.src_a, p.src_b)
+       |  GROUP BY p.src_a, p.src_b, k.h),
+       |ur AS (SELECT src_a, src_b, h, in_a, in_b,
+       |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+       |  FROM uv),
+       |u AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_vals,
+       |    MAX(h) AS theta,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+       |  FROM ur WHERE rn <= $KmvK GROUP BY src_a, src_b),
+       |xv AS (SELECT p.src_a, p.src_b, s.sh,
+       |    MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM p JOIN s ON s.source IN (p.src_a, p.src_b)
+       |  GROUP BY p.src_a, p.src_b, s.sh),
+       |x AS (SELECT src_a, src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_union,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+       |  FROM xv GROUP BY src_a, src_b),
+       |e AS (SELECT u.src_a, u.src_b, x.exact_inter, x.exact_union,
+       |    u.n_both, u.theta,
+       |    CAST(x.exact_inter AS DOUBLE) / CAST(x.exact_union AS DOUBLE)
+       |      AS exact_jaccard,
+       |    CAST(u.n_both AS DOUBLE) / CAST(u.n_vals AS DOUBLE)
+       |      AS est_jaccard,
+       |    CASE WHEN u.n_vals < $KmvK THEN CAST(u.n_vals AS DOUBLE)
+       |      ELSE ${KmvK - 1}.0
+       |        * CAST((CAST(1 AS BIGINT) << 60) AS DOUBLE)
+       |        / CAST(u.theta AS DOUBLE) END AS est_union
+       |  FROM u JOIN x ON x.src_a = u.src_a AND x.src_b = u.src_b)
+       |SELECT src_a, src_b, exact_inter, exact_union, n_both, theta,
+       |  exact_jaccard, est_jaccard, est_jaccard * est_union AS est_inter,
+       |  CAST(floor(abs(est_jaccard - exact_jaccard) * 1000000.0)
+       |    AS BIGINT) AS err_pm
+       |FROM e ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+    val s = hllShingles(Tables(spark, dir, "documents"))
+    val sketch = kmvSketchOf(
+      s.select(col("source"), hash60(col("sh")).as("h")).distinct())
+    val sources = s.select(col("source")).distinct()
+    val pairs = sources.as("a").join(sources.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    def flagged(values: DataFrame, valueCol: String): DataFrame =
+      broadcast(pairs).join(values,
+          values("source") === col("src_a") ||
+            values("source") === col("src_b"))
+        .groupBy(col("src_a"), col("src_b"), col(valueCol))
+        .agg(max(when(col("source") === col("src_a"), 1L).otherwise(0L))
+            .as("in_a"),
+          max(when(col("source") === col("src_b"), 1L).otherwise(0L))
+            .as("in_b"))
+    val ur = flagged(sketch, "h").withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+    val u = ur.filter(col("rn") <= KmvK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_vals"), max(col("h")).as("theta"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+    val x = flagged(s, "sh")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("in_a") * col("in_b")).as("exact_inter"))
+    val estUnion = when(col("n_vals") < KmvK, col("n_vals").cast(DoubleType))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvU)
+        / col("theta").cast(DoubleType))
+    u.join(x, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("exact_inter"),
+        col("exact_union"), col("n_both"), col("theta"),
+        (col("exact_inter").cast(DoubleType)
+          / col("exact_union").cast(DoubleType)).as("exact_jaccard"),
+        (col("n_both").cast(DoubleType) / col("n_vals").cast(DoubleType))
+          .as("est_jaccard"),
+        estUnion.as("est_union"))
+      .select(col("src_a"), col("src_b"), col("exact_inter"),
+        col("exact_union"), col("n_both"), col("theta"),
+        col("exact_jaccard"), col("est_jaccard"),
+        (col("est_jaccard") * col("est_union")).as("est_inter"),
+        floor(abs(col("est_jaccard") - col("exact_jaccard")) * 1000000.0)
+          .cast(LongType).as("err_pm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q53HashSplit, q54Histogram, q55ExactCorr,
     q56SessionWindow, q57JsonPath, q70CurriculumBins, q75FillInterp,
     q80TokenBudgetSample, q85RollingActiveUsers, q87FunnelStages,
     q88CohortRetention, q90EventTransitions, q138HllCardinality,
-    q139CountMin)
+    q139CountMin, q149KmvDistinct, q150KmvOverlap)
 }

@@ -5,15 +5,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming corpus profiler — the incremental twin of the sketch pair
-  * (q138 HLL registers, q139 Count-Min counters): documents arrive as a
-  * stream and the profiler maintains EXACTLY the state the batch
-  * operators compute from cold parquet, because both sketches are
-  * mergeable by construction — registers by per-(source, bucket) MAX,
-  * counters by per-(row, bucket) SUM (the two associativity properties
-  * StatsSketchSpec proves for the batch side; SketchStreamSpec proves
-  * the streamed state is equal, row for row, to the batch helpers over
-  * the same documents).
+/** Streaming corpus profiler — the incremental twin of the sketch triple
+  * (q138 HLL registers, q139 Count-Min counters, q149 KMV sketches):
+  * documents arrive as a stream and the profiler maintains EXACTLY the
+  * state the batch operators compute from cold parquet, because every
+  * sketch is mergeable by construction — registers by per-(source,
+  * bucket) MAX, counters by per-(row, bucket) SUM, KMV by per-source
+  * min-union ([[graft.operators.Stats.kmvSketchOf]] applied to the
+  * union IS the merge). The associativity properties are proven batch-
+  * side in StatsSketchSpec; SketchStreamSpec proves the streamed state
+  * is equal, row for row, to the batch helpers over the same documents.
   *
   * Exactly-once counting under at-least-once delivery: MAX-merge is
   * naturally idempotent, but SUM-merge double-counts a redelivered
@@ -32,7 +33,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * rows, and [[compactState]] folds epochs into one generation offline.
   * Nothing is ever O(corpus) except the id gate, which is O(ids). */
 object SketchStream {
-  import graft.operators.Stats.{hllRegistersOf, hllShingles, cmsCounters}
+  import graft.operators.Stats.{hllRegistersOf, hllShingles, cmsCounters,
+    kmvSketchOf, kmvValues}
 
   /** Starts the profiler over a stream of document rows (doc_id, source,
     * text). `publish` receives (epoch, n_new_docs) after commit. */
@@ -67,6 +69,8 @@ object SketchStream {
               .as("sh")))
             .write.mode("overwrite")
             .parquet(s"$stateDir/counters/epoch=$epoch")
+          kmvSketchOf(kmvValues(fresh)).write.mode("overwrite")
+            .parquet(s"$stateDir/kmv/epoch=$epoch")
           fresh.select(col("doc_id")).write.mode("overwrite")
             .parquet(s"$seenRoot/epoch=$epoch")
           publish(epoch, n)
@@ -92,6 +96,16 @@ object SketchStream {
       .groupBy(col("i"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
+  /** The accumulated per-source KMV sketch — k smallest distinct hashes
+    * over every epoch's slice sketches (the merge IS [[kmvSketchOf]]:
+    * min-union over sets, associative/commutative and naturally
+    * idempotent, so like the MAX-merged registers it needs no dedup
+    * gate of its own — a redelivered document contributes the same hash
+    * values, which the distinct inside the fold collapses). Equal to
+    * the batch sketch over the same documents (SketchStreamSpec). */
+  def kmv(spark: SparkSession, stateDir: String): DataFrame =
+    kmvSketchOf(readTable(spark, s"$stateDir/kmv"))
+
   private def readTable(spark: SparkSession, root: String): DataFrame =
     Compaction.readTable(spark, root)
 
@@ -111,6 +125,7 @@ object SketchStream {
         .agg(max(col("rho")).as("rho"))),
       "counters" -> (df => df.groupBy(col("i"), col("bucket"))
         .agg(sum(col("c")).as("c"))),
+      "kmv" -> (df => kmvSketchOf(df)),
       "seen" -> (df => df.select(col("doc_id")).distinct()))
     folds.foreach { case (t, fold) =>
       Compaction.compactTable(spark, s"$stateDir/$t", fold)

@@ -132,6 +132,91 @@ class StatsSketchSpec extends AnyFunSuite with SparkTestSession {
       "sliced-and-summed counters differ from whole-stream counters")
   }
 
+  test("q149: the KMV estimate is the closed form of its own inputs and " +
+    "lands inside the ~1/sqrt(k-1) error band") {
+    val rows = Stats.q149KmvDistinct.fn(spark, sfDir).collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val est = r.getAs[Double]("est_raw")
+      if (r.getAs[Long]("n_k") == 32L) {
+        // est = (k-1) * 2^60 / kth — recomputed imperatively
+        assert(est == 31.0 * (1L << 60).toDouble
+          / r.getAs[Long]("kth_min").toDouble, src)
+        // 1/sqrt(31) = 18% std error; 4 sigma = 72%
+        assert(r.getAs[Long]("err_pm") < 720000L,
+          s"$src err ${r.getAs[Long]("err_pm")}ppm outside 4 sigma")
+      } else {
+        // undersized sketch degrades to the exact count
+        assert(est == r.getAs[Long]("exact_distinct").toDouble, src)
+      }
+    }
+    // exact side cross-check against an independent distinct count
+    val exact = docs
+      .select(col("source"),
+        explode(Mirror.shingleGenSpec(col("text"))).as("sh"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("sh")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("exact_distinct") == exact(r.getAs[String]("source"))))
+  }
+
+  test("q149: KMV sketches MERGE — k-smallest of the union of two " +
+    "slices' sketches equals the k-smallest of the whole corpus, and " +
+    "the merge is idempotent under slice overlap") {
+    def valuesOf(f: org.apache.spark.sql.Column) =
+      Stats.kmvValues(docs.filter(f))
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("h"))).toSet
+    val a = Stats.kmvSketchOf(valuesOf(col("doc_id") % 2 === 0))
+    val b = Stats.kmvSketchOf(valuesOf(col("doc_id") % 2 === 1))
+    val merged = setOf(Stats.kmvSketchOf(a.unionByName(b)))
+    val full = setOf(Stats.kmvSketchOf(Stats.kmvValues(docs)))
+    assert(merged == full,
+      "sliced-and-merged KMV sketches differ from whole-corpus sketch")
+    // overlapping re-merge (the at-least-once redelivery shape) is a
+    // no-op: min-union over SETS is naturally idempotent
+    val again = setOf(Stats.kmvSketchOf(
+      a.unionByName(b).unionByName(a)))
+    assert(again == full, "KMV merge is not idempotent under overlap")
+  }
+
+  test("q150: the KMV Jaccard estimate tracks the exact pairwise " +
+    "Jaccard within the 4-sigma absolute band, and the exact side " +
+    "matches an independent per-pair recount") {
+    val rows = Stats.q150KmvOverlap.fn(spark, sfDir).collect()
+    // 20 sources -> 190 unordered pairs
+    assert(rows.length > 10)
+    // independent exact recount over driver-side shingle sets
+    val bySource = docs
+      .select(col("source"),
+        explode(Mirror.shingleGenSpec(col("text"))).as("sh"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(sa < sb, s"pair order: $sa !< $sb")
+      val (xa, xb) = (bySource(sa), bySource(sb))
+      assert(r.getAs[Long]("exact_inter") == (xa & xb).size.toLong,
+        s"$sa-$sb inter")
+      assert(r.getAs[Long]("exact_union") == (xa | xb).size.toLong,
+        s"$sa-$sb union")
+      // KMV Jaccard std error <= sqrt(0.25/k) = 8.8%; 4 sigma = 36% abs
+      assert(r.getAs[Long]("err_pm") <= 360000L,
+        s"$sa-$sb jaccard err ${r.getAs[Long]("err_pm")}ppm")
+      // the intersection estimate is est_jaccard x the union estimate,
+      // recomputed imperatively from the reported theta (every pair's
+      // union has >= k values at this SF, so the (k-1)*2^60/theta branch
+      // is the one in effect)
+      val estUnion =
+        31.0 * (1L << 60).toDouble / r.getAs[Long]("theta").toDouble
+      assert(r.getAs[Double]("est_inter") ==
+        r.getAs[Double]("est_jaccard") * estUnion,
+        s"$sa-$sb est_inter factorization")
+    }
+  }
+
   test("q138 plan: the sketch and exact branches share one distinct " +
     "subtree (reused exchange), and nothing goes cartesian") {
     val df = Stats.q138HllCardinality.fn(spark, sfDir)

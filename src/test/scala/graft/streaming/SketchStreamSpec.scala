@@ -45,11 +45,15 @@ class SketchStreamSpec extends AnyFunSuite with SparkTestSession {
     reports.toSeq
   }
 
+  private def kmvOf(df: DataFrame) = df.collect()
+    .map(r => (r.getAs[String]("source"), r.getAs[Long]("h"))).toSet
+
   private def batchState = {
     val docs = graft.Tables(spark, sfDir, "documents")
     (regsOf(Stats.hllRegistersOf(Stats.hllShingles(docs))),
       cmOf(Stats.cmsCounters(
-        docs.select(explode(Mirror.shingleGen(col("text"))).as("sh")))))
+        docs.select(explode(Mirror.shingleGen(col("text"))).as("sh")))),
+      kmvOf(Stats.kmvSketchOf(Stats.kmvValues(docs))))
   }
 
   test("streamed registers and counters equal the batch sketches over " +
@@ -60,13 +64,16 @@ class SketchStreamSpec extends AnyFunSuite with SparkTestSession {
     val (b2, b3) = rest.splitAt(rest.length / 2)
     // batch 2 redelivers the tail of batch 1 — the id gate must absorb it
     run(dir, "ckpt", Seq(b1, b1.takeRight(20) ++ b2, b3))
-    val (bRegs, bCm) = batchState
+    val (bRegs, bCm, bKmv) = batchState
     assert(regsOf(SketchStream.registers(spark,
       dir.resolve("state").toString)) == bRegs,
       "streamed HLL registers != batch registers")
     assert(cmOf(SketchStream.counters(spark,
       dir.resolve("state").toString)) == bCm,
       "streamed CMS counters != batch counters")
+    assert(kmvOf(SketchStream.kmv(spark,
+      dir.resolve("state").toString)) == bKmv,
+      "streamed KMV sketch != batch sketch")
   }
 
   test("fresh-lineage redelivery adds nothing (sum-merge stays exact), " +
@@ -76,22 +83,27 @@ class SketchStreamSpec extends AnyFunSuite with SparkTestSession {
     val (b1, b2) = rows.splitAt(rows.length / 2)
     run(dir, "ckpt1", Seq(b1))
     val state = dir.resolve("state").toString
-    val (r1, c1) = (regsOf(SketchStream.registers(spark, state)),
-      cmOf(SketchStream.counters(spark, state)))
+    val (r1, c1, k1) = (regsOf(SketchStream.registers(spark, state)),
+      cmOf(SketchStream.counters(spark, state)),
+      kmvOf(SketchStream.kmv(spark, state)))
     // redeliver batch 1 under a NEW checkpoint: the id gate yields an
     // empty delta — without it, every counter would double
     val rep = run(dir, "ckpt2", Seq(b1))
     assert(rep.map(_._2) == Seq(0L), s"redelivery must gate to zero: $rep")
     assert(cmOf(SketchStream.counters(spark, state)) == c1)
     assert(regsOf(SketchStream.registers(spark, state)) == r1)
+    assert(kmvOf(SketchStream.kmv(spark, state)) == k1)
     SketchStream.compactState(spark, state)
     assert(cmOf(SketchStream.counters(spark, state)) == c1,
       "compaction changed the counters")
     assert(regsOf(SketchStream.registers(spark, state)) == r1)
+    assert(kmvOf(SketchStream.kmv(spark, state)) == k1,
+      "compaction changed the KMV sketch")
     run(dir, "ckpt3", Seq(b2))
-    val (bRegs, bCm) = batchState
+    val (bRegs, bCm, bKmv) = batchState
     assert(regsOf(SketchStream.registers(spark, state)) == bRegs)
     assert(cmOf(SketchStream.counters(spark, state)) == bCm)
+    assert(kmvOf(SketchStream.kmv(spark, state)) == bKmv)
   }
 
   test("a crashed compaction never double-counts the SUM-merged counters: " +
