@@ -423,6 +423,232 @@ object Quality {
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
+  /** Gopher repetition thresholds (Rae et al. 2021, table A1): keep a
+    * document iff the most-frequent n-gram's character mass is ≤ pct% of
+    * the document for n = 2,3,4 … */
+  private[operators] val TopNgramPct = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+
+  /** … and iff characters covered by WITHIN-DOC duplicated n-grams are
+    * ≤ pct% for n = 5..10. */
+  private[operators] val DupNgramPct =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  private def sqlNList(ns: Seq[Int]): String = ns.mkString("[", ", ", "]")
+
+  /** q151: the Gopher repetition filter suite (Rae et al. 2021 table A1,
+    * the repetition family every major pipeline reuses — MassiveText,
+    * RefinedWeb, Dolma, FineWeb): per document, the CHARACTER fraction of
+    * (a) the most frequent n-gram's occurrences for n = 2,3,4 and (b) the
+    * union of all within-document duplicated n-grams' occurrences for
+    * n = 5..10, plus the all-rules keep verdict. q112's R3 is the 1-gram
+    * degenerate case; this emits the full profile. The paper's two LINE
+    * metrics are omitted as degenerate here: `documents.text` contains no
+    * newline in any driver generation (checked at sf0.01/sf0.1), so
+    * dup_line_frac ≡ 0 for every document.
+    *
+    * Exactness: numerators are integers in both engines — top mass is
+    * occurrence-count × n-gram character length; duplicated coverage is an
+    * interval-union length in character space, computed as merged token
+    * intervals (running-max gaps-and-islands, q143's discipline — two
+    * occurrences overlapping in tokens never double-count) evaluated
+    * against per-token character prefix sums. Fractions are one IEEE
+    * division of those integers by length(text); the keep verdict uses
+    * integer cross-multiplication (num·100 ≤ pct·n_chars), never float
+    * compare — the q112 rule discipline.
+    *
+    * Shape at 100 TB: everything is keyed by doc_id (+ gram width) —
+    * grams hash to 60-bit longs before the per-doc count shuffles (q82's
+    * compact-key rule), every window partitions by document so per-task
+    * state is bounded by document length, and the final profile is one
+    * row per document. No cross-document anything: this is the per-doc
+    * quality pass that runs BEFORE dedup in a real pipeline.
+    * Reference scope: file:line n/a — no quality surface in the
+    * reference; LLM-pipeline extension tier. */
+  val q151GopherRepetition = QueryDef(
+    "q151_gopher_repetition",
+    s"""WITH d AS (SELECT doc_id, $sqlWords AS w FROM documents
+       |  WHERE length(text) >= 1),
+       |tg AS (SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram
+       |  FROM (SELECT doc_id, n, w, unnest(range(1, len(w) - n + 2)) AS i
+       |        FROM d CROSS JOIN (SELECT unnest(${sqlNList(
+      TopNgramPct.map(_._1))}) AS n))),
+       |tc AS (SELECT doc_id, n, ${sqlHash60("gram")} AS sh,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(MAX(length(gram)) AS BIGINT) AS glen
+       |  FROM tg GROUP BY doc_id, n, ${sqlHash60("gram")}),
+       |topn AS (SELECT doc_id, n, cnt * glen AS num FROM (
+       |    SELECT doc_id, n, cnt, glen, row_number() OVER (
+       |        PARTITION BY doc_id, n ORDER BY cnt DESC, sh) AS rn
+       |    FROM tc) WHERE rn = 1),
+       |dgr AS (SELECT doc_id, n, i AS pos,
+       |    array_to_string(w[i:i+n-1], ' ') AS gram
+       |  FROM (SELECT doc_id, n, w, unnest(range(1, len(w) - n + 2)) AS i
+       |        FROM d CROSS JOIN (SELECT unnest(${sqlNList(
+      DupNgramPct.map(_._1))}) AS n))),
+       |dh AS (SELECT doc_id, n, pos, ${sqlHash60("gram")} AS sh FROM dgr),
+       |dc AS (SELECT doc_id, n, sh FROM dh
+       |  GROUP BY doc_id, n, sh HAVING COUNT(*) >= 2),
+       |dup AS (SELECT dh.doc_id, dh.n, dh.pos, dh.pos + dh.n - 1 AS e
+       |  FROM dh JOIN dc USING (doc_id, n, sh)),
+       |gi AS (SELECT doc_id, n, pos, e,
+       |    SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id, n ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM (SELECT doc_id, n, pos, e,
+       |      MAX(e) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM dup)),
+       |iv AS (SELECT doc_id, n, MIN(pos) AS a, MAX(e) AS b
+       |  FROM gi GROUP BY doc_id, n, grp),
+       |c AS (SELECT doc_id, p, SUM(wl) OVER (PARTITION BY doc_id
+       |      ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT doc_id, i AS p, length(w[i]) AS wl
+       |    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+       |          FROM d))),
+       |dupn AS (SELECT doc_id, n, CAST(SUM(chars) AS BIGINT) AS num
+       |  FROM (SELECT iv.doc_id, iv.n,
+       |      cb.cum - COALESCE(ca.cum, 0) + (iv.b - iv.a) AS chars
+       |    FROM iv
+       |    JOIN c cb ON cb.doc_id = iv.doc_id AND cb.p = iv.b
+       |    LEFT JOIN c ca ON ca.doc_id = iv.doc_id AND ca.p = iv.a - 1)
+       |  GROUP BY doc_id, n),
+       |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents WHERE length(text) >= 1),
+       |tp AS (SELECT doc_id,
+       |${TopNgramPct.map { case (n, _) =>
+        s"    MAX(CASE WHEN n = $n THEN num END) AS t$n"
+      }.mkString(",\n")}
+       |  FROM topn GROUP BY doc_id),
+       |dp AS (SELECT doc_id,
+       |${DupNgramPct.map { case (n, _) =>
+        s"    MAX(CASE WHEN n = $n THEN num END) AS d$n"
+      }.mkString(",\n")}
+       |  FROM dupn GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_chars,
+       |${TopNgramPct.map { case (n, _) =>
+        s"  CAST(COALESCE(t$n, 0) AS DOUBLE) / CAST(b.n_chars AS DOUBLE)" +
+          s" AS top${n}_frac"
+      }.mkString(",\n")},
+       |${DupNgramPct.map { case (n, _) =>
+        s"  CAST(COALESCE(d$n, 0) AS DOUBLE) / CAST(b.n_chars AS DOUBLE)" +
+          s" AS dup${n}_frac"
+      }.mkString(",\n")},
+       |  (${(TopNgramPct.map { case (n, pct) =>
+        s"COALESCE(t$n, 0) * 100 <= $pct * b.n_chars"
+      } ++ DupNgramPct.map { case (n, pct) =>
+        s"COALESCE(d$n, 0) * 100 <= $pct * b.n_chars"
+      }).mkString("\n    AND ")}) AS gopher_keep
+       |FROM base b
+       |LEFT JOIN tp USING (doc_id)
+       |LEFT JOIN dp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+      .filter(col("n_chars") >= 1)
+
+    // top n-gram mass: per width, per doc, the most frequent gram's
+    // occurrence count x its char length (ties: smallest 60-bit hash,
+    // the deterministic stand-in for lexicographic order both engines
+    // replay on the same hashes)
+    val topNum = TopNgramPct.map { case (n, _) =>
+      docs.select(col("doc_id"),
+          explode(graft.functions.NGramGen(col("text"), n)).as("gram"))
+        .select(col("doc_id"), hash60(col("gram")).as("sh"),
+          length(col("gram")).cast(LongType).as("glen"))
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("cnt"), max(col("glen")).as("glen"))
+        .withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("doc_id"), col("n"))
+        .orderBy(col("cnt").desc, col("sh"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n"), (col("cnt") * col("glen")).as("num"))
+
+    // duplicated n-gram coverage: positioned grams -> within-doc counts
+    // -> occurrences of duplicated grams as token intervals -> interval
+    // union (running-max islands) -> char length via token prefix sums
+    val posGrams = DupNgramPct.map { case (n, _) =>
+      docs.select(col("doc_id"),
+          posexplode(graft.functions.NGramGen(col("text"), n))
+            .as(Seq("p0", "gram")))
+        .select(col("doc_id"), lit(n).as("n"),
+          (col("p0") + 1).cast(LongType).as("pos"),
+          hash60(col("gram")).as("sh"))
+    }.reduce(_ unionByName _)
+    val dupPos = posGrams
+      .join(posGrams.groupBy(col("doc_id"), col("n"), col("sh"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .drop("cnt"),
+        Seq("doc_id", "n", "sh"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        (col("pos") + col("n") - 1).as("e"))
+    val wSeq = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("pos"))
+    val ivs = dupPos
+      .withColumn("pmax",
+        max(col("e")).over(wSeq.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp",
+        sum(when(col("pmax").isNull || col("pos") > col("pmax"), 1L)
+          .otherwise(0L)).over(wSeq))
+      .groupBy(col("doc_id"), col("n"), col("grp"))
+      .agg(min(col("pos")).as("a"), max(col("e")).as("b"))
+    val cum = docs
+      .select(col("doc_id"), posexplode(words(col("text")))
+        .as(Seq("p0", "wd")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("p"),
+        length(col("wd")).cast(LongType).as("wl"))
+      .withColumn("cum", sum(col("wl")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .select(col("doc_id"), col("p"), col("cum"))
+    val dupNum = ivs.as("iv")
+      .join(cum.as("cb"), col("iv.doc_id") === col("cb.doc_id") &&
+        col("iv.b") === col("cb.p"))
+      .join(cum.as("ca"), col("iv.doc_id") === col("ca.doc_id") &&
+        (col("iv.a") - 1) === col("ca.p"), "left")
+      .select(col("iv.doc_id").as("doc_id"), col("iv.n").as("n"),
+        (col("cb.cum") - coalesce(col("ca.cum"), lit(0L)) +
+          (col("iv.b") - col("iv.a"))).as("chars"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("chars")).as("num"))
+
+    val tp = topNum.groupBy(col("doc_id")).agg(
+      max(when(col("n") === TopNgramPct.head._1, col("num")))
+        .as(s"t${TopNgramPct.head._1}"),
+      TopNgramPct.tail.map { case (n, _) =>
+        max(when(col("n") === n, col("num"))).as(s"t$n")
+      }: _*)
+    val dp = dupNum.groupBy(col("doc_id")).agg(
+      max(when(col("n") === DupNgramPct.head._1, col("num")))
+        .as(s"d${DupNgramPct.head._1}"),
+      DupNgramPct.tail.map { case (n, _) =>
+        max(when(col("n") === n, col("num"))).as(s"d$n")
+      }: _*)
+
+    val fracCols =
+      TopNgramPct.map { case (n, _) =>
+        (coalesce(col(s"t$n"), lit(0L)).cast(DoubleType) /
+          col("n_chars").cast(DoubleType)).as(s"top${n}_frac")
+      } ++ DupNgramPct.map { case (n, _) =>
+        (coalesce(col(s"d$n"), lit(0L)).cast(DoubleType) /
+          col("n_chars").cast(DoubleType)).as(s"dup${n}_frac")
+      }
+    val keep = (TopNgramPct.map { case (n, pct) =>
+      coalesce(col(s"t$n"), lit(0L)) * 100 <= lit(pct) * col("n_chars")
+    } ++ DupNgramPct.map { case (n, pct) =>
+      coalesce(col(s"d$n"), lit(0L)) * 100 <= lit(pct) * col("n_chars")
+    }).reduce(_ && _)
+
+    base
+      .join(tp, Seq("doc_id"), "left")
+      .join(dp, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("n_chars") +: fracCols :+
+        keep.as("gopher_keep"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q112QualityFunnel, q113LengthDrift,
-    q114EmbeddingQa, q115SplitLeakage, q116LangidConfusion)
+    q114EmbeddingQa, q115SplitLeakage, q116LangidConfusion,
+    q151GopherRepetition)
 }

@@ -104,4 +104,126 @@ class QualitySpec extends AnyFunSuite with SparkTestSession {
       assert(math.abs(share - 1.0) < 1e-9, s"lang $lang")
     }
   }
+
+  /** Plain-Scala replica of q151's per-document profile: (n_chars,
+    * top-mass per n, dup-coverage per n, keep). The interval union is an
+    * independent formulation (a covered-position bitset, not islands). */
+  private def gopherBrute(text: String)
+      : (Long, Map[Int, Long], Map[Int, Long], Boolean) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = text.split(" ", -1)
+    val nChars = text.length.toLong
+    val pre = w.scanLeft(0L)(_ + _.length) // pre(i) = chars of words 1..i
+    val top = Quality.TopNgramPct.map { case (n, _) =>
+      val gs =
+        if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toVector
+        else Vector.empty[String]
+      if (gs.isEmpty) n -> 0L
+      else {
+        val counts = gs.groupBy(identity).map { case (g, o) =>
+          g -> o.size.toLong
+        }
+        val (g, c) = counts.minBy { case (g, c) =>
+          (-c, graft.functions.HashUtil.md5Hash60(UTF8String.fromString(g)))
+        }
+        n -> c * g.length
+      }
+    }.toMap
+    val dup = Quality.DupNgramPct.map { case (n, _) =>
+      val gs =
+        if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toVector
+        else Vector.empty[String]
+      val counts = gs.groupBy(identity).map { case (g, o) => g -> o.size }
+      val covered = scala.collection.mutable.Set.empty[Int] // token idx, 1-based
+      gs.zipWithIndex.foreach { case (g, i0) =>
+        if (counts(g) >= 2) (i0 + 1 to i0 + n).foreach(covered += _)
+      }
+      // covered chars = word lengths + the separators BETWEEN covered
+      // consecutive tokens (a gap in coverage means the space is uncovered)
+      val chars = covered.toSeq.map(p => pre(p) - pre(p - 1)).sum +
+        covered.count(p => covered.contains(p + 1))
+      n -> chars.toLong
+    }.toMap
+    val keep = Quality.TopNgramPct.forall { case (n, pct) =>
+      top(n) * 100 <= pct * nChars
+    } && Quality.DupNgramPct.forall { case (n, pct) =>
+      dup(n) * 100 <= pct * nChars
+    }
+    (nChars, top, dup, keep)
+  }
+
+  private def q151Rows(dir: String) =
+    Quality.q151GopherRepetition.fn(spark, dir).collect().map { r =>
+      r.getLong(0) -> r
+    }.toMap
+
+  test("q151: crafted cases — overlapping duplicated n-gram occurrences " +
+    "never double-count coverage, degenerate docs profile to zero, and a " +
+    "pathological repeater is rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      // overlapping dup-5: "a a a a a" at pos 1 AND 2 -> union is tokens
+      // 1..6 = 6 chars + 5 separators = 11, NOT 2 x 9 = 18
+      (1L, "a a a a a a b1 c1 d1 e1 f1 g1 h1 i1 j1"),
+      // pathological bigram repeater: top2 mass 3 x len("x y") = 9 of 13
+      (2L, "x y x y x y z"),
+      // clean: every gram unique, dup coverage 0 everywhere (long enough
+      // that one top-4-gram occurrence sits under the 16% char bar)
+      (3L, (1 to 100).map(i => s"u$i").mkString(" ")),
+      // too short for any gram width
+      (4L, "q")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toFile
+    tmp.deleteOnExit()
+    docs.write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val rows = q151Rows(tmp.getPath)
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+
+    val d1 = rows(1L)
+    val n1 = d1.getAs[Long]("n_chars").toDouble
+    assert(d1.getAs[Double]("dup5_frac") == 11.0 / n1,
+      s"overlap union must be 11 chars, frac ${d1.getAs[Double]("dup5_frac")}")
+    val d2 = rows(2L)
+    assert(d2.getAs[Double]("top2_frac") == 9.0 / 13.0)
+    assert(!d2.getAs[Boolean]("gopher_keep"), "repeater must be rejected")
+    val d3 = rows(3L)
+    Quality.DupNgramPct.foreach { case (n, _) =>
+      assert(d3.getAs[Double](s"dup${n}_frac") == 0.0, s"clean dup$n")
+    }
+    assert(d3.getAs[Boolean]("gopher_keep"))
+    val d4 = rows(4L)
+    assert(d4.getAs[Long]("n_chars") == 1L)
+    Quality.TopNgramPct.foreach { case (n, _) =>
+      assert(d4.getAs[Double](s"top${n}_frac") == 0.0, s"short top$n")
+    }
+    assert(d4.getAs[Boolean]("gopher_keep"))
+  }
+
+  test("q151: every profile column equals an independent driver-side " +
+    "recount over the full sf0.001 corpus (bitset coverage vs islands)") {
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val rows = q151Rows(sfDir)
+    assert(rows.size == texts.length)
+    texts.foreach { case (id, t) =>
+      val (nChars, top, dup, keep) = gopherBrute(t)
+      val r = rows(id)
+      assert(r.getAs[Long]("n_chars") == nChars, s"doc $id n_chars")
+      Quality.TopNgramPct.foreach { case (n, _) =>
+        assert(r.getAs[Double](s"top${n}_frac") ==
+          top(n).toDouble / nChars.toDouble, s"doc $id top$n")
+      }
+      Quality.DupNgramPct.foreach { case (n, _) =>
+        assert(r.getAs[Double](s"dup${n}_frac") ==
+          dup(n).toDouble / nChars.toDouble, s"doc $id dup$n")
+      }
+      assert(r.getAs[Boolean]("gopher_keep") == keep, s"doc $id keep")
+    }
+    // non-vacuous: the corpus must exercise BOTH verdicts
+    val keeps = rows.values.map(_.getAs[Boolean]("gopher_keep")).toSeq
+    assert(keeps.contains(true) && keeps.contains(false),
+      "fixture must contain both kept and rejected documents")
+  }
 }
