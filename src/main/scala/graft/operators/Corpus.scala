@@ -1251,8 +1251,15 @@ object Corpus {
     * table incrementally so the text is never re-tokenized. */
   private[graft] def mergedSpans(pos: DataFrame): DataFrame = {
     val freq = pos.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-    val dup = pos.join(freq.filter(col("cnt") >= 2), "sh")
-      .select(col("doc_id"), col("pos"))
+    islandSpans(pos.join(freq.filter(col("cnt") >= 2), "sh")
+      .select(col("doc_id"), col("pos")))
+  }
+
+  /** The gaps-and-islands run merge alone, over any (doc_id, pos) table
+    * of flagged [[SpanN]]-shingle start positions — shared by
+    * [[mergedSpans]] (flag = globally duplicated) and q152 (flag =
+    * present in the held-out split). */
+  private[graft] def islandSpans(dup: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dup
       .withColumn("isl", col("pos") - row_number().over(w))
@@ -1351,6 +1358,61 @@ object Corpus {
         (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
           col("n_tokens").cast(DoubleType)).as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q152: exact-substring decontamination spans — q62's doc-level flag
+    * upgraded to the ACTIONABLE report: every maximal run of ≥ [[SpanN]]
+    * consecutive tokens in a TRAIN document (q62's split: bucket < 80)
+    * whose [[SpanN]]-token windows all occur verbatim somewhere in the
+    * HELD-OUT split (bucket ≥ 90) — the exact token ranges a pipeline
+    * excises (or flags) before training so the eval set is not memorized
+    * verbatim, the cross-split twin of q143's within-corpus spans and the
+    * substring-level sharpening of q62's 3-shingle fraction.
+    *
+    * Shape at scale: the held-out side collapses to DISTINCT shingle
+    * hashes first (eval sets are tiny in production — AQE broadcasts the
+    * lookup side at runtime; no explicit hint, per the
+    * no-broadcast-of-corpus rule), the train side streams positioned
+    * (doc_id, pos, long) rows through one equi-join on the hash, and the
+    * run merge is the q143 islands window — per-task state bounded by one
+    * document. No strings past the tokenize, no all-pairs anywhere. */
+  val q152ContamSpans = QueryDef(
+    "q152_contam_spans",
+    s"""WITH bk AS (SELECT doc_id, $sqlWords AS w,
+       |    ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents),
+       |d AS (SELECT doc_id, w FROM bk
+       |  WHERE bucket < 80 AND len(w) >= $SpanN),
+       |g AS (SELECT doc_id, i AS pos,
+       |    array_to_string(w[i:i+${SpanN - 1}], ' ') AS span
+       |  FROM (SELECT doc_id, w,
+       |        unnest(range(1, len(w) - ${SpanN - 2})) AS i FROM d)),
+       |h AS (SELECT doc_id, pos, ${sqlHash60("span")} AS sh FROM g),
+       |e AS (SELECT doc_id, w FROM bk
+       |  WHERE bucket >= 90 AND len(w) >= $SpanN),
+       |eg AS (SELECT array_to_string(w[i:i+${SpanN - 1}], ' ') AS span
+       |  FROM (SELECT w, unnest(range(1, len(w) - ${SpanN - 2})) AS i
+       |        FROM e)),
+       |ev AS (SELECT DISTINCT ${sqlHash60("span")} AS sh FROM eg),
+       |dup AS (SELECT doc_id, pos FROM h JOIN ev USING (sh)),
+       |isl AS (SELECT doc_id, pos, pos - row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM dup),
+       |sp AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) AS b
+       |  FROM isl GROUP BY doc_id, isl)
+       |SELECT doc_id, CAST(a AS BIGINT) AS start_pos,
+       |  CAST(b + ${SpanN - 1} AS BIGINT) AS end_pos,
+       |  CAST(b + $SpanN - a AS BIGINT) AS span_tokens
+       |FROM sp
+       |ORDER BY doc_id, start_pos""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val bk = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
+    val trainPos = positionedShingles(bk.filter(col("bucket") < 80))
+    val evalSh = positionedShingles(bk.filter(col("bucket") >= 90))
+      .select(col("sh")).distinct()
+    islandSpans(trainPos.join(evalSh, "sh").select(col("doc_id"), col("pos")))
+      .orderBy(col("doc_id"), col("start_pos"))
   }
 
   /** Shard size (docs) and bucket fan-out for the balanced-shard export.
@@ -1789,5 +1851,5 @@ object Corpus {
       q89DocChunks, q94ClusterSizeDist, q96MedoidSurvivor, q97SourceOverlap,
       q98DedupShrinkage, q104ApproxPercentileBound, q105NgramNovelty,
       q107WinsorizedStats, q110SaturationCurve, q140LeakageSplit,
-      q143SubstringSpans, q147SpanExcision)
+      q143SubstringSpans, q147SpanExcision, q152ContamSpans)
 }

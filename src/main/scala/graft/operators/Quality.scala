@@ -648,7 +648,131 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Integer probability scale for the q153 LM scores: per-transition
+    * probabilities in parts-per-billion, per-doc scores in parts-per-
+    * million. Integer division (both engines floor positive operands
+    * identically) keeps every compared value exact. */
+  private val Ppb = 1000000000L
+
+  /** q153: CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    * reference-model quality filter: train a bigram LM on the documents
+    * that pass the q112 quality rules (the in-repo stand-in for CCNet's
+    * Wikipedia reference), score EVERY document by its mean transition
+    * probability under that reference with add-one smoothing (unknown
+    * words and transitions score low instead of crashing the product —
+    * the difference from q69, whose MLE over whole-corpus counts has no
+    * out-of-vocabulary case), and split each source into head/middle/
+    * tail thirds — the CCNet shape: downstream recipes keep head+middle.
+    *
+    * Everything compared is integer: each transition scores
+    * `(c2+1)·10^9 div (c1+V)` (c2/c1 = reference bigram/prefix counts,
+    * V = reference prefix vocabulary), a doc scores the integer mean in
+    * ppm, and bucket assignment is integer cross-multiplication against
+    * per-source cumulative counts. Buckets are assigned by SCORE-CLASS
+    * thresholds (CCNet's percentile-cutoff semantics), not per-row
+    * ntile: a doc is head iff its whole score class fits in the first
+    * third (cum·3 ≤ n), tail iff the classes strictly above it already
+    * cover two thirds ((cum−c)·3 ≥ 2n), else middle — ties share a
+    * bucket, so the result is independent of row order.
+    *
+    * Shape at scale: bigrams hash to 60-bit longs before the two count
+    * aggregations and the two lookup joins (q69's plan); the count
+    * tables are vocabulary-sized and AQE-broadcast at runtime; V is one
+    * scalar collect (Lloyd-pattern bounded). The bucket histogram is
+    * (source × distinct ppm scores) — ≤ 10^6 rows per source BY
+    * CONSTRUCTION regardless of corpus size, because scores quantize to
+    * ppm — so the cumulative window runs over model-sized state, never a
+    * per-document global sort (the q84 anti-pattern this avoids). */
+  val q153PerplexityBuckets = QueryDef(
+    "q153_perplexity_buckets",
+    s"""WITH $sqlFunnelMetrics,
+       |ref AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN m ON m.doc_id = d.doc_id WHERE $sqlKeepExpr),
+       |rb AS (SELECT array_to_string(w[i:i+1], ' ') AS bg, w[i] AS pw
+       |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT string_split(text, ' ') AS w FROM ref
+       |              WHERE len(string_split(text, ' ')) >= 2))),
+       |rh AS (SELECT ${sqlHash60("bg")} AS h2, ${sqlHash60("pw")} AS h1
+       |  FROM rb),
+       |c2 AS (SELECT h2, CAST(COUNT(*) AS BIGINT) AS n2 FROM rh
+       |  GROUP BY h2),
+       |c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS n1 FROM rh
+       |  GROUP BY h1),
+       |vv AS (SELECT CAST(COUNT(DISTINCT h1) AS BIGINT) AS v FROM rh),
+       |ab AS (SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS bg,
+       |    w[i] AS pw
+       |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+       |        FROM (SELECT doc_id, source, $sqlWords AS w FROM documents
+       |              WHERE len($sqlWords) >= 2))),
+       |ah AS (SELECT doc_id, source, ${sqlHash60("bg")} AS h2,
+       |    ${sqlHash60("pw")} AS h1 FROM ab),
+       |sc AS (SELECT doc_id, source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM((COALESCE(n2, 0) + 1) * $Ppb
+       |      // (COALESCE(n1, 0) + v)) AS BIGINT) AS sum_ppb
+       |  FROM ah
+       |  LEFT JOIN c2 USING (h2)
+       |  LEFT JOIN c1 USING (h1)
+       |  CROSS JOIN vv
+       |  GROUP BY doc_id, source),
+       |sp AS (SELECT doc_id, source, n_bigrams,
+       |    sum_ppb // (n_bigrams * 1000) AS score_ppm FROM sc),
+       |hist AS (SELECT source, score_ppm, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sp GROUP BY source, score_ppm),
+       |cum AS (SELECT source, score_ppm, c,
+       |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY score_ppm DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM hist),
+       |bkt AS (SELECT source, score_ppm,
+       |    CASE WHEN cum * 3 <= n THEN 'head'
+       |         WHEN (cum - c) * 3 >= 2 * n THEN 'tail'
+       |         ELSE 'middle' END AS bucket
+       |  FROM cum)
+       |SELECT sp.doc_id, sp.source, sp.n_bigrams, sp.score_ppm, b.bucket
+       |FROM sp JOIN bkt b
+       |  ON b.source = sp.source AND b.score_ppm = sp.score_ppm
+       |ORDER BY sp.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir, "documents")
+    val ref = docs.join(
+      funnelMetrics(docs).filter(keepAll).select(col("doc_id")), "doc_id")
+    def bigrams(df: org.apache.spark.sql.DataFrame, keep: Seq[String]) =
+      df.select(keep.map(col) :+
+          explode(bigramGen(col("text"))).as("bg"): _*)
+        .select(keep.map(col) :+ hash60(col("bg")).as("h2") :+
+          hash60(substring_index(col("bg"), " ", 1)).as("h1"): _*)
+    val rh = bigrams(ref, Seq.empty)
+    val c2 = rh.groupBy(col("h2")).agg(count(lit(1)).as("n2"))
+    val c1 = rh.groupBy(col("h1")).agg(count(lit(1)).as("n1"))
+    val v = rh.select(col("h1")).distinct().count()
+    val sp = bigrams(docs, Seq("doc_id", "source"))
+      .join(c2, Seq("h2"), "left")
+      .join(c1, Seq("h1"), "left")
+      .select(col("doc_id"), col("source"),
+        expr(s"(coalesce(n2, 0L) + 1L) * $Ppb div (coalesce(n1, 0L) + $v)")
+          .as("ppb"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppb")).as("sum_ppb"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("sum_ppb div (n_bigrams * 1000L)").as("score_ppm"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bkt = sp.groupBy(col("source"), col("score_ppm"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("score_ppm"),
+        when(col("cum") * 3 <= col("n"), "head")
+          .when((col("cum") - col("c")) * 3 >= lit(2) * col("n"), "tail")
+          .otherwise("middle").as("bucket"))
+    sp.join(bkt, Seq("source", "score_ppm"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("score_ppm"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q112QualityFunnel, q113LengthDrift,
     q114EmbeddingQa, q115SplitLeakage, q116LangidConfusion,
-    q151GopherRepetition)
+    q151GopherRepetition, q153PerplexityBuckets)
 }

@@ -447,4 +447,65 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
         members.map(m => splitOf(m._1)).distinct.length > 1
     }, "fixture: no multi-doc component with differing per-doc buckets")
   }
+
+  test("q152: contamination spans match a crafted cross-split copy and a " +
+    "brute-force recount over sf0.001 (train-side coverage of held-out " +
+    "8-grams, islands merged)") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(id: Long): Long = {
+      val h = graft.functions.HashUtil.md5Hash60(
+        UTF8String.fromString(id.toString))
+      ((h % 100) + 100) % 100
+    }
+    // crafted: a train doc copies a 10-token phrase from an eval doc;
+    // pick ids by their actual hash buckets so the split is the operator's
+    val trainId = (1L to 500L).find(bucket(_) < 80).get
+    val evalId = (1L to 500L).find(bucket(_) >= 90).get
+    val cleanId = (1L to 500L).filter(bucket(_) < 80)(1)
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (trainId, s"t1 t2 t3 $phrase t4 t5"),
+      (evalId, s"e1 e2 $phrase e3"),
+      (cleanId, (1 to 20).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("contamspan").toFile
+    tmp.deleteOnExit()
+    docs.write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+    val crafted = Corpus.q152ContamSpans.fn(spark, tmp.getPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the copied phrase spans train positions 4..13: its 8-gram starts are
+    // 4,5,6 -> one merged island (4, 13, 10). The eval doc itself must NOT
+    // be reported (only train-side rows are scanned for coverage).
+    assert(crafted.toSeq == Seq((trainId, 4L, 13L, 10L)),
+      s"crafted: ${crafted.mkString(";")} (train=$trainId eval=$evalId)")
+
+    // brute force over the real corpus
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Array[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 8) w.sliding(8).map(_.mkString(" ")).toArray
+      else Array.empty[String]
+    }
+    val evalSet = texts.filter { case (id, _) => bucket(id) >= 90 }
+      .flatMap { case (_, t) => grams(t) }.toSet
+    val want = texts.filter { case (id, _) => bucket(id) < 80 }
+      .flatMap { case (id, t) =>
+        val dupPos = grams(t).zipWithIndex.collect {
+          case (g, i) if evalSet.contains(g) => (i + 1).toLong
+        }
+        dupPos.foldLeft(List.empty[(Long, Long)]) {
+          case ((a, b) :: tail, p) if p == b + 1 => (a, p) :: tail
+          case (acc, p) => (p, p) :: acc
+        }.reverse.map { case (a, b) => (id, a, b + 7L, b + 8L - a) }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Corpus.q152ContamSpans.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got ${got.size} spans, want ${want.size}")
+    assert(got.nonEmpty, "fixture must contain cross-split copied spans")
+  }
 }

@@ -226,4 +226,72 @@ class QualitySpec extends AnyFunSuite with SparkTestSession {
     assert(keeps.contains(true) && keeps.contains(false),
       "fixture must contain both kept and rejected documents")
   }
+
+  test("q153: scores equal an independent driver-side LM replay (reference " +
+    "slice from the q112 rules, add-one smoothing, integer ppm), buckets " +
+    "follow the score-class thresholds, and thirds are ordered") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val refIds = Quality.funnelMetrics(docs).filter(Quality.keepAll)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val texts = docs.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // driver-side reference LM: bigram + prefix counts over ref docs only
+    val c2 = scala.collection.mutable.Map.empty[String, Long]
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    texts.filter(t => refIds.contains(t._1)).foreach { case (_, _, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= 2) w.sliding(2).foreach { bg =>
+        c2(bg.mkString(" ")) = c2.getOrElse(bg.mkString(" "), 0L) + 1
+        c1(bg(0)) = c1.getOrElse(bg(0), 0L) + 1
+      }
+    }
+    val v = c1.size.toLong
+    val wantScore = texts.flatMap { case (id, src, t) =>
+      val w = t.split(" ", -1)
+      if (w.length < 2) None
+      else {
+        val ppbs = w.sliding(2).map { bg =>
+          (c2.getOrElse(bg.mkString(" "), 0L) + 1L) * 1000000000L /
+            (c1.getOrElse(bg(0), 0L) + v)
+        }.toSeq
+        Some(id -> (src, ppbs.length.toLong,
+          ppbs.sum / (ppbs.length * 1000L)))
+      }
+    }.toMap
+    val rows = Quality.q153PerplexityBuckets.fn(spark, sfDir).collect()
+    assert(rows.length == wantScore.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (src, nb, ppm) = wantScore(id)
+      assert(r.getString(1) == src, s"doc $id source")
+      assert(r.getAs[Long]("n_bigrams") == nb, s"doc $id n_bigrams")
+      assert(r.getAs[Long]("score_ppm") == ppm, s"doc $id score")
+    }
+    // bucket assignment replay: per source, score classes descending
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val byScore = rs.groupBy(_.getAs[Long]("score_ppm")).toSeq
+        .sortBy(-_._1)
+      var cum = 0L
+      byScore.foreach { case (score, members) =>
+        val c = members.length.toLong
+        cum += c
+        val want =
+          if (cum * 3 <= n) "head"
+          else if ((cum - c) * 3 >= 2 * n) "tail"
+          else "middle"
+        members.foreach(m => assert(m.getString(4) == want,
+          s"source $src score $score: ${m.getString(4)} != $want"))
+      }
+      // thirds are ordered and every bucket is populated at this SF
+      def scoresOf(b: String) =
+        rs.filter(_.getString(4) == b).map(_.getAs[Long]("score_ppm"))
+      val (h, m, t) = (scoresOf("head"), scoresOf("middle"), scoresOf("tail"))
+      assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, s"source $src buckets")
+      assert(h.min >= m.max && m.min >= t.max, s"source $src ordering")
+    }
+    // the reference slice is a strict, non-trivial subset (the filter
+    // actually filters — otherwise this is q69 with extra steps)
+    assert(refIds.nonEmpty && refIds.size < texts.length)
+  }
 }

@@ -390,6 +390,33 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("round-13 query plans keep their intended shapes") {
+    // q149: the per-source k-smallest filter must plan the bounded
+    // WindowGroupLimit (partial top-k map-side), never a full per-source
+    // sort-then-filter of every hash — the property that caps per-source
+    // state at k rows everywhere in the plan
+    val q149 = Stats.q149KmvDistinct.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q149.contains("WindowGroupLimit"), q149)
+    // q151/q152/q153: every window partitions by a key (doc, source) —
+    // none of the three may ever plan a single-partition exchange (the
+    // global-window anti-pattern); q153's bucket thresholds in particular
+    // must come from the per-source histogram, not a global sort
+    Seq(Quality.q151GopherRepetition, Corpus.q152ContamSpans,
+      Quality.q153PerplexityBuckets).foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"${q.name} plans a single-partition exchange")
+      assert(!plan.contains("CartesianProduct"), q.name)
+    }
+    // q151's gram counts must partially aggregate map-side before the
+    // (doc, width, hash) exchange — the combine that absorbs repeated
+    // grams at the source
+    val q151 = Quality.q151GopherRepetition.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q151.contains("partial_count"), q151)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // policy sweep over the ENTIRE suite: every cross join must broadcast
     // a bounded model/scalar relation (BroadcastNestedLoopJoin is the
