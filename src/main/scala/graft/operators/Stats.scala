@@ -911,10 +911,30 @@ object Stats {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_vals"), max(col("h")).as("theta"),
         sum(col("in_a") * col("in_b")).as("n_both"))
-    val x = flagged(s, "sh")
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("exact_union"),
-        sum(col("in_a") * col("in_b")).as("exact_inter"))
+    // exact side: inclusion-exclusion from ONE per-shingle pass — each
+    // shingle's (sorted, ≤ n_sources) source set expands to its pairs
+    // natively (PairGen, the capped-bucket discipline: ≤ n_sources²/2
+    // structs per shingle regardless of corpus), giving per-pair
+    // intersection counts; union = nA + nB − inter from the q149 exact
+    // rollup. Replaces a 190-pair broadcast nested-loop probe of the
+    // corpus-scale shingle table (measured 1.34 s → one hash agg).
+    val inter = s.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(Mirror.pairs(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val perSrc = s.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val x = pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"),
+        col("n_sh").as("na"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("n_sh").as("nb"))), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        (col("na") + col("nb") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
     val estUnion = when(col("n_vals") < KmvK, col("n_vals").cast(DoubleType))
       .otherwise(lit((KmvK - 1).toDouble) * lit(KmvU)
         / col("theta").cast(DoubleType))
