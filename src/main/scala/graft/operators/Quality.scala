@@ -60,7 +60,7 @@ object Quality {
       " AND (top_cnt * 5 <= n_words) AND (n_stop >= 2)"
 
   /** Spark twin of [[sqlKeepExpr]] over [[funnelMetrics]] output. */
-  private[operators] def keepAll: Column =
+  private[graft] def keepAll: Column =
     col("n_words").between(10, 5000) &&
       col("sum_chars") >= lit(2) * col("n_words") &&
       col("sum_chars") <= lit(12) * col("n_words") &&
@@ -734,18 +734,45 @@ object Quality {
        |  ON b.source = sp.source AND b.score_ppm = sp.score_ppm
        |ORDER BY sp.doc_id""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir, "documents")
-    val ref = docs.join(
-      funnelMetrics(docs).filter(keepAll).select(col("doc_id")), "doc_id")
-    def bigrams(df: org.apache.spark.sql.DataFrame, keep: Seq[String]) =
-      df.select(keep.map(col) :+
-          explode(bigramGen(col("text"))).as("bg"): _*)
-        .select(keep.map(col) :+ hash60(col("bg")).as("h2") :+
-          hash60(substring_index(col("bg"), " ", 1)).as("h1"): _*)
-    val rh = bigrams(ref, Seq.empty)
-    val c2 = rh.groupBy(col("h2")).agg(count(lit(1)).as("n2"))
-    val c1 = rh.groupBy(col("h1")).agg(count(lit(1)).as("n1"))
-    val v = rh.select(col("h1")).distinct().count()
-    val sp = bigrams(docs, Seq("doc_id", "source"))
+    val (c2, c1, v) = lmCounts(docs.join(
+      funnelMetrics(docs).filter(keepAll).select(col("doc_id")), "doc_id"))
+    val sp = lmScores(docs, c2, c1, v)
+    sp.join(lmBuckets(sp), Seq("source", "score_ppm"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("score_ppm"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bigramHashes(df: org.apache.spark.sql.DataFrame,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(keep.map(col) :+
+        explode(bigramGen(col("text"))).as("bg"): _*)
+      .select(keep.map(col) :+ hash60(col("bg")).as("h2") :+
+        hash60(substring_index(col("bg"), " ", 1)).as("h1"): _*)
+
+  /** The frozen q153 reference model: bigram counts, prefix counts, and
+    * prefix-vocabulary size over `ref` (one scalar collect for V — the
+    * Lloyd-pattern bound). Shared with the streaming twin
+    * ([[graft.streaming.PerplexityStream]]), which trains once at start
+    * and scores every arriving batch against the SAME counts. */
+  private[graft] def lmCounts(ref: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Long) = {
+    val rh = bigramHashes(ref, Seq.empty)
+    (rh.groupBy(col("h2")).agg(count(lit(1)).as("n2")),
+      rh.groupBy(col("h1")).agg(count(lit(1)).as("n1")),
+      rh.select(col("h1")).distinct().count())
+  }
+
+  /** q153's per-document integer score under a frozen reference model:
+    * (doc_id, source, n_bigrams, score_ppm). Stateless per document —
+    * the property that makes the streaming twin's per-batch scoring
+    * exactly the batch operator on the batch's rows. */
+  private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame, v: Long)
+      : org.apache.spark.sql.DataFrame =
+    bigramHashes(docs, Seq("doc_id", "source"))
       .join(c2, Seq("h2"), "left")
       .join(c1, Seq("h1"), "left")
       .select(col("doc_id"), col("source"),
@@ -755,10 +782,17 @@ object Quality {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppb")).as("sum_ppb"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         expr("sum_ppb div (n_bigrams * 1000L)").as("score_ppm"))
+
+  /** q153's head/middle/tail thresholds from the (source × ppm score)
+    * histogram of a scored table — ≤ 10⁶ rows per source by ppm
+    * quantization, so the cumulative window never sees per-document
+    * state. Row-order independent (score classes share a bucket). */
+  private[graft] def lmBuckets(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val wCum = Window.partitionBy(col("source"))
       .orderBy(col("score_ppm").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bkt = sp.groupBy(col("source"), col("score_ppm"))
+    scored.groupBy(col("source"), col("score_ppm"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
@@ -766,10 +800,6 @@ object Quality {
         when(col("cum") * 3 <= col("n"), "head")
           .when((col("cum") - col("c")) * 3 >= lit(2) * col("n"), "tail")
           .otherwise("middle").as("bucket"))
-    sp.join(bkt, Seq("source", "score_ppm"))
-      .select(col("doc_id"), col("source"), col("n_bigrams"),
-        col("score_ppm"), col("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   val all: Seq[QueryDef] = Seq(q112QualityFunnel, q113LengthDrift,
