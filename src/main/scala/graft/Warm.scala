@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *  - [[operators.PairCache]] — the verified near-dup pair table;
   *  - [[operators.CcCache]] — duplicate-cluster component labels;
   *  - [[operators.BpeCache]] — the trained BPE tokenizer;
+  *  - [[operators.LmCache]] — the q153 reference bigram LM;
   *  - [[operators.ModelCache]] — trained quantizer centroid models,
   *    published as a side effect of running each model-training query's
   *    plan once (the exact keys are (input × canonical plan × params)
@@ -55,6 +56,7 @@ object Warm {
     guard(operators.CcCache.components(spark, dir))
     guard(operators.BpeCache.trained(spark, dir))
     guard(operators.UnigramCache.pieces(spark, dir))
+    guard(operators.LmCache.counts(spark, dir))
     // Model tier: execute each training query's plan once — ModelCache
     // publishes on the memo/disk miss inside the plan build; count()
     // forces plans whose training is lazy in the action.

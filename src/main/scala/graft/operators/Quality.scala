@@ -733,14 +733,35 @@ object Quality {
        |FROM sp JOIN bkt b
        |  ON b.source = sp.source AND b.score_ppm = sp.score_ppm
        |ORDER BY sp.doc_id""".stripMargin) { (spark, dir) =>
-    val docs = Tables(spark, dir, "documents")
-    val (c2, c1, v) = lmCounts(docs.join(
-      funnelMetrics(docs).filter(keepAll).select(col("doc_id")), "doc_id"))
+    // production consumer: the reference model comes from the LmCache
+    // artifact (trained + published on first use); q154 is the
+    // gate-visible fresh-train bypass on the same oracle
+    val (c2, c1, v) = LmCache.counts(spark, dir)
+    perplexityReport(Tables(spark, dir, "documents"), c2, c1, v)
+  }
+
+  private def perplexityReport(docs: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame, v: Long)
+      : org.apache.spark.sql.DataFrame = {
     val sp = lmScores(docs, c2, c1, v)
     sp.join(lmBuckets(sp), Seq("source", "score_ppm"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         col("score_ppm"), col("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q154: the q153 pipeline with the artifact tier bypassed BY
+    * CONSTRUCTION — reference training runs fresh inside the query, so
+    * the full train-then-score pipeline stays visible to the bench
+    * regression gate and hash-checked against the SAME oracle every
+    * round (the q135/q59 bypass pattern; LmCacheSpec proves q153 ≡
+    * q154 row-for-row). */
+  val q154PerplexityTrainPipeline = QueryDef(
+    "q154_perplexity_train_pipeline",
+    q153PerplexityBuckets.oracle.get) { (spark, dir) =>
+    val (c2, c1, v) = lmRefCounts(spark, dir)
+    perplexityReport(Tables(spark, dir, "documents"), c2, c1, v)
   }
 
   private def bigramHashes(df: org.apache.spark.sql.DataFrame,
@@ -749,6 +770,17 @@ object Quality {
         explode(bigramGen(col("text"))).as("bg"): _*)
       .select(keep.map(col) :+ hash60(col("bg")).as("h2") :+
         hash60(substring_index(col("bg"), " ", 1)).as("h1"): _*)
+
+  /** The q153/q154 reference training pipeline over `dir`'s documents:
+    * the quality-rule-passing slice feeds [[lmCounts]]. Fresh compute —
+    * [[LmCache.counts]] wraps this with the persisted-artifact tier. */
+  private[graft] def lmRefCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, Long) = {
+    val docs = Tables(spark, dir, "documents")
+    lmCounts(docs.join(
+      funnelMetrics(docs).filter(keepAll).select(col("doc_id")), "doc_id"))
+  }
 
   /** The frozen q153 reference model: bigram counts, prefix counts, and
     * prefix-vocabulary size over `ref` (one scalar collect for V — the
@@ -804,5 +836,6 @@ object Quality {
 
   val all: Seq[QueryDef] = Seq(q112QualityFunnel, q113LengthDrift,
     q114EmbeddingQa, q115SplitLeakage, q116LangidConfusion,
-    q151GopherRepetition, q153PerplexityBuckets)
+    q151GopherRepetition, q153PerplexityBuckets,
+    q154PerplexityTrainPipeline)
 }
