@@ -108,6 +108,25 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("pairs_gen", 1, children)
         PairGen(children.head)
+      }),
+    (FunctionIdentifier("multi_match"),
+      info("multi_match",
+        "multi_match(text, array('p1', ...)) - per-pattern leftmost " +
+          "non-overlapping occurrence counts (the replace count) via one " +
+          "Aho-Corasick pass; the pattern array must be foldable"),
+      (children: Seq[Expression]) => {
+        checkArity("multi_match", 2, children)
+        val patsExpr = children(1)
+        if (!patsExpr.foldable) throw new org.apache.spark.sql
+          .AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            "multi_match: the pattern array must be a foldable literal"))
+        val arr = patsExpr.eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        MultiMatch(children.head, pats)
       }))
 
   /** Register into an already-built session (the extension path only runs

@@ -219,4 +219,15 @@ object Mirror {
        | THEN list_transform(range(1, len($sqlWords) - 3),
        |                     i -> array_to_string(($sqlWords)[i:i+4], ' '))
        | ELSE [text] END""".stripMargin.replace("\n", "")
+
+  /** Executable specification of [[graft.functions.MultiMatch]]: the
+    * per-pattern `replace` count (leftmost non-overlapping occurrences,
+    * each pattern counted independently over the ORIGINAL text), aligned
+    * with the pattern order. One full `replace` scan per pattern — the
+    * automaton collapses all of them into a single pass. */
+  def multiMatchSpec(text: Column, patterns: Seq[String]): Column =
+    array(patterns.map { p =>
+      ((length(text) - length(replace(text, lit(p), lit(""))))
+        / lit(p.length)).cast(LongType)
+    }: _*)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -834,8 +834,120 @@ object Quality {
           .otherwise("middle").as("bucket"))
   }
 
+  // ---------------------------------------------------------------------
+  // q155/q156: multi-pattern blocklist filtering — the banned-phrase
+  // filter every production corpus pipeline runs (Dolma/RefinedWeb-style
+  // blocklists hold thousands of phrases). The native Aho–Corasick
+  // expression ([[graft.functions.MultiMatch]]) counts EVERY pattern in
+  // one pass per document, so cost is O(chars), not O(chars × patterns);
+  // the pattern set is compiled once and rides the plan as a broadcast-
+  // sized reference object. (Reference scope: the reference has no text
+  // filtering at all — its only string predicates are null/sentinel
+  // guards, covid_streaming.py:119-127.)
+  // ---------------------------------------------------------------------
+
+  /** Fixed demo blocklist (alphabetical, so pattern order == output
+    * order): phrases over the synthetic vocabulary with shared prefixes
+    * ("slow join"/"slow join sort"), nesting ("batch batch"/"batch batch
+    * batch"), and self-overlap ("window window" in "window window
+    * window") — the cases that exercise automaton fail links and the
+    * non-overlapping count semantics. */
+  private[graft] val blockPatterns: Seq[String] = Seq(
+    "a part", "batch batch", "batch batch batch", "data line",
+    "fast value", "key order sort", "merge slow", "slow join",
+    "slow join sort", "spark table", "stream spark window",
+    "window window")
+
+  private val sqlBlockPats: String =
+    blockPatterns.map(p => s"('$p')").mkString(", ")
+
+  /** The per-document blocklist pass: ONE automaton scan per doc →
+    * (doc_id, source, n_chars, counts) with `counts` aligned with
+    * [[blockPatterns]]. Shared by batch q155/q156 and the streaming
+    * ingest twin ([[graft.streaming.BlocklistStream]]) — scoring is
+    * per-document pure (the pattern set is frozen at compile time), so
+    * the stream's accumulated table is row-identical to this over the
+    * same documents. */
+  def blockHits(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      graft.functions.MultiMatch.counts(col("text"), blockPatterns)
+        .as("counts"))
+
+  /** q155 body over a (…, counts) table: per-pattern docs-hit +
+    * occurrence rollup, ≤ n_patterns rows. */
+  def blockReport(hits: DataFrame): DataFrame = {
+    val patArr = array(blockPatterns.map(lit): _*)
+    hits
+      .select(posexplode(col("counts")).as(Seq("pid", "occ")))
+      .groupBy(col("pid"))
+      .agg(count(when(col("occ") > 0, 1)).as("docs_hit"),
+        sum(col("occ")).as("occurrences"))
+      .select(element_at(patArr, col("pid") + 1).as("pattern"),
+        col("docs_hit"), col("occurrences"))
+      .orderBy(col("pattern"))
+  }
+
+  /** q156 body over a (…, counts) table: per-source keep/drop funnel
+    * verdict, ≤ n_sources rows. */
+  def blockVerdict(hits: DataFrame): DataFrame =
+    hits
+      .select(col("source"), col("n_chars"),
+        aggregate(col("counts"), lit(0L), (a, x) => a + x).as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_total"),
+        count(when(col("hits") === 0, 1)).as("docs_kept"),
+        count(when(col("hits") > 0, 1)).as("docs_dropped"),
+        sum(col("hits")).as("occ_total"),
+        coalesce(sum(when(col("hits") > 0, col("n_chars"))), lit(0L))
+          .as("chars_dropped"))
+      .orderBy(col("source"))
+
+  /** Per-pattern blocklist hit report: documents hit and total leftmost
+    * non-overlapping occurrences for every pattern (zero-hit patterns
+    * included — a silent never-matching pattern is a blocklist bug).
+    * Scale shape: one narrow corpus pass (the automaton), then a rollup
+    * to ≤ n_patterns rows — map-side partial aggregation absorbs
+    * everything before the one tiny shuffle. */
+  val q155Blocklist = QueryDef(
+    "q155_blocklist",
+    s"""WITH pats(pattern) AS (VALUES $sqlBlockPats),
+       |h AS (SELECT d.doc_id, p.pattern,
+       |    CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+       |      // length(p.pattern) AS BIGINT) AS occ
+       |  FROM documents d CROSS JOIN pats p)
+       |SELECT pattern, COUNT(CASE WHEN occ > 0 THEN 1 END) AS docs_hit,
+       |  CAST(SUM(occ) AS BIGINT) AS occurrences
+       |FROM h GROUP BY pattern ORDER BY pattern""".stripMargin) {
+    (spark, dir) =>
+    blockReport(blockHits(Tables(spark, dir, "documents")))
+  }
+
+  /** The blocklist filter verdict per source: docs kept/dropped, total
+    * occurrences, and chars lost to the drop — the funnel-stage numbers
+    * a pipeline reports before committing a blocklist. Per-doc totals
+    * come from the same one-pass automaton column (`aggregate` over the
+    * 12-long counts array); the rollup is ≤ n_sources rows. */
+  val q156BlocklistKeep = QueryDef(
+    "q156_blocklist_keep",
+    s"""WITH pats(pattern) AS (VALUES $sqlBlockPats),
+       |occ AS (SELECT d.doc_id, d.source, d.n_chars,
+       |    CAST(SUM((length(d.text) - length(replace(d.text, p.pattern, '')))
+       |      // length(p.pattern)) AS BIGINT) AS hits
+       |  FROM documents d CROSS JOIN pats p
+       |  GROUP BY d.doc_id, d.source, d.n_chars)
+       |SELECT source, COUNT(*) AS docs_total,
+       |  COUNT(CASE WHEN hits = 0 THEN 1 END) AS docs_kept,
+       |  COUNT(CASE WHEN hits > 0 THEN 1 END) AS docs_dropped,
+       |  CAST(SUM(hits) AS BIGINT) AS occ_total,
+       |  CAST(COALESCE(SUM(CASE WHEN hits > 0 THEN n_chars END), 0)
+       |    AS BIGINT) AS chars_dropped
+       |FROM occ GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+    blockVerdict(blockHits(Tables(spark, dir, "documents")))
+  }
+
   val all: Seq[QueryDef] = Seq(q112QualityFunnel, q113LengthDrift,
     q114EmbeddingQa, q115SplitLeakage, q116LangidConfusion,
     q151GopherRepetition, q153PerplexityBuckets,
-    q154PerplexityTrainPipeline)
+    q154PerplexityTrainPipeline, q155Blocklist, q156BlocklistKeep)
 }
