@@ -100,9 +100,7 @@ object Classify {
        |  CAST(MAX(score_pt) AS BIGINT) AS max_score_pt
        |FROM p GROUP BY split, label_good, pred_good
        |ORDER BY split, label_good, pred_good""".stripMargin) { (spark, dir) =>
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), splitCol.as("split"),
-        labelGood.as("label_good"))
+    val docs = labeledDocs(Tables(spark, dir, "documents"))
     val model = trainModel(docs.filter(col("split") === "train"))
     docs
       .withColumn("score_pt", scorePt(model))
@@ -113,6 +111,171 @@ object Classify {
         max(col("score_pt")).as("max_score_pt"))
       .orderBy(col("split"), col("label_good"), col("pred_good"))
   }
+
+  /** Calibration-bin width in score_pt units. Sized to the OBSERVED
+    * score scale, not the theoretical ±10⁶ bound: per-doc scores are
+    * means of per-token bucket scores, so they concentrate within a few
+    * thousand ppt of zero (±~7500 on the driver corpus at every SF) —
+    * width 500 yields the ~20-bin reliability diagram a threshold
+    * decision needs, while the worst-case row bound stays tiny
+    * (≤ splits × 2·10⁶/500 rows). The +Scale shift keeps the numerator
+    * non-negative, so Spark's truncating div equals DuckDB's flooring
+    * `//` — the known negative-division trap (q128's shifted-floor
+    * trick, reused). */
+  private val BinWidth = 500L
+
+  /** Candidate keep thresholds for the q158 sweep, in score_pt units —
+    * spanning the observed score scale and centered on q128's implied
+    * operating point (score_pt > 0) so the sweep shows where that
+    * default sits on the curve. */
+  private[graft] val thresholds: Seq[Long] = Seq(-2000L, -1000L, -500L,
+    -200L, -100L, -50L, 0L, 50L, 100L, 200L, 500L, 1000L, 2000L)
+
+  /** Shared q128-CTE prefix: docs → split/label → train → frozen model →
+    * per-doc score_pt (the `p` table of q128's oracle). */
+  private val sqlScored: String =
+    s"""WITH l2 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+       |         THEN 'train'
+       |         WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+       |         THEN 'valid' ELSE 'test' END AS split,
+       |    (CAST(len($sqlWords) AS BIGINT) >= 20
+       |     AND ${TextAnalysis.sqlCountIn(TextAnalysis.stopEn)} * 20
+       |         >= CAST(len($sqlWords) AS BIGINT)
+       |     AND ${TextAnalysis.sqlCountIn(TextAnalysis.stopEn)} * 2
+       |         <= CAST(len($sqlWords) AS BIGINT)) AS label_good
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, split, label_good,
+       |    ${sqlHash60("w")} % $ClsBuckets AS b
+       |  FROM (SELECT doc_id, split, label_good,
+       |          unnest(string_split(text, ' ')) AS w
+       |        FROM l2)),
+       |tr AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cg,
+       |    CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS cb
+       |  FROM tok WHERE split = 'train' GROUP BY b),
+       |tot AS (
+       |  SELECT GREATEST(CAST(SUM(cg) AS BIGINT), 1) AS tg,
+       |         GREATEST(CAST(SUM(cb) AS BIGINT), 1) AS tb
+       |  FROM tr),
+       |s AS (
+       |  SELECT b, (cg * $ClsScale) // tg - (cb * $ClsScale) // tb AS score
+       |  FROM tr, tot),
+       |d AS (
+       |  SELECT t.doc_id, t.split, t.label_good,
+       |    CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS imp,
+       |    COUNT(*) AS n
+       |  FROM tok t LEFT JOIN s USING (b)
+       |  GROUP BY t.doc_id, t.split, t.label_good),
+       |p AS (
+       |  SELECT doc_id, split, label_good,
+       |    (imp + n * $ClsScale) // n - $ClsScale AS score_pt
+       |  FROM d)""".stripMargin
+
+  /** q157: the classifier's reliability report — per split and score
+    * bin, how many docs land there and how many are actually good. THE
+    * diagram a pipeline reads before trusting classifier-filtered data:
+    * q128's confusion matrix says whether the default threshold works;
+    * the calibration bins say whether the SCORE is meaningful across its
+    * whole range (monotone good-fraction ⇒ any threshold is a coherent
+    * knob). Scale shape: scoring is q128's narrow per-row fold (frozen
+    * model as array literal, no join); the rollup is ≤ splits × 21 rows
+    * behind map-side partial aggregation. */
+  val q157ClassifierCalibration = QueryDef(
+    "q157_classifier_calibration",
+    s"""$sqlScored
+       |SELECT split, (score_pt + $ClsScale) // $BinWidth AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_good,
+       |  CAST(MIN(score_pt) AS BIGINT) AS min_score_pt,
+       |  CAST(MAX(score_pt) AS BIGINT) AS max_score_pt
+       |FROM p GROUP BY split, bin ORDER BY split, bin""".stripMargin) {
+    (spark, dir) =>
+    val docs = labeledDocs(Tables(spark, dir, "documents"))
+    val model = trainModel(docs.filter(col("split") === "train"))
+    calBins(scoredDocs(docs, model))
+  }
+
+  /** q158: threshold operating points — for each candidate keep
+    * threshold, the exact confusion counts per split (tp/fp/fn/tn over
+    * `score_pt > thr`). The decision table that picks the production
+    * threshold from the held-out splits. Scale shape: one broadcast
+    * cross join against the 9-row threshold list (9× narrow compares
+    * per doc, no wide shuffle), collapsing map-side to
+    * splits × thresholds rows. */
+  val q158ThresholdSweep = QueryDef(
+    "q158_threshold_sweep",
+    s"""$sqlScored
+       |SELECT split, thr,
+       |  CAST(SUM(CASE WHEN score_pt > thr AND label_good
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN score_pt > thr AND NOT label_good
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN score_pt <= thr AND label_good
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN score_pt <= thr AND NOT label_good
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |FROM p CROSS JOIN (VALUES ${thresholds.map(t => s"($t)")
+            .mkString(", ")}) t(thr)
+       |GROUP BY split, thr ORDER BY split, thr""".stripMargin) {
+    (spark, dir) =>
+    val docs = labeledDocs(Tables(spark, dir, "documents"))
+    val model = trainModel(docs.filter(col("split") === "train"))
+    sweepOf(scoredDocs(docs, model))
+  }
+
+  /** q157 body over a scored table: per-(split, bin) reliability rollup.
+    * Shared with [[graft.streaming.ClassifierStream]]'s read side. */
+  private[graft] def calBins(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("bin", intDiv(col("score_pt") + ClsScale, lit(BinWidth)))
+      .groupBy(col("split"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("n_good"),
+        min(col("score_pt")).as("min_score_pt"),
+        max(col("score_pt")).as("max_score_pt"))
+      .orderBy(col("split"), col("bin"))
+
+  /** q158 body over a scored table: per-(split, threshold) confusion
+    * counts. Shared with [[graft.streaming.ClassifierStream]]. */
+  private[graft] def sweepOf(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.crossJoin(broadcast(thresholds.toDF("thr")))
+      .groupBy(col("split"), col("thr"))
+      .agg(
+        sum(when(col("score_pt") > col("thr") && col("label_good"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score_pt") > col("thr") && !col("label_good"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score_pt") <= col("thr") && col("label_good"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score_pt") <= col("thr") && !col("label_good"), 1L)
+          .otherwise(0L)).as("tn"))
+      .orderBy(col("split"), col("thr"))
+  }
+
+  /** Split + integer-exact label over raw document rows — the labeled
+    * view every classifier query (and the streaming twin) starts from. */
+  private[graft] def labeledDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), splitCol.as("split"),
+      labelGood.as("label_good"))
+
+  /** Frozen-model scoring over a labeled view: (doc_id, split,
+    * label_good, score_pt), one narrow per-row fold. Shared by q157/
+    * q158 and [[graft.streaming.ClassifierStream]] — scoring is
+    * per-document pure given the model, which is what makes the stream
+    * twin replay-safe. */
+  private[graft] def scoredDocs(docs: DataFrame,
+      model: Array[Long]): DataFrame =
+    docs.select(col("doc_id"), col("split"), col("label_good"),
+      scorePt(model).as("score_pt"))
 
   /** q53's split convention (hash60(doc_id) % 100 → 80/10/10). */
   private def splitCol: Column = {
@@ -169,5 +332,6 @@ object Classify {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q128QualityClassifier)
+  val all: Seq[QueryDef] = Seq(q128QualityClassifier,
+    q157ClassifierCalibration, q158ThresholdSweep)
 }
