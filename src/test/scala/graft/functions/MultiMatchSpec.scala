@@ -94,6 +94,19 @@ class MultiMatchSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("expression participates in whole-stage codegen") {
+    // repartition defeats ConvertToLocalRelation so a real stage is planned
+    val df = Seq.tabulate(10)(i => s"doc $i slow join").toDF("t")
+      .repartition(2)
+      .select(MultiMatch.counts(col("t"), Seq("slow join")).as("c"))
+    assert(df.collect().length == 10) // finalize the adaptive plan first
+    // "*(n)" marks a WholeStageCodegen stage — multi_match must sit
+    // inside one, not force interpreted projection (the scoring pass is
+    // the hot path of every blocklist query)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[multi_match.*"), plan)
+  }
+
   test("build guards: empty set, empty pattern, duplicate pattern") {
     intercept[IllegalArgumentException](AhoCorasick.build(Nil))
     intercept[IllegalArgumentException](AhoCorasick.build(Seq("a", "")))

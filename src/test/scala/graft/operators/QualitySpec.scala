@@ -94,6 +94,26 @@ class QualitySpec extends AnyFunSuite with SparkTestSession {
       "row-level pair enumeration must never appear")
   }
 
+  test("q155/q156 plan: ONE corpus pass each — no join anywhere, exactly " +
+    "one hash exchange (the tiny rollup), automaton inline in the scan " +
+    "stage") {
+    // the blocklist queries' whole point at 100 TB: the pattern set rides
+    // the plan as a reference object, so the corpus pays one narrow pass
+    // and one ≤patterns/sources-row shuffle — any Join or second hash
+    // exchange means the shape regressed to per-pattern scanning
+    Seq(Quality.q155Blocklist, Quality.q156BlocklistKeep).foreach { q =>
+      val df = q.fn(spark, sfDir)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Join"), s"${q.name}: join-free expected\n$plan")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx == 1,
+        s"${q.name}: one rollup exchange expected, got $hashEx\n$plan")
+      assert(plan.contains("multi_match"), s"${q.name}\n$plan")
+    }
+  }
+
   test("q116: confusion matrix covers every doc exactly once") {
     val rows = Quality.q116LangidConfusion.fn(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("docs")).sum
