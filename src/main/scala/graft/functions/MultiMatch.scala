@@ -33,6 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * shipped inside the serialized expression — at 100 TB this is the
   * broadcast-model shape: O(total pattern chars) state against a single
   * narrow pass over the corpus, no shuffle, no join.
+  *
+  * Matching operates on UTF-16 units (the JVM string model), which
+  * equals codepoint semantics for BMP text — all driver corpora and any
+  * practical blocklist. Patterns containing supplementary-plane
+  * characters still match correctly (pattern and text decompose into
+  * the same surrogate sequences); only the `replace`-count SPEC's
+  * `length(p)` divisor would disagree there, so keep oracle-graded
+  * blocklists in the BMP.
   */
 final class AhoCorasick private (
     val patterns: Array[String],

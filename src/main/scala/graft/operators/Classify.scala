@@ -52,48 +52,7 @@ object Classify {
     * DuckDB `//` floors; they differ exactly on negatives). */
   val q128QualityClassifier = QueryDef(
     "q128_quality_classifier",
-    s"""WITH l2 AS (
-       |  SELECT doc_id, text,
-       |    CASE WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
-       |         THEN 'train'
-       |         WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
-       |         THEN 'valid' ELSE 'test' END AS split,
-       |    (CAST(len($sqlWords) AS BIGINT) >= 20
-       |     AND ${TextAnalysis.sqlCountIn(TextAnalysis.stopEn)} * 20
-       |         >= CAST(len($sqlWords) AS BIGINT)
-       |     AND ${TextAnalysis.sqlCountIn(TextAnalysis.stopEn)} * 2
-       |         <= CAST(len($sqlWords) AS BIGINT)) AS label_good
-       |  FROM documents),
-       |tok AS (
-       |  SELECT doc_id, split, label_good,
-       |    ${sqlHash60("w")} % $ClsBuckets AS b
-       |  FROM (SELECT doc_id, split, label_good,
-       |          unnest(string_split(text, ' ')) AS w
-       |        FROM l2)),
-       |tr AS (
-       |  SELECT b,
-       |    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS cg,
-       |    CAST(SUM(CASE WHEN label_good THEN 0 ELSE 1 END) AS BIGINT)
-       |      AS cb
-       |  FROM tok WHERE split = 'train' GROUP BY b),
-       |tot AS (
-       |  SELECT GREATEST(CAST(SUM(cg) AS BIGINT), 1) AS tg,
-       |         GREATEST(CAST(SUM(cb) AS BIGINT), 1) AS tb
-       |  FROM tr),
-       |s AS (
-       |  SELECT b, (cg * $ClsScale) // tg - (cb * $ClsScale) // tb AS score
-       |  FROM tr, tot),
-       |d AS (
-       |  SELECT t.doc_id, t.split, t.label_good,
-       |    CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS imp,
-       |    COUNT(*) AS n
-       |  FROM tok t LEFT JOIN s USING (b)
-       |  GROUP BY t.doc_id, t.split, t.label_good),
-       |p AS (
-       |  SELECT split, label_good,
-       |    (imp + n * $ClsScale) // n - $ClsScale AS score_pt
-       |  FROM d)
+    s"""$sqlScored
        |SELECT split, label_good, score_pt > 0 AS pred_good,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(MIN(score_pt) AS BIGINT) AS min_score_pt,
@@ -131,9 +90,10 @@ object Classify {
   private[graft] val thresholds: Seq[Long] = Seq(-2000L, -1000L, -500L,
     -200L, -100L, -50L, 0L, 50L, 100L, 200L, 500L, 1000L, 2000L)
 
-  /** Shared q128-CTE prefix: docs → split/label → train → frozen model →
-    * per-doc score_pt (the `p` table of q128's oracle). */
-  private val sqlScored: String =
+  /** Shared oracle-CTE prefix for all three classifier queries: docs →
+    * split/label → train → frozen model → per-doc score_pt (the `p`
+    * table). Lazy: q128 is declared above this definition. */
+  private lazy val sqlScored: String =
     s"""WITH l2 AS (
        |  SELECT doc_id, text,
        |    CASE WHEN ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
