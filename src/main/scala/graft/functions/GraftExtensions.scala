@@ -124,8 +124,14 @@ object GraftExtensions {
             "multi_match: the pattern array must be a foldable literal"))
         val arr = patsExpr.eval().asInstanceOf[
           org.apache.spark.sql.catalyst.util.ArrayData]
-        val pats = (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
+        def bad(what: String) = new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" -> s"multi_match: $what"))
+        if (arr == null) throw bad("the pattern array must not be null")
+        val pats = (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i)) throw bad(s"null pattern at index $i")
+          arr.getUTF8String(i).toString
+        }
         MultiMatch(children.head, pats)
       }))
 

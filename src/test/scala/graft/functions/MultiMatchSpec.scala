@@ -92,6 +92,12 @@ class MultiMatchSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[Exception](spark.sql(
       "SELECT multi_match('a', array(CAST(rand() AS STRING)))").collect())
     assert(e.getMessage.toLowerCase.contains("foldable"))
+    val eNull = intercept[Exception](spark.sql(
+      "SELECT multi_match('a', array('x', CAST(NULL AS STRING)))").collect())
+    assert(eNull.getMessage.contains("null pattern"))
+    val eNullArr = intercept[Exception](spark.sql(
+      "SELECT multi_match('a', CAST(NULL AS ARRAY<STRING>))").collect())
+    assert(eNullArr.getMessage.contains("must not be null"))
   }
 
   test("expression participates in whole-stage codegen") {
