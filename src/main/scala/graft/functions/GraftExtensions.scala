@@ -122,11 +122,17 @@ object GraftExtensions {
           errorClass = "INTERNAL_ERROR",
           messageParameters = Map("message" ->
             "multi_match: the pattern array must be a foldable literal"))
-        val arr = patsExpr.eval().asInstanceOf[
-          org.apache.spark.sql.catalyst.util.ArrayData]
         def bad(what: String) = new org.apache.spark.sql.AnalysisException(
           errorClass = "INTERNAL_ERROR",
           messageParameters = Map("message" -> s"multi_match: $what"))
+        patsExpr.dataType match {
+          case org.apache.spark.sql.types
+            .ArrayType(org.apache.spark.sql.types.StringType, _) => ()
+          case other => throw bad(
+            "the pattern array must be ARRAY<STRING>, got " + other.sql)
+        }
+        val arr = patsExpr.eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
         if (arr == null) throw bad("the pattern array must not be null")
         val pats = (0 until arr.numElements()).map { i =>
           if (arr.isNullAt(i)) throw bad(s"null pattern at index $i")

@@ -116,20 +116,72 @@ private[graft] object ArtifactStore {
     try {
       val md = MessageDigest.getInstance("MD5")
       resources.foreach { r =>
-        val in = getClass.getResourceAsStream(r)
-        if (in == null) return None
-        try {
-          md.update(r.getBytes("UTF-8"))
-          val buf = new Array[Byte](BlockBytes)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) md.update(buf, 0, n)
-            n = in.read(buf)
-          }
-        } finally in.close()
+        val expanded = expandClassResource(r).getOrElse(return None)
+        expanded.foreach { res =>
+          val in = getClass.getResourceAsStream(res)
+          if (in == null) return None
+          try {
+            md.update(res.getBytes("UTF-8"))
+            val buf = new Array[Byte](BlockBytes)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) md.update(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally in.close()
+        }
       }
       Some(md.digest().map("%02x".format(_)).mkString)
     } catch { case _: Throwable => None }
+
+  /** Expand '/p/X.class' to the set of class files that actually carry X's
+    * semantics. For a Scala `object X` the listed file is only the static-
+    * forwarder mirror (MODULE$ call stubs that change ONLY when public
+    * signatures change); the implementation lives in '/p/X$.class' — so a
+    * body-only edit (a threshold, SQL text, a training-loop tweak) would
+    * never rotate a stamp built from the forwarder alone (round-13 advice).
+    * The companion-module class is therefore REQUIRED: None (→ caller
+    * disables its cache) when it is unresolvable. Inner/synthetic classes
+    * ('/p/X$*.class' — nested case classes, typecreators, specialized
+    * lambdas) are discovered by listing the enclosing classpath entry,
+    * best-effort across file: and jar: entries, sorted for determinism. */
+  private[operators] def expandClassResource(r: String): Option[Seq[String]] = {
+    if (!r.endsWith(".class")) return Some(Seq(r))
+    val companion = r.stripSuffix(".class") + "$.class"
+    if (getClass.getResource(companion) == null) return None
+    Some((Seq(r, companion) ++ listInnerClasses(r)).distinct)
+  }
+
+  /** Sibling '/p/X$*.class' resources of '/p/X.class', via directory or jar
+    * listing; Nil when the classpath entry kind can't be enumerated. */
+  private def listInnerClasses(r: String): Seq[String] =
+    try {
+      val url = getClass.getResource(r)
+      if (url == null) return Nil
+      val slash = r.lastIndexOf('/')
+      val pkgDir = r.substring(0, slash + 1) // '/p/'
+      val prefix = r.substring(slash + 1).stripSuffix(".class") + "$" // 'X$'
+      val names: Seq[String] = url.getProtocol match {
+        case "file" =>
+          val parent = new java.io.File(url.toURI).getParentFile
+          Option(parent.list()).map(_.toSeq).getOrElse(Nil)
+        case "jar" =>
+          val conn = url.openConnection()
+            .asInstanceOf[java.net.JarURLConnection]
+          val jar = conn.getJarFile
+          val entryPrefix = pkgDir.stripPrefix("/")
+          import scala.jdk.CollectionConverters._
+          jar.entries().asScala.toSeq.map(_.getName)
+            .filter(n => n.startsWith(entryPrefix) &&
+              n.indexOf('/', entryPrefix.length) < 0)
+            .map(_.substring(entryPrefix.length))
+        case _ => Nil
+      }
+      names
+        .filter(n => n.startsWith(prefix) && n.endsWith(".class"))
+        .sorted
+        .map(pkgDir + _)
+    } catch { case _: Throwable => Nil }
 
   private def readSmall(fs: FileSystem, p: Path): Option[String] =
     try {

@@ -166,9 +166,9 @@ object Classify {
     * threshold, the exact confusion counts per split (tp/fp/fn/tn over
     * `score_pt > thr`). The decision table that picks the production
     * threshold from the held-out splits. Scale shape: one broadcast
-    * cross join against the 9-row threshold list (9× narrow compares
-    * per doc, no wide shuffle), collapsing map-side to
-    * splits × thresholds rows. */
+    * cross join against the `thresholds` list (bounded at a handful of
+    * rows; narrow compares per doc, no wide shuffle), collapsing
+    * map-side to splits × thresholds rows. */
   val q158ThresholdSweep = QueryDef(
     "q158_threshold_sweep",
     s"""$sqlScored

@@ -50,11 +50,21 @@ private[streaming] object EpochState {
   /** The epoch-number base for this checkpoint lineage over the
     * epoch-partitioned table at `root` (marker files live in its parent
     * `stateDir`, out of compaction's way): reused from the lineage's
-    * marker when present, else max existing epoch + 1 — collision-free
-    * with every prior lineage AND with compacted generations, which
-    * number downward. */
+    * marker when present, else max(max existing epoch, `floor`) + 1 —
+    * collision-free with every prior lineage AND with compacted
+    * generations.
+    *
+    * `floor` exists because on-disk epoch directories are NOT a durable
+    * high-water mark: a consumer whose maintenance sweep deletes covered
+    * epoch dirs (LayoutStream's vacuum) could otherwise hand a fresh
+    * lineage base 0 while durable state (pointer files) still records
+    * covered epochs up to N — silently masking every new row until the
+    * counter passed N (round-13 advice). Callers with such durable state
+    * pass its high-water epoch as `floor`; the marker then persists the
+    * floored base, so same-lineage restarts stay stable even if the
+    * durable state advances later. */
   def lineageBase(fs: FileSystem, stateDir: String, root: String,
-      checkpoint: String): Long = {
+      checkpoint: String, floor: Long = -1L): Long = {
     val marker = new Path(stateDir,
       "_lineage_" + graft.operators.ArtifactStore.md5Hex(checkpoint).take(16))
     readSmall(fs, marker).map(_.toLong).getOrElse {
@@ -66,7 +76,7 @@ private[streaming] object EpochState {
           .filter(_.startsWith("epoch="))
           .map(_.stripPrefix("epoch=").toLong)
           .foldLeft(-1L)(math.max)
-      val base = maxEpoch + 1
+      val base = math.max(maxEpoch, floor) + 1
       fs.mkdirs(new Path(stateDir))
       writeSmall(fs, marker, base.toString)
       base

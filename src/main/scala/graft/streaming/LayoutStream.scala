@@ -151,8 +151,20 @@ object LayoutStream {
       publish: (Long, Long, Long) => Unit = (_, _, _) => ()): StreamingQuery = {
     val spark = docs.sparkSession
     val deltaRoot = s"$tableDir/delta"
+    val fs0 = EpochState.fs(spark, tableDir)
+    // Pointer files are the DURABLE epoch high-water mark: vacuum() may
+    // delete every covered delta epoch dir, so a fresh lineage seeded from
+    // directories alone could restart at epoch 0 while pointers still
+    // record covered epochs up to N — and read()'s `epoch <= max(covered)`
+    // exclusion would silently drop all new rows in compacted zps until
+    // the counter passed N. Floor the base above every covered epoch and
+    // committed generation instead (round-13 advice).
+    val ptrFloor = pointers(fs0, s"$tableDir/base").values
+      .foldLeft(-1L) { case (m, (g, es)) =>
+        math.max(m, math.max(g, es.foldLeft(-1L)(math.max)))
+      }
     val base = EpochState.lineageBase(
-      EpochState.fs(spark, tableDir), tableDir, deltaRoot, checkpoint)
+      fs0, tableDir, deltaRoot, checkpoint, floor = ptrFloor)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val epoch = base + epochId

@@ -98,6 +98,11 @@ class MultiMatchSpec extends AnyFunSuite with SparkTestSession {
     val eNullArr = intercept[Exception](spark.sql(
       "SELECT multi_match('a', CAST(NULL AS ARRAY<STRING>))").collect())
     assert(eNullArr.getMessage.contains("must not be null"))
+    // wrong element type: clean analysis error, not a ClassCastException
+    val eType = intercept[Exception](spark.sql(
+      "SELECT multi_match('a', array(1, 2))").collect())
+    assert(eType.getMessage.contains("ARRAY<STRING>"),
+      s"expected a descriptive type error, got: ${eType.getMessage}")
   }
 
   test("expression participates in whole-stage codegen") {

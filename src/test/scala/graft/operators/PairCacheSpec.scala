@@ -160,4 +160,29 @@ class PairCacheSpec extends AnyFunSuite with SparkTestSession
       "unresolvable class resource must fail closed, not stamp 0")
     f.delete()
   }
+
+  test("code stamp hashes the companion-module implementation class, not " +
+    "just the static-forwarder mirror") {
+    // For `object X` the listed X.class is forwarder stubs only — body
+    // edits land in X$.class, which the stamp MUST cover (round-13
+    // advice). The expansion includes both, plus discoverable inners.
+    val expanded =
+      ArtifactStore.expandClassResource("/graft/operators/Quality.class")
+    assert(expanded.isDefined)
+    assert(expanded.get.contains("/graft/operators/Quality.class"))
+    assert(expanded.get.contains("/graft/operators/Quality$.class"),
+      s"companion implementation class missing from $expanded")
+    // inner-class discovery: TextAnalysis compiles synthetic inners
+    val ta = ArtifactStore
+      .expandClassResource("/graft/operators/TextAnalysis.class")
+    assert(ta.get.count(_.startsWith("/graft/operators/TextAnalysis$")) >= 1)
+    // a class WITHOUT a companion module (plain Java class) fails closed:
+    // we cannot tell "not an object" from "implementation class missing"
+    assert(ArtifactStore.codeStamp(
+      Seq("/org/apache/hadoop/fs/Path.class")).isEmpty,
+      "resource without a $ companion must fail closed")
+    // non-.class resources pass through untouched
+    assert(ArtifactStore.expandClassResource("/some/data.txt")
+      .contains(Seq("/some/data.txt")))
+  }
 }

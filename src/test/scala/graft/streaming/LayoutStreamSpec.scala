@@ -152,4 +152,43 @@ class LayoutStreamSpec extends AnyFunSuite with SparkTestSession {
         s"after vacuum only live files remain: $afterAll vs $liveFiles")
     } finally sys.props.remove("graft.artifact.prune.grace.ms")
   }
+
+  test("restart with a fresh checkpoint AFTER vacuum of a fully-covered " +
+    "table must not mask new rows (epoch counter re-seeds from pointers)") {
+    val dir = java.nio.file.Files.createTempDirectory("zrecover")
+    val table = dir.resolve("table").toString
+    // identical (source, n_chars) → every doc routes to ONE zp, so 6
+    // epochs of 10 docs trigger compaction twice (slices 0-2 at epoch 2,
+    // 3-5 at epoch 5) and leave EVERY delta slice covered
+    def mk(ids: Range) = ids.map(i => LayoutDoc(i.toLong, "websrc", 1000L))
+    val reports = run(dir, "ckptA",
+      (0 until 6).map(k => mk(k * 10 until k * 10 + 10)))
+    assert(reports.map(_._2).sum == 60L)
+    assert(reports.map(_._3).sum >= 2, s"expected two compactions: $reports")
+
+    // vacuum with a negative grace: all covered slices (and their emptied
+    // epoch dirs) go — the on-disk epoch directories no longer witness
+    // the high-water epoch, only the pointer files do
+    val fs = EpochState.fs(spark, table)
+    sys.props("graft.artifact.prune.grace.ms") = "-60000"
+    try { LayoutStream.vacuum(spark, table); () }
+    finally sys.props.remove("graft.artifact.prune.grace.ms")
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$table/delta")
+    val epochDirs =
+      if (!fs.exists(deltaRoot)) 0
+      else fs.listStatus(deltaRoot)
+        .count(e => e.isDirectory && e.getPath.getName.startsWith("epoch="))
+    assert(epochDirs == 0,
+      s"scenario needs a fully-swept delta tier, found $epochDirs dirs")
+    assert(LayoutStream.read(spark, table).count() == 60L)
+
+    // the documented recovery pattern: restart under a NEW checkpoint.
+    // Without pointer-seeded lineage bases the fresh lineage restarts at
+    // epoch 0 and read()'s `epoch <= max(covered)` exclusion silently
+    // drops every new row in the compacted zp.
+    val rep2 = run(dir, "ckptB", Seq(mk(100 until 110)))
+    assert(rep2.map(_._2) == Seq(10L), s"new docs must land: $rep2")
+    assert(LayoutStream.read(spark, table).count() == 70L,
+      "rows ingested after the vacuum+restart must be readable")
+  }
 }

@@ -129,9 +129,13 @@ def main():
     fails, notes = [], []
 
     # ---- epoch validity: pre-registered discard criteria ------------------
-    drift = float(cur.get("sentinel_drift", -1.0))
-    outliers = cur.get("floor_outliers", [])
-    published = int(cur.get("artifacts_published", -1))
+    # min-merged floor files carry null for the per-run fields — treat
+    # null like absent instead of crashing on float(None)/int(None)
+    _drift = cur.get("sentinel_drift")
+    drift = float(_drift) if _drift is not None else -1.0
+    outliers = cur.get("floor_outliers") or []
+    _pub = cur.get("artifacts_published")
+    published = int(_pub) if _pub is not None else -1
     if published > 0:
         notes.append(f"  cold:    run published {published} artifact(s) in "
                      f"its Warm phase ({cur.get('warm_secs', '?')}s, "
