@@ -87,10 +87,17 @@ object Bench {
         if (t.nonEmpty) sentinelTimes += t.min
       }
     val queriesSeq = SparkEntry.queries.toSeq
-    val midpoint = queriesSeq.size / 2
+    // Sentinel cadence (round-13 verdict item 4): every ~40 queries, not
+    // just start/mid/end — the q01 sentinel UNDERSAW intra-run
+    // degradation (r11/r12: totals swung 1.24x while start/mid/end drift
+    // read 1.07-1.28), and diagnosing the r13 driver reading needed
+    // manual quartile forensics. Denser readings plus the per-segment
+    // floor ratios below make a positionally-degrading epoch
+    // self-invalidating in the JSON.
+    val sentinelEvery = 40
     timeSentinel()
     val results = queriesSeq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == midpoint) timeSentinel()
+      if (i > 0 && i % sentinelEvery == 0) timeSentinel()
       // min-of-N: each iteration re-executes the full plan (count() is
       // never cached); the min strips GC/JIT/compaction noise. A failed
       // query reports -1, not its elapsed time — a crashing query must
@@ -120,7 +127,7 @@ object Bench {
     // bench_gate bars; the outlier list makes "which queries to re-check"
     // explicit in the reading itself. Regex parse — the floor file is
     // this program's own single-line output, no JSON lib needed.
-    val floorOutliers: Seq[String] = try {
+    val floors: Map[String, Double] = try {
       // default: the COMMITTED floor in the repo cwd (read before the
       // write below replaces it), not outPath — an overridden outPath
       // must not silently disable the diagnostic
@@ -129,15 +136,36 @@ object Bench {
       val src = scala.io.Source.fromFile(floorPath)
       val text = try src.mkString finally src.close()
       val entry = "\"(q[0-9]+[a-z0-9_]*)\"\\s*:\\s*(-?[0-9.eE+]+)".r
-      val floors = entry.findAllMatchIn(text)
+      entry.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      results.collect {
-        case (name, v) if v > 0 && floors.getOrElse(name, -1.0) > 0 &&
-          v >= 1.5 * floors(name) &&
-          v - floors(name) >= math.min(0.3, math.max(0.1, floors(name))) =>
-          name
+    } catch { case _: Throwable => Map.empty }
+    val floorOutliers: Seq[String] = results.collect {
+      case (name, v) if v > 0 && floors.getOrElse(name, -1.0) > 0 &&
+        v >= 1.5 * floors(name) &&
+        v - floors(name) >= math.min(0.3, math.max(0.1, floors(name))) =>
+        name
+    }
+    // Per-SEGMENT floor-ratio medians — the positional-drift diagnostic:
+    // median(current / committed floor) over each run of `sentinelEvery`
+    // queries in suite order. A healthy epoch is FLAT (any uniform
+    // inflation is host speed, not position); the r11 bad-epoch signature
+    // (quartile medians 1.18x -> 1.76x, host degrading over the run)
+    // shows up as a rising tail, and bench_gate.py invalidates on
+    // max/min >= the drift bar. Medians, not means: one artifact-cold or
+    // GC-hit query must not fake a degraded segment.
+    val floorRatioSegments: Seq[Double] = results
+      .map { case (name, v) =>
+        val f = floors.getOrElse(name, -1.0)
+        if (v > 0 && f > 0) v / f else -1.0
       }
-    } catch { case _: Throwable => Seq.empty }
+      .grouped(sentinelEvery)
+      .map { seg =>
+        val valid = seg.filter(_ > 0).sorted
+        if (valid.isEmpty) -1.0
+        else if (valid.size % 2 == 1) valid(valid.size / 2)
+        else (valid(valid.size / 2 - 1) + valid(valid.size / 2)) / 2.0
+      }
+      .toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Total sums SUCCESSFUL queries only: a -1 failure sentinel must not
@@ -155,8 +183,11 @@ object Bench {
       .mkString("[", ",", "]")
     val warmSecsStr =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(warmSecs))
+    val segsJson = floorRatioSegments.map(r =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)))
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"floor_outliers":$outliersJson,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"failed":$failedJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"sentinel_drift":$driftStr,"floor_outliers":$outliersJson,"floor_ratio_segments":$segsJson,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
@@ -182,7 +213,7 @@ object Bench {
     val outliersShort = floorOutliers.take(5)
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"floor_ratio_segments":$segsJson,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

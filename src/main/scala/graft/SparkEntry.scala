@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Stats.all ++ operators.Corpus.all ++ operators.Quality.all ++
       operators.Recipe.all ++ operators.Lifecycle.all ++
       operators.Classify.all ++ operators.Graph.all ++
-      operators.Layout.all ++ operators.Bloom.all
+      operators.Layout.all ++ operators.Bloom.all ++
+      operators.WebCorpus.all ++ operators.CorpusBuild.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

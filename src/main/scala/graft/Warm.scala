@@ -19,6 +19,8 @@ import org.apache.spark.sql.SparkSession
   *  - [[operators.PairCache]] — the verified near-dup pair table;
   *  - [[operators.CcCache]] — duplicate-cluster component labels;
   *  - [[operators.BpeCache]] — the trained BPE tokenizer;
+  *  - [[operators.UnigramCache]] — the trained unigram-LM tokenizer;
+  *  - [[operators.WpCache]] — the trained WordPiece tokenizer;
   *  - [[operators.LmCache]] — the q153 reference bigram LM;
   *  - [[operators.ModelCache]] — trained quantizer centroid models,
   *    published as a side effect of running each model-training query's
@@ -57,6 +59,7 @@ object Warm {
     guard(operators.BpeCache.trained(spark, dir))
     guard(operators.UnigramCache.pieces(spark, dir))
     guard(operators.LmCache.counts(spark, dir))
+    guard(operators.WpCache.trained(spark, dir))
     // Model tier: execute each training query's plan once — ModelCache
     // publishes on the memo/disk miss inside the plan build; count()
     // forces plans whose training is lazy in the action.

@@ -109,6 +109,24 @@ object GraftExtensions {
         checkArity("pairs_gen", 1, children)
         PairGen(children.head)
       }),
+    (FunctionIdentifier("url_canon"),
+      info("url_canon",
+        "url_canon(s) - canonical URL: fragment/userinfo dropped, " +
+          "scheme+host lowercased, www. stripped, default port dropped, " +
+          "trailing path slashes stripped, utm_* params removed; " +
+          "unparseable input returned unchanged"),
+      (children: Seq[Expression]) => {
+        checkArity("url_canon", 1, children)
+        UrlCanon(children.head, hostOnly = false)
+      }),
+    (FunctionIdentifier("url_host"),
+      info("url_host",
+        "url_host(s) - canonical host of a URL (lowercase, www. " +
+          "stripped); '' for unparseable input"),
+      (children: Seq[Expression]) => {
+        checkArity("url_host", 1, children)
+        UrlCanon(children.head, hostOnly = true)
+      }),
     (FunctionIdentifier("multi_match"),
       info("multi_match",
         "multi_match(text, array('p1', ...)) - per-pattern leftmost " +

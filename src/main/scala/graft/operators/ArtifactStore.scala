@@ -250,6 +250,76 @@ private[graft] object ArtifactStore {
     }
   }
 
+  /** Full garbage sweep of one artifact store root — what the publish-time
+    * prunes can't reach, unified behind the one grace rule
+    * ([[pruneGraceMs]]) for `graft.Vacuum`:
+    *
+    *  1. UNCOMMITTED fingerprint dirs (no `_COMMITTED` pointer — a crashed
+    *     or still-racing publish; grace protects the racer);
+    *  2. LOSER ATTEMPTS inside committed dirs (`attempt-*` not named by
+    *     the pointer — the benign-race leftovers the commit protocol
+    *     deliberately abandons);
+    *  3. legacy SELF-TAGGED dirs ([[pruneLegacySelfTagged]] semantics);
+    *  4. SUPERSEDED same-input dirs: several committed fingerprints
+    *     carrying one `_graft_input` tag can only be code-stamp rotations
+    *     of the same artifact — keep the newest-modified, sweep the rest
+    *     (the publish-time [[pruneSuperseded]] applied store-wide, and
+    *     strictly more conservative: it never deletes the newest).
+    *
+    * Never touches a committed payload a reader could still resolve:
+    * deletion targets are pointerless, pointer-abandoned, or pointer-
+    * superseded, and all of it grace-guarded. Returns (dirs deleted,
+    * bytes reclaimed). */
+  def vacuumStore(fs: FileSystem, root: Path): (Long, Long) = {
+    val cutoff = System.currentTimeMillis() - pruneGraceMs
+    var dirs = 0L
+    var bytes = 0L
+    def del(p: Path): Unit = {
+      val b = try fs.getContentSummary(p).getLength
+        catch { case _: Throwable => 0L }
+      try if (fs.delete(p, true)) { dirs += 1; bytes += b }
+      catch { case _: Throwable => () }
+    }
+    val entries =
+      try fs.listStatus(root).filter(_.isDirectory)
+      catch { case _: Throwable => return (0L, 0L) }
+    entries.foreach { e =>
+      if (e.getModificationTime < cutoff) resolve(fs, e.getPath) match {
+        case None => del(e.getPath) // rule 1
+        case Some(att) => // rule 2
+          try fs.listStatus(e.getPath).foreach { a =>
+            if (a.isDirectory && a.getPath.getName.startsWith("attempt-") &&
+              a.getPath.getName != att.getName &&
+              a.getModificationTime < cutoff) del(a.getPath)
+          } catch { case _: Throwable => () }
+      }
+    }
+    val live =
+      try fs.listStatus(root).filter(_.isDirectory)
+      catch { case _: Throwable => return (dirs, bytes) }
+    val tagged = live.flatMap { e =>
+      readSmall(fs, new Path(e.getPath, "_graft_input"))
+        .map(t => (e, t.trim))
+    }
+    tagged.foreach { case (e, t) => // rule 3
+      if (t == e.getPath.getName && e.getModificationTime < cutoff)
+        del(e.getPath)
+    }
+    tagged.groupBy(_._2).foreach { case (_, group) => // rule 4
+      val committed = group.filter { case (e, t) =>
+        t != e.getPath.getName && resolve(fs, e.getPath).isDefined
+      }
+      if (committed.size > 1) {
+        val keep = committed.maxBy(_._1.getModificationTime)._1.getPath
+        committed.foreach { case (e, _) =>
+          if (e.getPath != keep && e.getModificationTime < cutoff)
+            del(e.getPath)
+        }
+      }
+    }
+    (dirs, bytes)
+  }
+
   /** One-shot migration sweep: delete artifact dirs whose `_graft_input`
     * equals their OWN directory name — the pre-round-13 [[ModelCache]]
     * self-tagging bug, under which [[pruneSuperseded]] was provably a

@@ -30,10 +30,10 @@ object Classify {
 
   /** Hashed-unigram feature width. Bounded model state: the score table
     * is ≤ [[ClsBuckets]] rows regardless of corpus size. */
-  private val ClsBuckets = 256
+  private[operators] val ClsBuckets = 256
 
   /** Integer probability scale (parts-per-million). */
-  private val ClsScale = 1000000L
+  private[operators] val ClsScale = 1000000L
 
   /** q128: train a hashed-bag-of-words quality classifier on the q53
     * 'train' split (labels = the integer-exact form of q15's 'good' rule),

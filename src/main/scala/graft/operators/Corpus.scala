@@ -1160,7 +1160,7 @@ object Corpus {
     * fixture's average duplicated-occurrence fraction is 0.64 (phrase-level
     * noise), at 8 it is 0.09 concentrated in 47/500 docs (real copies) and
     * widening further to 10 moves nothing (0.092 → 0.092). */
-  private val SpanN = 8
+  private[operators] val SpanN = 8
 
   /** Substring-level duplication metrics (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" signal): per document, how

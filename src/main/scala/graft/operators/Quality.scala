@@ -542,7 +542,14 @@ object Quality {
        |LEFT JOIN tp USING (doc_id)
        |LEFT JOIN dp USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = Tables(spark, dir, "documents")
+    gopherProfile(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+  }
+
+  /** q151's per-document repetition profile (doc_id, n_chars, the
+    * top/dup fracs, gopher_keep), unordered — shared with the q161
+    * corpus-build manifest, whose gopher stage is exactly this keep
+    * column. */
+  private[operators] def gopherProfile(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
       .filter(col("n_chars") >= 1)
@@ -645,14 +652,13 @@ object Quality {
       .join(dp, Seq("doc_id"), "left")
       .select(col("doc_id") +: col("n_chars") +: fracCols :+
         keep.as("gopher_keep"): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** Integer probability scale for the q153 LM scores: per-transition
     * probabilities in parts-per-billion, per-doc scores in parts-per-
     * million. Integer division (both engines floor positive operands
     * identically) keeps every compared value exact. */
-  private val Ppb = 1000000000L
+  private[operators] val Ppb = 1000000000L
 
   /** q153: CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
     * reference-model quality filter: train a bigram LM on the documents

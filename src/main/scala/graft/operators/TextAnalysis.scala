@@ -956,10 +956,163 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------------
+  // q162/q163: WordPiece tokenizer (Schuster & Nakajima 2012; BERT's
+  // trainer) — completes the tokenizer triple next to BPE (q95 family)
+  // and unigram-LM (q144 family). Identical loop skeleton to BPE with
+  // ONE semantic change: the merge argmax maximizes the LIKELIHOOD GAIN
+  // score count(ab) / (count(a)·count(b)) — "merge what co-occurs more
+  // than its parts predict" — instead of raw pair frequency. Symbol
+  // counts are corpus-weighted occurrence totals under the CURRENT
+  // segmentation, so the score re-normalizes every round.
+  // ------------------------------------------------------------------
+
+  private val WpMerges = 4
+
+  /** Round-r WordPiece merge tuple: (round, a, b, pair count, count(a),
+    * count(b)). The score is derived, never stored: cnt/(ca·cb) with the
+    * denominator an exact int64 product, so both engines round the ONE
+    * division identically. */
+  private type WpMerge = (Int, String, String, Long, Long, Long)
+
+  /** Corpus-weighted WordPiece argmax: the adjacent pair maximizing
+    * cnt(ab)/(cnt(a)·cnt(b)), ties lexicographic. Symbol counts join in
+    * as two broadcast-sized lookups (≤ |symbols| rows — model state). */
+  private[operators] def wpTopPair(vocab: DataFrame): Option[WpMerge] = {
+    val rows = bpePairRows(vocab)
+    val sc = rows.groupBy(col("s")).agg(sum(col("freq")).as("c"))
+    rows.filter(col("nxt").isNotNull)
+      .groupBy(col("s"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+      .join(sc.select(col("s"), col("c").as("ca")), "s")
+      .join(sc.select(col("s").as("nxt"), col("c").as("cb")), "nxt")
+      .orderBy((col("cnt").cast(DoubleType) /
+          (col("ca") * col("cb")).cast(DoubleType)).desc,
+        col("s"), col("nxt"))
+      .limit(1).collect().headOption
+      .map(t => (0, t.getAs[String]("s"), t.getAs[String]("nxt"),
+        t.getAs[Long]("cnt"), t.getAs[Long]("ca"), t.getAs[Long]("cb")))
+  }
+
+  /** The [[WpMerges]]-round WordPiece training loop: argmax by
+    * likelihood score, re-segment with the SAME greedy merge as BPE
+    * ([[bpeMerge]] — InvariantSpec's pinned semantics carry over
+    * verbatim). Returns (final segmented vocabulary, merge list). */
+  private[operators] def wpTrain(docs: DataFrame)
+      : (DataFrame, Seq[WpMerge]) = {
+    import org.apache.spark.storage.StorageLevel
+    var vocab = bpeVocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[WpMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= WpMerges && !exhausted) {
+      wpTopPair(vocab) match {
+        case None => exhausted = true
+        case Some((_, a, b, cnt, ca, cb)) =>
+          merges += ((r, a, b, cnt, ca, cb))
+          val next =
+            bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          vocab.unpersist(false)
+          vocab = next
+          r += 1
+      }
+    }
+    (vocab, merges.result())
+  }
+
+  /** One WordPiece round as a DuckDB CTE chain `wx$r` → … → `wv${r+1}` —
+    * [[sqlBpeRound]] with the argmax swapped for the likelihood score
+    * (and per-round symbol counts `wsc$r` feeding it). */
+  private def sqlWpRound(r: Int): String =
+    s"""wx$r AS (SELECT w, freq,
+       |    CAST(generate_subscripts(syms, 1) AS BIGINT) AS pos,
+       |    unnest(syms) AS s FROM wv$r),
+       |wp$r AS (SELECT w, freq, pos, s,
+       |    lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM wx$r),
+       |wsc$r AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS c FROM wx$r
+       |  GROUP BY s),
+       |wc$r AS (SELECT s AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM wp$r WHERE nxt IS NOT NULL GROUP BY s, nxt),
+       |wbp$r AS (SELECT a, b, cnt, ca, cb FROM (
+       |    SELECT c.a, c.b, c.cnt, sa.c AS ca, sb.c AS cb
+       |    FROM wc$r c
+       |    JOIN wsc$r sa ON sa.s = c.a
+       |    JOIN wsc$r sb ON sb.s = c.b)
+       |  ORDER BY CAST(cnt AS DOUBLE) / CAST(ca * cb AS DOUBLE) DESC, a, b
+       |  LIMIT 1),
+       |wm$r AS (SELECT p.w, p.freq, p.pos, p.s, p.nxt, bp.a, bp.b,
+       |    SUM(CASE WHEN p.s = bp.a THEN 0 ELSE 1 END) OVER
+       |      (PARTITION BY p.w ORDER BY p.pos
+       |       ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM wp$r p LEFT JOIN wbp$r bp ON TRUE),
+       |wn$r AS (SELECT *, MIN(CASE WHEN s = a THEN pos END) OVER
+       |      (PARTITION BY w, grp) AS run0 FROM wm$r),
+       |wg$r AS (SELECT *, (s = a AND nxt IS NOT NULL AND nxt = b
+       |      AND (a <> b OR (pos - run0) % 2 = 0)) AS mstart FROM wn$r),
+       |wh$r AS (SELECT *, COALESCE(lag(mstart) OVER
+       |      (PARTITION BY w ORDER BY pos), FALSE) AS skip FROM wg$r),
+       |wo$r AS (SELECT w, freq, pos,
+       |    CASE WHEN mstart THEN s || nxt ELSE s END AS out
+       |  FROM wh$r WHERE NOT skip),
+       |wv${r + 1} AS (SELECT w, freq, list(out ORDER BY pos) AS syms
+       |  FROM wo$r GROUP BY w, freq)""".stripMargin
+
+  /** The q162/q163 oracle: the full WordPiece chain emitting the merge
+    * table with the score derived in the projection — shared verbatim by
+    * the cached and bypass paths (the q95/q135 discipline). */
+  private def sqlWpMergesOracle: String =
+    s"""WITH wv0 AS (SELECT w, freq,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+       |      AS syms
+       |  FROM (SELECT w, COUNT(*) AS freq FROM
+       |      (SELECT unnest($sqlWords) AS w FROM documents)
+       |    WHERE len(w) >= 1 GROUP BY w)),
+       |${(0 until WpMerges).map(sqlWpRound).mkString(",\n")}
+       |SELECT * FROM (
+       |${(0 until WpMerges)
+        .map(r => s"SELECT CAST(${r + 1} AS INTEGER) AS rnd, a AS sym_a, " +
+          s"b AS sym_b, a || b AS merged, cnt, ca, cb, " +
+          "CAST(cnt AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS score " +
+          s"FROM wbp$r")
+        .mkString("\nUNION ALL\n")})
+       |ORDER BY rnd""".stripMargin
+
+  private def wpMergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[WpMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rnd", "sym_a", "sym_b", "cnt", "ca", "cb")
+      .select(col("rnd"), col("sym_a"), col("sym_b"),
+        concat(col("sym_a"), col("sym_b")).as("merged"),
+        col("cnt"), col("ca"), col("cb"),
+        (col("cnt").cast(DoubleType) /
+          (col("ca") * col("cb")).cast(DoubleType)).as("score"))
+      .orderBy(col("rnd"))
+  }
+
+  /** The trained WordPiece merge table, served from the [[WpCache]]
+    * artifact (training + publishing on first use). */
+  val q162WordpieceMerges = QueryDef(
+    "q162_wordpiece_merges", sqlWpMergesOracle) { (spark, dir) =>
+    val (vocab, merges) = WpCache.trained(spark, dir)
+    vocab.unpersist(false)
+    wpMergesDf(spark, merges)
+  }
+
+  /** q162's training computed FRESH every run — [[WpCache]] bypassed by
+    * construction, same oracle, so the likelihood-argmax loop stays
+    * visible to the bench regression gate (the q135/q145 pattern). */
+  val q163WordpieceTrainPipeline = QueryDef(
+    "q163_wordpiece_train_pipeline", sqlWpMergesOracle) { (spark, dir) =>
+    val (vocab, merges) = wpTrain(Tables(spark, dir, "documents"))
+    vocab.unpersist(false)
+    wpMergesDf(spark, merges)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
       q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
       q91TopQualityPerSource, q95BpeMerges, q103BpeEncode,
       q108BpeFertility, q135BpeTrainPipeline, q144UnigramPieces,
-      q145UnigramTrainPipeline, q146UnigramFertility)
+      q145UnigramTrainPipeline, q146UnigramFertility,
+      q162WordpieceMerges, q163WordpieceTrainPipeline)
 }

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlCanon
+
+/** Web-corpus stage 0: URL canonicalization, host-level rollups, and
+  * per-host document caps — the first pass of every production crawl
+  * pipeline (CCNet §3.1's URL-based dedup/filtering, RefinedWeb's URL
+  * filtering and per-host treatment, Gopher/FineWeb host blocklists all
+  * start from a canonical URL and a host key).
+  *
+  * Reference scope: the reference (a covid-stream ETL) has no web-corpus
+  * stage at all — this module is part of the LLM-pipeline tier the
+  * builder prompt makes first-class.
+  *
+  * The fixtures carry no URL column, so both engines derive a
+  * deterministic synthetic `raw_url` from doc_id — adversarial by
+  * construction (mixed-case schemes and hosts, userinfo, default and
+  * non-default ports, tracking parameters, fragments, %-escaped and
+  * trailing-slash path variants) and string-exact to replay in DuckDB.
+  * The Spark side then canonicalizes with the native [[UrlCanon]]
+  * expression (ONE string pass per row inside whole-stage codegen); the
+  * oracle replays the same canonicalization as a regex chain. Hash
+  * equality of the two implementations over every generated shape is
+  * exactly what the gate checks.
+  *
+  * Shape at 100 TB: canonicalization is a narrow projection (no shuffle,
+  * no join, no regex on the Spark side); the host rollup is one hash
+  * aggregation keyed by host (bounded by the web's host count, ~10^8 —
+  * comfortably shuffle-able); the per-host cap is one repartition-by-host
+  * + bounded per-host ordering. Nothing here scans `text`.
+  */
+object WebCorpus {
+
+  /** Documents per host kept by the q160 cap (tiny so the cap BITES at
+    * sf0.01's ~8 docs/host — production uses thousands). */
+  val HostCapK = 5
+
+  // ---------------------------------------------------------------------
+  // deterministic raw-URL generator (Spark + DuckDB twins)
+  // ---------------------------------------------------------------------
+
+  /** Synthetic raw URL from doc_id, split into CONTENT (c = doc_id div
+    * 16 — decides the canonical URL: scheme, host, real port, path,
+    * query id) and DECORATION (b = doc_id % 16 — canon-invariant
+    * cosmetics: host/scheme case, `www.`, userinfo, scheme-DEFAULT port,
+    * trailing slash, utm params, fragment). The four low bits of b alone
+    * are four independent decorations, so each content key yields 16
+    * DISTINCT raw URLs that all canonicalize to ONE URL — the collapse a
+    * crawl actually exhibits, present at every SF. Interactions are
+    * adversarial by construction: a non-default `:8080` must survive
+    * while `:443`-on-https drops; an uppercased host keeps its `WWW.`
+    * foldable; an empty path still carries a query; `%20` escapes pass
+    * through byte-for-byte. */
+  private def rawUrl: Column = {
+    val b = col("doc_id") % 16
+    val c = expr("doc_id div 16")
+    val bit0 = b % 2 // host case
+    val bit1 = expr("((doc_id % 16) div 2) % 2") // www. prefix
+    val bit2 = expr("((doc_id % 16) div 4) % 2") // scheme case
+    val bit3 = expr("((doc_id % 16) div 8) % 2") // userinfo
+    val schemeBase = when(c % 2 === 0, lit("https")).otherwise(lit("http"))
+    val scheme = when(bit2 === 1, upper(schemeBase)).otherwise(schemeBase)
+    val userinfo = when(bit3 === 1, lit("user:pw@")).otherwise(lit(""))
+    val host0 = concat(lit("h"), (c % 60).cast("string"), lit(".example.com"))
+    val hostW = when(bit1 === 1, concat(lit("www."), host0)).otherwise(host0)
+    val host = when(bit0 === 1, upper(hostW)).otherwise(hostW)
+    val port = when(c % 7 === 0, lit(":8080"))
+      .when(b % 3 === 0,
+        when(c % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val pa = (c % 6).cast("string")
+    val path0 = when(c % 17 === 0, lit(""))
+      .when(c % 13 === 0, concat(lit("/p%20q/a"), pa))
+      .otherwise(concat(lit("/a"), pa))
+    val path = when(b % 5 === 0, concat(path0, lit("/"))).otherwise(path0)
+    val idv = (c % 10).cast("string")
+    val query = when(c % 4 === 3,
+        when(b % 7 === 0, lit("?utm_medium=a")).otherwise(lit("")))
+      .otherwise(
+        when(b % 7 === 0, concat(lit("?utm_source=feed&id="), idv))
+          .when(b % 7 === 1, concat(lit("?id="), idv, lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?id="), idv)))
+    val frag = when(b % 11 === 0, lit("#frag")).otherwise(lit(""))
+    concat(scheme, lit("://"), userinfo, host, port, path, query, frag)
+  }
+
+  /** DuckDB twin of [[rawUrl]] (CTE `u`): the exact same strings. NOTE —
+    * fragments embedded into other `.stripMargin` strings must never
+    * start a line with blanks + `|`, so every `||` sits at line END. */
+  private val sqlRawUrl: String =
+    """u AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (CASE WHEN ((b // 4) % 2) = 1 THEN upper(sch) ELSE sch END) ||
+      |    '://' ||
+      |    (CASE WHEN ((b // 8) % 2) = 1 THEN 'user:pw@' ELSE '' END) ||
+      |    (CASE WHEN (b % 2) = 1 THEN upper(hw) ELSE hw END) ||
+      |    (CASE WHEN c % 7 = 0 THEN ':8080'
+      |          WHEN b % 3 = 0 THEN
+      |            (CASE WHEN c % 2 = 0 THEN ':443' ELSE ':80' END)
+      |          ELSE '' END) ||
+      |    (CASE WHEN b % 5 = 0 THEN p0 || '/' ELSE p0 END) ||
+      |    (CASE WHEN c % 4 = 3 THEN
+      |            (CASE WHEN b % 7 = 0 THEN '?utm_medium=a' ELSE '' END)
+      |          WHEN b % 7 = 0 THEN
+      |            '?utm_source=feed&id=' || CAST(c % 10 AS VARCHAR)
+      |          WHEN b % 7 = 1 THEN
+      |            '?id=' || CAST(c % 10 AS VARCHAR) || '&utm_campaign=x'
+      |          ELSE '?id=' || CAST(c % 10 AS VARCHAR) END) ||
+      |    (CASE WHEN b % 11 = 0 THEN '#frag' ELSE '' END)
+      |    AS raw_url
+      |  FROM (
+      |    SELECT *,
+      |      CASE WHEN ((b // 2) % 2) = 1 THEN 'www.' || h0 ELSE h0 END AS hw,
+      |      CASE WHEN c % 17 = 0 THEN ''
+      |           WHEN c % 13 = 0 THEN '/p%20q/a' || CAST(c % 6 AS VARCHAR)
+      |           ELSE '/a' || CAST(c % 6 AS VARCHAR) END AS p0
+      |    FROM (
+      |      SELECT doc_id, source, n_chars,
+      |        doc_id % 16 AS b, doc_id // 16 AS c,
+      |        CASE WHEN (doc_id // 16) % 2 = 0 THEN 'https' ELSE 'http' END
+      |          AS sch,
+      |        'h' || CAST((doc_id // 16) % 60 AS VARCHAR) || '.example.com'
+      |          AS h0
+      |      FROM documents)))""".stripMargin
+
+  /** DuckDB regex-chain replay of [[UrlCanon]] over CTE `u` — ends in CTE
+    * `c` with (doc_id, source, n_chars, raw_url, host, url). Mirrors the
+    * one-pass parser SEMANTICALLY (the gate proves value equality); the
+    * regex formulation is the spec, the Scala parser is the plan. */
+  private val sqlCanon: String =
+    s"""$sqlRawUrl,
+       |pp AS (
+       |  SELECT *,
+       |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(
+       |      split_part(regexp_replace(raw_url, '^[A-Za-z]+://', ''), '#', 1),
+       |      '^[^/?#@]*@', '') AS rest
+       |  FROM u),
+       |p2 AS (
+       |  SELECT *,
+       |    regexp_replace(lower(regexp_extract(rest, '^([^/:?#]+)', 1)),
+       |      '^www\\.', '') AS host,
+       |    regexp_extract(rest, '^[^/:?#]+:([0-9]+)', 1) AS port,
+       |    regexp_replace(rest, '^[^/?#]*', '') AS pathq
+       |  FROM pp),
+       |p3 AS (
+       |  SELECT *,
+       |    regexp_replace(split_part(pathq, '?', 1), '/+$$', '') AS cpath0,
+       |    regexp_replace(
+       |      regexp_replace(regexp_extract(pathq, '\\?(.*)$$', 1),
+       |        '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
+       |      '^utm_[A-Za-z0-9_]*=[^&]*&?', '') AS cq
+       |  FROM p2),
+       |c AS (
+       |  SELECT doc_id, source, n_chars, raw_url, host,
+       |    scheme || '://' || host ||
+       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |          OR (scheme = 'https' AND port = '443')
+       |        THEN '' ELSE ':' || port END) ||
+       |    (CASE WHEN cpath0 = '' THEN '/' ELSE cpath0 END) ||
+       |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url
+       |  FROM p3)""".stripMargin
+
+  /** (doc_id, source, n_chars, raw_url, url, host) — the canonicalized
+    * view both queries (and the streaming twin) start from. Narrow: two
+    * native-expression evaluations per row, no shuffle. */
+  private[graft] def canonicalized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        rawUrl.as("raw_url"))
+      .withColumn("url", UrlCanon.canon(col("raw_url")))
+      .withColumn("host", UrlCanon.host(col("raw_url")))
+
+  /** q159: URL canonicalization + per-host rollup — the stage-0 crawl
+    * profile. Per canonical host: document count, DISTINCT canonical
+    * URLs, DISTINCT raw URLs (n_raw_urls > n_urls is the collapse the
+    * canonicalizer buys), and total characters.
+    *
+    * Shape at scale: narrow canonicalization, then ONE hash aggregation
+    * keyed by host (two distinct-counts expand the aggregate but stay on
+    * the same key — no extra wide exchange of the corpus). */
+  val q159UrlCanon = QueryDef(
+    "q159_url_canon",
+    s"""WITH $sqlCanon
+       |SELECT host,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_urls,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM c GROUP BY host ORDER BY host""".stripMargin) { (spark, dir) =>
+    canonicalized(Tables(spark, dir, "documents"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("raw_url")).as("n_raw_urls"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("host"))
+  }
+
+  /** q160: per-host document-cap enforcement with kept/dropped attrition
+    * — the q156-style funnel for host skew (CCNet/RefinedWeb cap what any
+    * one host may contribute so megasites don't dominate the mixture).
+    * Keep the top [[HostCapK]] docs per host by the deterministic key
+    * (n_chars DESC, doc_id ASC); report per host the doc and character
+    * attrition.
+    *
+    * Shape at scale: ONE repartition by host + per-host ordering (the
+    * window carries only (host, n_chars, doc_id) — never text), then a
+    * map-side-combinable rollup on the same key, so the second aggregate
+    * needs no additional exchange. The keep side alone would be the
+    * native TopKPerKey plan; the ATTRITION requires ranking every row
+    * once, which is exactly what this formulation pays and no more. */
+  val q160HostCap = QueryDef(
+    "q160_host_cap",
+    s"""WITH $sqlCanon,
+       |r AS (
+       |  SELECT host, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY host
+       |      ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM c)
+       |SELECT host,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rk <= $HostCapK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN rk > $HostCapK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(CASE WHEN rk <= $HostCapK THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_kept,
+       |  CAST(SUM(CASE WHEN rk > $HostCapK THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_dropped
+       |FROM r GROUP BY host ORDER BY host""".stripMargin) { (spark, dir) =>
+    val ranked = canonicalized(Tables(spark, dir, "documents"))
+      .select(col("host"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+    val k = lit(HostCapK)
+    ranked.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > k, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= k, col("n_chars")).otherwise(0L))
+          .as("chars_kept"),
+        sum(when(col("rk") > k, col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .orderBy(col("host"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q159UrlCanon, q160HostCap)
+}

@@ -71,7 +71,7 @@ import sys
 CACHE_FAMILIES = {
     "model": {"q24", "q40", "q48", "q64", "q68", "q73", "q81", "q93",
               "q101", "q117"},
-    "bpe": {"q95", "q103", "q108", "q122", "q123", "q144"},
+    "bpe": {"q95", "q103", "q108", "q122", "q123", "q144", "q162"},
     "pair": {"q19", "q59", "q83", "q94", "q96", "q98", "q99", "q100",
              "q102", "q136"},
     "cc": {"q59", "q78", "q94", "q96", "q98", "q140"},
@@ -144,6 +144,20 @@ def main():
         print(f"== INVALID EPOCH: sentinel_drift {drift:.3f} >= "
               f"{args.drift_max} (host degraded over the run) — re-run, "
               "do not grade ==")
+        sys.exit(2)
+    # positional drift (round-14): per-segment floor-ratio medians from
+    # the reading itself. The q01 sentinel undersees a host degrading
+    # over the run (r11: quartile medians 1.18x -> 1.76x while drift read
+    # within bounds); the segment medians see it directly. A uniformly
+    # slow host is FLAT across segments and stays valid — only a rising/
+    # falling profile (max/min >= the drift bar) invalidates.
+    segs = [float(x) for x in (cur.get("floor_ratio_segments") or [])
+            if x is not None and float(x) > 0]
+    if len(segs) >= 2 and max(segs) / min(segs) >= args.drift_max:
+        print(f"== INVALID EPOCH (POSITIONAL DRIFT): per-segment "
+              f"floor-ratio medians {['%.2f' % s for s in segs]} spread "
+              f"{max(segs) / min(segs):.2f}x >= {args.drift_max} — the "
+              "host changed speed DURING the run; re-run, do not grade ==")
         sys.exit(2)
     fam, hits = classify_outliers(outliers)
     if fam:
