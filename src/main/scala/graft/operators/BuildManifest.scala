@@ -276,6 +276,15 @@ object CorpusBuild {
     "gopher_repetition", "blocklist", "perplexity", "classifier",
     "span_excision", "neardup_dedup", "decontamination")
 
+  /** The previous invocation's persisted shingle table. Each q161 build
+    * releases it before persisting its own, so (a) repeated executions
+    * (bench min-of-3) never silently serve iteration 1's cache as
+    * iteration 2's "work", and (b) cached copies never accumulate. One
+    * copy lives between calls — positioned shingles are O(corpus
+    * tokens) rows of (long, long, long, long), tiny at test scale and
+    * spilled by MEMORY_AND_DISK beyond it. */
+  private var lastPos: Option[DataFrame] = None
+
   val q161CorpusManifest = QueryDef(
     "q161_corpus_manifest",
     s"""WITH RECURSIVE
@@ -374,16 +383,27 @@ object CorpusBuild {
     val model = Classify.trainModel(labeled.filter(col("split") === "train"))
     val kCls = labeled
       .select(col("doc_id"), (Classify.scorePt(model) > 0).as("f5"))
-    val exPer = Corpus.mergedSpans(Corpus.positionedShingles(docs))
+    // ONE positioned-shingle pass serves THREE consumers: the excision
+    // spans and both decontamination sides (train shingles, held-out
+    // shingle set) are bucket-filters of the same table — cutting the
+    // corpus tokenize-and-hash from 3 scans to 1 (q161's heaviest
+    // signal). The bucket is doc_id-derived, so it attaches to the
+    // shingle rows without touching text again.
+    val pos = Corpus.positionedShingles(docs)
+      .withColumn("bucket",
+        hash60(col("doc_id").cast(StringType)) % 100)
+    synchronized {
+      lastPos.foreach(_.unpersist(false))
+      lastPos = Some(pos.persist())
+    }
+    val exPer = Corpus.mergedSpans(pos.select(col("doc_id"), col("pos"),
+        col("sh")))
       .groupBy(col("doc_id"))
       .agg(sum(col("span_tokens")).as("dup_tokens"))
     val comp = CcCache.components(spark, dir) // artifact, not re-iterate
       .select(col("v").as("doc_id"), col("component"))
-    val bk = docs.select(col("doc_id"), col("text"),
-      (hash60(col("doc_id").cast(StringType)) % 100).as("bucket"))
-    val contam = Corpus
-      .positionedShingles(bk.filter(col("bucket") < 80))
-      .join(Corpus.positionedShingles(bk.filter(col("bucket") >= 90))
+    val contam = pos.filter(col("bucket") < 80)
+      .join(pos.filter(col("bucket") >= 90)
         .select(col("sh")).distinct(), "sh")
       .select(col("doc_id")).distinct()
       .withColumn("hasct", lit(true))

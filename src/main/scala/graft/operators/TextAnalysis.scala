@@ -1112,11 +1112,56 @@ object TextAnalysis {
     wpMergesDf(spark, merges)
   }
 
+  /** Tokenizer FERTILITY under the trained WordPiece merges — the
+    * application-side consumer that makes [[WpCache]] a multi-reader
+    * artifact like its BPE (q108) and unigram (q146) siblings: the final
+    * segmented vocabulary comes back as a broadcast-sized parquet read,
+    * so application is one word join + a map-side combinable per-source
+    * sum — never a re-segmentation. Completes the per-source fertility
+    * comparison across all THREE trained tokenizers on identical
+    * output shapes. */
+  val q164WordpieceFertility = QueryDef(
+    "q164_wordpiece_fertility",
+    s"""WITH wv0 AS (SELECT w, freq,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+       |      AS syms
+       |  FROM (SELECT w, COUNT(*) AS freq FROM
+       |      (SELECT unnest($sqlWords) AS w FROM documents)
+       |    WHERE len(w) >= 1 GROUP BY w)),
+       |${(0 until WpMerges).map(sqlWpRound).mkString(",\n")},
+       |wt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub
+       |  FROM wv$WpMerges),
+       |dw AS (SELECT source, w FROM
+       |    (SELECT source, unnest($sqlWords) AS w FROM documents)
+       |  WHERE len(w) >= 1)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(t.n_sub) AS BIGINT) AS wp_tokens,
+       |  CAST(SUM(t.n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS fertility
+       |FROM dw d JOIN wt t ON t.w = d.w
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val (vocab, _) = WpCache.trained(spark, dir)
+    val wt = vocab.select(col("w"),
+      size(col("syms")).cast(LongType).as("n_sub"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wt, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("wp_tokens"))
+      .select(col("source"), col("n_words"), col("wp_tokens"),
+        (col("wp_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("fertility"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q14TextStats, q15TextQuality, q16TextLangid, q17TextFingerprint,
       q58TfSalient, q79WordCooccurrence, q86BpePairCounts,
       q91TopQualityPerSource, q95BpeMerges, q103BpeEncode,
       q108BpeFertility, q135BpeTrainPipeline, q144UnigramPieces,
       q145UnigramTrainPipeline, q146UnigramFertility,
-      q162WordpieceMerges, q163WordpieceTrainPipeline)
+      q162WordpieceMerges, q163WordpieceTrainPipeline,
+      q164WordpieceFertility)
 }

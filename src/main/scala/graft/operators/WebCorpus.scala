@@ -193,14 +193,19 @@ object WebCorpus {
        |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_urls,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM c GROUP BY host ORDER BY host""".stripMargin) { (spark, dir) =>
-    canonicalized(Tables(spark, dir, "documents"))
+    hostRollup(canonicalized(Tables(spark, dir, "documents")))
+  }
+
+  /** q159 body over a canonicalized table — shared with the streaming
+    * ingest twin ([[graft.streaming.WebCorpusStream]]). */
+  def hostRollup(canon: DataFrame): DataFrame =
+    canon
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url")).as("n_urls"),
         countDistinct(col("raw_url")).as("n_raw_urls"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("host"))
-  }
 
   /** q160: per-host document-cap enforcement with kept/dropped attrition
     * — the q156-style funnel for host skew (CCNet/RefinedWeb cap what any
@@ -234,7 +239,18 @@ object WebCorpus {
        |  CAST(SUM(CASE WHEN rk > $HostCapK THEN n_chars ELSE 0 END)
        |    AS BIGINT) AS chars_dropped
        |FROM r GROUP BY host ORDER BY host""".stripMargin) { (spark, dir) =>
-    val ranked = canonicalized(Tables(spark, dir, "documents"))
+    hostCap(canonicalized(Tables(spark, dir, "documents")))
+  }
+
+  /** q160 body over a canonicalized table — shared with the streaming
+    * ingest twin. The cap decision is a function of the accumulated ROW
+    * SET (rank by n_chars desc, doc_id), so recomputing it at read time
+    * over a streamed table gives exactly the batch answer — kept rows
+    * may legitimately change as better docs arrive, which is why the
+    * stream accumulates DOCS and derives the verdict, never the other
+    * way around. */
+  def hostCap(canon: DataFrame): DataFrame = {
+    val ranked = canon
       .select(col("host"), col("doc_id"), col("n_chars"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("host"))

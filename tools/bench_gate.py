@@ -71,7 +71,8 @@ import sys
 CACHE_FAMILIES = {
     "model": {"q24", "q40", "q48", "q64", "q68", "q73", "q81", "q93",
               "q101", "q117"},
-    "bpe": {"q95", "q103", "q108", "q122", "q123", "q144", "q162"},
+    "bpe": {"q95", "q103", "q108", "q122", "q123", "q144", "q162",
+            "q164"},
     "pair": {"q19", "q59", "q83", "q94", "q96", "q98", "q99", "q100",
              "q102", "q136"},
     "cc": {"q59", "q78", "q94", "q96", "q98", "q140"},
