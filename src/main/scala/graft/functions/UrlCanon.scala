@@ -82,7 +82,10 @@ object UrlCanonUtil {
     if (qm0 >= 0 && qm0 < ae) ae = qm0
     var auth = rest.substring(0, ae)
     val pathq = rest.substring(ae)
-    val at = auth.indexOf('@')
+    // userinfo ends at the LAST '@' (RFC 3986 — '@' may appear inside
+    // userinfo itself); a first-'@' strip leaves '@'s in the "host" and
+    // breaks canon idempotence (found by the PropertySpec fuzzer)
+    val at = auth.lastIndexOf('@')
     if (at >= 0) auth = auth.substring(at + 1)
     val colon = auth.indexOf(':')
     var host =

@@ -106,6 +106,33 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       assert(agg(df.repartition(64, col("v"))) == base, s"case $i by-value")
     }
   }
+
+  test("url_canon never throws and is idempotent on arbitrary byte soup, " +
+    "and url_host is always a substring of a parseable canon") {
+    // crawl-shaped garbage: random printable soup, plus soup grafted onto
+    // URL-ish skeletons so the parser's every branch sees hostile input
+    val soup = Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (4, Gen.oneOf(':', '/', '?', '#', '@', '&', '=', '%', '.', '~')),
+      (1, Gen.choose(' ', 'ÿ')))).map(_.mkString)
+    val urlish = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp", "x", "", "1h")
+      body <- soup
+    } yield s"$scheme://$body"
+    val gen = Gen.listOfN(200, Gen.oneOf(soup, urlish))
+    (1 to 5).foreach { i =>
+      sample(gen, 500 + i).foreach { s =>
+        val c = graft.functions.UrlCanonUtil.canonString(s) // must not throw
+        assert(graft.functions.UrlCanonUtil.canonString(c) == c,
+          s"not idempotent on '$s' -> '$c'")
+        val h = graft.functions.UrlCanonUtil.hostString(s)
+        if (h.nonEmpty) assert(c.contains(h),
+          s"host '$h' must appear in canon '$c' of '$s'")
+        else assert(c == s,
+          s"unparseable input must pass through unchanged: '$s' -> '$c'")
+      }
+    }
+  }
 }
 
 /** Test bridge into the package-private components loop. */

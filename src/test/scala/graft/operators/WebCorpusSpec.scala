@@ -24,6 +24,10 @@ class WebCorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(canon("HTTPS://WWW.Ex.COM/Ab/C") == "https://ex.com/Ab/C")
     // userinfo dropped (with port and uppercase host behind it)
     assert(canon("http://user:pw@H.com:8080/x") == "http://h.com:8080/x")
+    // userinfo ends at the LAST '@' (RFC 3986: '@' is legal inside
+    // userinfo) — a first-'@' strip would leave '@'s in the host and
+    // break idempotence (fuzzer-found)
+    assert(canon("https://u@v@H.com/x") == "https://h.com/x")
     // ALL leading www. repetitions stripped (idempotence)
     assert(canon("https://www.www.h.com/a") == "https://h.com/a")
     // scheme-default ports dropped...
