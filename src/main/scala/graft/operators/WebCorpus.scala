@@ -267,5 +267,56 @@ object WebCorpus {
       .orderBy(col("host"))
   }
 
-  val all: Seq[QueryDef] = Seq(q159UrlCanon, q160HostCap)
+  /** q165: URL-level exact dedup — CCNet's literal stage 1 (dedup BY
+    * URL before any content hashing): one document survives per
+    * CANONICAL URL (min doc_id — crawl order's "first fetch wins"), and
+    * the report is the per-source keep/drop funnel of that decision
+    * (the q156/q160 shape at URL granularity). Raw-URL dedup would keep
+    * all 16 cosmetic variants; canonical dedup collapses them — the
+    * measurable value of q159's canonicalizer.
+    *
+    * Shape at scale: one window min over hash-partitioned canonical
+    * URLs (per-group state is one long; no sort — min over the whole
+    * partition frame), then a map-side-combinable per-source rollup.
+    * Nothing is O(corpus) twice. */
+  val q165UrlDedup = QueryDef(
+    "q165_url_dedup",
+    s"""WITH $sqlCanon,
+       |r AS (
+       |  SELECT source, n_chars,
+       |    (doc_id = MIN(doc_id) OVER (PARTITION BY url)) AS keep
+       |  FROM c)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_kept,
+       |  CAST(SUM(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT)
+       |    AS chars_dropped
+       |FROM r GROUP BY source ORDER BY source""".stripMargin) {
+    (spark, dir) =>
+    urlDedup(canonicalized(Tables(spark, dir, "documents")))
+  }
+
+  /** q165 body over a canonicalized table — shared with the streaming
+    * twin's read side (the accumulated URL table supports it directly). */
+  def urlDedup(canon: DataFrame): DataFrame = {
+    val keep = col("doc_id") ===
+      min(col("doc_id")).over(Window.partitionBy(col("url")))
+    canon
+      .select(col("source"), col("n_chars"), keep.as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"),
+        sum(when(col("keep"), 0L).otherwise(col("n_chars")))
+          .as("chars_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q159UrlCanon, q160HostCap, q165UrlDedup)
 }

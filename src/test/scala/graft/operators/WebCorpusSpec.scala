@@ -125,6 +125,26 @@ class WebCorpusSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.exists(_.getAs[Long]("n_dropped") > 0), "cap must bite")
   }
 
+  test("q165: exactly one survivor per canonical URL; canonical dedup " +
+    "strictly beats raw-URL dedup (the 16 cosmetic variants collapse)") {
+    val rows = WebCorpus.q165UrlDedup.fn(spark, sfDir).collect()
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val canon = WebCorpus.canonicalized(docs)
+    val nDocs = docs.count()
+    val nUrls = canon.select(col("url")).distinct().count()
+    val nRaw = canon.select(col("raw_url")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == nUrls,
+      "survivor count must equal the distinct canonical-URL count")
+    // raw-URL dedup would keep every cosmetic variant: strictly weaker
+    assert(nUrls < nRaw,
+      s"canonical dedup must collapse variants ($nUrls vs $nRaw raw)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("plans: q159/q160 are join-free; url_canon sits inside " +
     "whole-stage codegen; q160 pays ONE corpus exchange (window and " +
     "rollup share the host partitioning)") {
