@@ -108,9 +108,17 @@ private[graft] object BpeCache {
                 .coalesce(1).write.mode("overwrite")
                 .parquet(new Path(att, "merges").toString)
             }
-            vocab.unpersist(false) // consumers re-read from the artifact
-            ArtifactStore.pruneSuperseded(fs, root, input, keep = f)
-            p.map(readPayload).getOrElse((vocab, merges))
+            p.map(readPayload) match {
+              case Some(payload) =>
+                // consumers re-read from the artifact; unpersist ONLY
+                // after the read-back — a failed publish must keep the
+                // persisted vocab as the served fallback (ADVICE r14)
+                vocab.unpersist(false)
+                try ArtifactStore.pruneSuperseded(fs, root, input, keep = f)
+                catch { case NonFatal(_) => () }
+                payload
+              case None => (vocab, merges)
+            }
           } catch {
             // publish/read-back failed mid-flight: the freshly trained
             // model is still correct — serve it (vocab persist state is

@@ -970,9 +970,12 @@ object TextAnalysis {
   private val WpMerges = 4
 
   /** Round-r WordPiece merge tuple: (round, a, b, pair count, count(a),
-    * count(b)). The score is derived, never stored: cnt/(ca·cb) with the
-    * denominator an exact int64 product, so both engines round the ONE
-    * division identically. */
+    * count(b)). The score is derived, never stored: (cnt/ca)/cb with
+    * BOTH divisions in double — an int64 product ca·cb would silently
+    * wrap past ~9.2e18 (reachable at ~1e13 per-symbol occurrences, i.e.
+    * the documented 100 TB scale) where Spark wraps and DuckDB raises;
+    * two IEEE divisions are deterministic and identical in both
+    * engines at every magnitude. */
   private type WpMerge = (Int, String, String, Long, Long, Long)
 
   /** Corpus-weighted WordPiece argmax: the adjacent pair maximizing
@@ -989,8 +992,8 @@ object TextAnalysis {
       .groupBy(col("s"), col("nxt")).agg(sum(col("freq")).as("cnt"))
       .join(sc.select(col("s"), col("c").as("ca")), "s")
       .join(sc.select(col("s").as("nxt"), col("c").as("cb")), "nxt")
-      .orderBy((col("cnt").cast(DoubleType) /
-          (col("ca") * col("cb")).cast(DoubleType)).desc,
+      .orderBy((col("cnt").cast(DoubleType) / col("ca").cast(DoubleType)
+          / col("cb").cast(DoubleType)).desc,
         col("s"), col("nxt"))
       .limit(1).collect().headOption
       .map(t => (0, t.getAs[String]("s"), t.getAs[String]("nxt"),
@@ -1042,7 +1045,8 @@ object TextAnalysis {
        |    FROM wc$r c
        |    JOIN wsc$r sa ON sa.s = c.a
        |    JOIN wsc$r sb ON sb.s = c.b)
-       |  ORDER BY CAST(cnt AS DOUBLE) / CAST(ca * cb AS DOUBLE) DESC, a, b
+       |  ORDER BY CAST(cnt AS DOUBLE) / CAST(ca AS DOUBLE)
+       |    / CAST(cb AS DOUBLE) DESC, a, b
        |  LIMIT 1),
        |wm$r AS (SELECT p.w, p.freq, p.pos, p.s, p.nxt, bp.a, bp.b,
        |    SUM(CASE WHEN p.s = bp.a THEN 0 ELSE 1 END) OVER
@@ -1076,7 +1080,8 @@ object TextAnalysis {
        |${(0 until WpMerges)
         .map(r => s"SELECT CAST(${r + 1} AS INTEGER) AS rnd, a AS sym_a, " +
           s"b AS sym_b, a || b AS merged, cnt, ca, cb, " +
-          "CAST(cnt AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS score " +
+          "CAST(cnt AS DOUBLE) / CAST(ca AS DOUBLE) / CAST(cb AS DOUBLE)" +
+          " AS score " +
           s"FROM wbp$r")
         .mkString("\nUNION ALL\n")})
        |ORDER BY rnd""".stripMargin
@@ -1088,8 +1093,8 @@ object TextAnalysis {
       .select(col("rnd"), col("sym_a"), col("sym_b"),
         concat(col("sym_a"), col("sym_b")).as("merged"),
         col("cnt"), col("ca"), col("cb"),
-        (col("cnt").cast(DoubleType) /
-          (col("ca") * col("cb")).cast(DoubleType)).as("score"))
+        (col("cnt").cast(DoubleType) / col("ca").cast(DoubleType)
+          / col("cb").cast(DoubleType)).as("score"))
       .orderBy(col("rnd"))
   }
 

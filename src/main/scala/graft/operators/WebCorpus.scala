@@ -65,9 +65,16 @@ object WebCorpus {
     val bit3 = expr("((doc_id % 16) div 8) % 2") // userinfo
     val schemeBase = when(c % 2 === 0, lit("https")).otherwise(lit("http"))
     val scheme = when(bit2 === 1, upper(schemeBase)).otherwise(schemeBase)
-    val userinfo = when(bit3 === 1, lit("user:pw@")).otherwise(lit(""))
+    // userinfo may itself contain '@' (RFC 3986 allows it) — every 9th
+    // content key emits one, so the last-'@' strip rule is gate-pinned
+    val userinfo = when(bit3 === 1,
+        when(c % 9 === 0, lit("u@v:pw@")).otherwise(lit("user:pw@")))
+      .otherwise(lit(""))
     val host0 = concat(lit("h"), (c % 60).cast("string"), lit(".example.com"))
-    val hostW = when(bit1 === 1, concat(lit("www."), host0)).otherwise(host0)
+    // every 11th content key doubles the www. so the strip-ALL loop
+    // (canon idempotence) is gate-pinned, not just fuzzer-pinned
+    val www = when(c % 11 === 0, lit("www.www.")).otherwise(lit("www."))
+    val hostW = when(bit1 === 1, concat(www, host0)).otherwise(host0)
     val host = when(bit0 === 1, upper(hostW)).otherwise(hostW)
     val port = when(c % 7 === 0, lit(":8080"))
       .when(b % 3 === 0,
@@ -97,7 +104,9 @@ object WebCorpus {
       |  SELECT doc_id, source, n_chars,
       |    (CASE WHEN ((b // 4) % 2) = 1 THEN upper(sch) ELSE sch END) ||
       |    '://' ||
-      |    (CASE WHEN ((b // 8) % 2) = 1 THEN 'user:pw@' ELSE '' END) ||
+      |    (CASE WHEN ((b // 8) % 2) = 1 THEN
+      |      (CASE WHEN c % 9 = 0 THEN 'u@v:pw@' ELSE 'user:pw@' END)
+      |     ELSE '' END) ||
       |    (CASE WHEN (b % 2) = 1 THEN upper(hw) ELSE hw END) ||
       |    (CASE WHEN c % 7 = 0 THEN ':8080'
       |          WHEN b % 3 = 0 THEN
@@ -115,7 +124,9 @@ object WebCorpus {
       |    AS raw_url
       |  FROM (
       |    SELECT *,
-      |      CASE WHEN ((b // 2) % 2) = 1 THEN 'www.' || h0 ELSE h0 END AS hw,
+      |      CASE WHEN ((b // 2) % 2) = 1 THEN
+        (CASE WHEN c % 11 = 0 THEN 'www.www.' ELSE 'www.' END) || h0
+      ELSE h0 END AS hw,
       |      CASE WHEN c % 17 = 0 THEN ''
       |           WHEN c % 13 = 0 THEN '/p%20q/a' || CAST(c % 6 AS VARCHAR)
       |           ELSE '/a' || CAST(c % 6 AS VARCHAR) END AS p0
@@ -139,12 +150,12 @@ object WebCorpus {
        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
        |    regexp_replace(
        |      split_part(regexp_replace(raw_url, '^[A-Za-z]+://', ''), '#', 1),
-       |      '^[^/?#@]*@', '') AS rest
+       |      '^[^/?#]*@', '') AS rest
        |  FROM u),
        |p2 AS (
        |  SELECT *,
        |    regexp_replace(lower(regexp_extract(rest, '^([^/:?#]+)', 1)),
-       |      '^www\\.', '') AS host,
+       |      '^(www\\.)+', '') AS host,
        |    regexp_extract(rest, '^[^/:?#]+:([0-9]+)', 1) AS port,
        |    regexp_replace(rest, '^[^/?#]*', '') AS pathq
        |  FROM pp),

@@ -74,9 +74,17 @@ private[graft] object WpCache {
                 .coalesce(1).write.mode("overwrite")
                 .parquet(new Path(att, "merges").toString)
             }
-            vocab.unpersist(false)
-            ArtifactStore.pruneSuperseded(fs, root, input, keep = f)
-            p.map(readPayload).getOrElse((vocab, merges))
+            p.map(readPayload) match {
+              case Some(payload) =>
+                // unpersist ONLY once the published artifact read back —
+                // a failed publish must keep serving the persisted vocab,
+                // or every downstream action silently retrains
+                vocab.unpersist(false)
+                try ArtifactStore.pruneSuperseded(fs, root, input, keep = f)
+                catch { case NonFatal(_) => () }
+                payload
+              case None => (vocab, merges)
+            }
           } catch {
             case NonFatal(_) => (vocab, merges)
           }
