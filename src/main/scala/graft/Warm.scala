@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   * The artifact inventory:
   *  - [[operators.PairCache]] — the verified near-dup pair table;
   *  - [[operators.CcCache]] — duplicate-cluster component labels;
+  *  - [[operators.SemCache]] — semantic (embedding-space) cluster labels;
   *  - [[operators.BpeCache]] — the trained BPE tokenizer;
   *  - [[operators.UnigramCache]] — the trained unigram-LM tokenizer;
   *  - [[operators.WpCache]] — the trained WordPiece tokenizer;
@@ -56,6 +57,7 @@ object Warm {
       try { body; () } catch { case _: Throwable => () }
     guard(operators.PairCache.pairStats(spark, dir))
     guard(operators.CcCache.components(spark, dir))
+    guard(operators.SemCache.components(spark, dir))
     guard(operators.BpeCache.trained(spark, dir))
     guard(operators.UnigramCache.pieces(spark, dir))
     guard(operators.LmCache.counts(spark, dir))

@@ -679,8 +679,11 @@ object Dedup {
     *
     * Recall is bounded by the blocker exactly as in LSH; [[SemNProbe]]
     * neighbor-cell probing recovers boundary-split pairs. */
-  val q73SemanticDedup = QueryDef(
-    "q73_semantic_dedup",
+  /** The q73/q166 oracle: the full SemDeDup chain — trained-quantizer
+    * assignment, capped within-cell pairs, recursive closure — shared
+    * verbatim by the cached and bypass paths (the q95/q135 and q162/q163
+    * discipline). */
+  private def sqlSemanticDedup: String =
     s"""WITH RECURSIVE ${Similarity.sqlKmeansAssignK(Similarity.sqlSemanticK)},
        |mem AS (SELECT vec_id, embedding, ${sqlNormD("embedding")} AS nrm,
        |    cell,
@@ -702,19 +705,39 @@ object Dedup {
        |  COALESCE(c.component, m.vec_id) AS component,
        |  (m.vec_id = COALESCE(c.component, m.vec_id)) AS is_survivor
        |FROM afin m LEFT JOIN comp c ON c.vec_id = m.vec_id
-       |ORDER BY m.vec_id""".stripMargin) { (spark, dir) =>
-    import graft.functions.NearestCentroid
+       |ORDER BY m.vec_id""".stripMargin
+
+  /** The (vec_id, embedding) projection + corpus-scaled trained quantizer
+    * for `dir`'s embeddings — the shared front of every semantic-dedup
+    * path. K comes from the parquet FOOTER count (a full-corpus count()
+    * job just to size the quantizer was the pre-round-13 cost), the
+    * centroids from the [[ModelCache]]-backed memo. */
+  private def semanticModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[(Long, Array[Double])]) = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // K from the parquet FOOTER count — the previous emb.count() burned a
-    // full-corpus job per invocation just to size the quantizer
     val k = Similarity.semanticK(Tables.metaCount(spark, dir, "embeddings"))
-    val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters, k)
+    (emb, Similarity.lloydCentroids(emb, Similarity.KmeansIters, k))
+  }
+
+  /** The semantic cluster label table (v, component) computed INLINE —
+    * the pair stage plus the component loop. [[SemCache]]'s compute path
+    * and q166's bypass body. */
+  private[operators] def semanticComponents(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (emb, cents) = semanticModel(spark, dir)
+    Corpus.connectedComponents(semanticPairs(emb, cents), "va", "vb")
+  }
+
+  /** q73/q166 shared body: primary-cell assignment (narrow map over the
+    * cached quantizer) joined with a given component label table. */
+  private def semanticDedupOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, comp: DataFrame): DataFrame = {
+    import graft.functions.NearestCentroid
+    val (emb, cents) = semanticModel(spark, dir)
     // primary cell (rn=1) labels the output row, as in the original
     val assigned = emb.select(col("vec_id"),
       NearestCentroid(col("embedding"), cents).as("cell"))
-    val comp = Corpus.connectedComponents(
-      semanticPairs(emb, cents), "va", "vb")
     assigned
       .join(comp.select(col("v").as("vec_id"), col("component")),
         Seq("vec_id"), "left")
@@ -722,6 +745,25 @@ object Dedup {
         coalesce(col("component"), col("vec_id")).as("component"))
       .withColumn("is_survivor", col("vec_id") === col("component"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The semantic dedup table, its cluster labels served from the
+    * [[SemCache]] artifact (computing + publishing on first use) — the
+    * shape a 100 TB pipeline actually runs: label once at ingest, read
+    * the label table everywhere. Still hash-gated end-to-end, so a stale
+    * artifact fails the round instead of hiding. */
+  val q73SemanticDedup = QueryDef(
+    "q73_semantic_dedup", sqlSemanticDedup) { (spark, dir) =>
+    semanticDedupOf(spark, dir, SemCache.components(spark, dir))
+  }
+
+  /** q73 computed FRESH every run — [[SemCache]] bypassed by
+    * construction, same oracle, so the blocked pair stage and the
+    * component loop stay visible to the bench regression gate (the
+    * q135/q145/q163 pattern). */
+  val q166SemanticDedupFresh = QueryDef(
+    "q166_semantic_dedup_fresh", sqlSemanticDedup) { (spark, dir) =>
+    semanticDedupOf(spark, dir, semanticComponents(spark, dir))
   }
 
   /** q73's blocked pair stage on any (vec_id, embedding) relation with a
@@ -1028,5 +1070,6 @@ object Dedup {
     q21DedupSimhashPairs, q22DedupEmbedding, q72IncrementalDedup,
     q73SemanticDedup, q83Containment, q99LshParamSweep,
     q100JaccardThresholdSweep, q102NearDupPipeline,
-    q106MinhashCalibration, q109SimhashCalibration, q136PurgeAudit)
+    q106MinhashCalibration, q109SimhashCalibration, q136PurgeAudit,
+    q166SemanticDedupFresh)
 }
