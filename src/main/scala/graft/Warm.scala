@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *  - [[operators.PairCache]] — the verified near-dup pair table;
   *  - [[operators.CcCache]] — duplicate-cluster component labels;
   *  - [[operators.SemCache]] — semantic (embedding-space) cluster labels;
+  *  - [[operators.ManifestCache]] — q161's per-doc stage-signal table;
   *  - [[operators.BpeCache]] — the trained BPE tokenizer;
   *  - [[operators.UnigramCache]] — the trained unigram-LM tokenizer;
   *  - [[operators.WpCache]] — the trained WordPiece tokenizer;
@@ -62,6 +63,9 @@ object Warm {
     guard(operators.UnigramCache.pieces(spark, dir))
     guard(operators.LmCache.counts(spark, dir))
     guard(operators.WpCache.trained(spark, dir))
+    // depends on LmCache + CcCache above: warm those first, then the
+    // composed per-doc signal table
+    guard(operators.ManifestCache.flags(spark, dir).count())
     // Model tier: execute each training query's plan once — ModelCache
     // publishes on the memo/disk miss inside the plan build; count()
     // forces plans whose training is lazy in the action.

