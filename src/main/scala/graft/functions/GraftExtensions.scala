@@ -119,6 +119,16 @@ object GraftExtensions {
         checkArity("url_canon", 1, children)
         UrlCanon(children.head, hostOnly = false)
       }),
+    (FunctionIdentifier("url_canon_pct"),
+      info("url_canon_pct",
+        "url_canon_pct(s) - url_canon plus RFC 3986 6.2.2 " +
+          "percent-encoding normalization over path and query: escape " +
+          "hex digits uppercased, escapes of unreserved characters " +
+          "decoded; malformed escapes pass through"),
+      (children: Seq[Expression]) => {
+        checkArity("url_canon_pct", 1, children)
+        UrlCanon(children.head, hostOnly = false, pctNorm = true)
+      }),
     (FunctionIdentifier("url_host"),
       info("url_host",
         "url_host(s) - canonical host of a URL (lowercase, www. " +

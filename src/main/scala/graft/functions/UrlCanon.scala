@@ -27,8 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *      percent-decoding — decoding can change which resource is named);
   *   7. `utm_*=...` query parameters are dropped (separators tidied, an
   *      emptied query loses its `?`); other parameters keep their order.
-  * Out of scope (documented, not silently wrong): IDN/punycode host
-  * folding and %-escape case normalization.
+  * Out of scope of the DEFAULT form (documented, not silently wrong):
+  * IDN/punycode host folding and %-escape normalization. The OPT-IN
+  * `url_canon_pct` form adds RFC 3986 §6.2.2 percent-encoding
+  * normalization over path and query: hex digits of every escape are
+  * uppercased and escapes of UNRESERVED characters (ALPHA / DIGIT /
+  * `-` / `.` / `_` / `~`) decode to the literal character — `%7euser`
+  * and `~user` name the same resource, and a case-shuffled `%2f` stays
+  * an escape (`%2F`: decoding a reserved character would CHANGE which
+  * resource is named). Malformed escapes (`%` not followed by two hex
+  * digits) pass through byte-for-byte — never a throw on crawl garbage.
   *
   * A string without a parseable `scheme://host` prefix is returned
   * UNCHANGED by `canon` (garbage in, same garbage out — never a throw on
@@ -115,15 +123,61 @@ object UrlCanonUtil {
     (scheme, host, port, path, query)
   }
 
-  def canonString(u: String): String = {
+  private def hexVal(ch: Char): Int =
+    if (ch >= '0' && ch <= '9') ch - '0'
+    else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+    else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+    else -1
+
+  /** RFC 3986 §2.3 unreserved set — the ONLY characters whose escapes
+    * may decode without changing which resource the URL names. */
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' ||
+      v == '~'
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization: uppercase the hex
+    * digits of every escape; decode escapes of unreserved characters;
+    * pass malformed escapes (and everything else) through byte-for-byte.
+    * One left-to-right pass, idempotent (decoded output contains no
+    * decodable escapes; surviving escapes are already uppercase). */
+  def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else {
+        sb.append(ch)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  def canonString(u: String): String = canonString(u, pctNorm = false)
+
+  def canonString(u: String, pctNorm: Boolean): String = {
     val p = parts(u)
     if (p == null) return u
-    val (scheme, host, port, path, query) = p
+    val (scheme, host, port, path0, query) = p
     val keepPort = port.nonEmpty &&
       !(scheme == "http" && port == "80") &&
       !(scheme == "https" && port == "443")
-    val q = query.split("&", -1)
+    val q0 = query.split("&", -1)
       .filter(s => s.nonEmpty && !isUtmParam(s)).mkString("&")
+    // opt-in §6.2.2 normalization over path + (utm-filtered) query; the
+    // authority never carries escapes a crawl-scale host key cares about
+    val path = if (pctNorm) pctNormalize(path0) else path0
+    val q = if (pctNorm) pctNormalize(q0) else q0
     val sb = new java.lang.StringBuilder(u.length)
     sb.append(scheme).append("://").append(host)
     if (keepPort) sb.append(':').append(port)
@@ -140,6 +194,8 @@ object UrlCanonUtil {
   // UTF8String entry points — what interpreted eval AND generated code call
   def canon(u: UTF8String): UTF8String =
     UTF8String.fromString(canonString(u.toString))
+  def canonPct(u: UTF8String): UTF8String =
+    UTF8String.fromString(canonString(u.toString, pctNorm = true))
   def host(u: UTF8String): UTF8String =
     UTF8String.fromString(hostString(u.toString))
 }
@@ -149,8 +205,8 @@ object UrlCanonUtil {
   * row inside whole-stage codegen — the regex-chain formulation the oracle
   * uses for replay costs ~10 regex evaluations per row, which is the wrong
   * constant factor for a 100 TB stage-0 pass. */
-case class UrlCanon(child: Expression, hostOnly: Boolean)
-    extends UnaryExpression {
+case class UrlCanon(child: Expression, hostOnly: Boolean,
+    pctNorm: Boolean = false) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -161,17 +217,23 @@ case class UrlCanon(child: Expression, hostOnly: Boolean)
 
   override def dataType: DataType = StringType
 
-  override def prettyName: String = if (hostOnly) "url_host" else "url_canon"
+  override def prettyName: String =
+    if (hostOnly) "url_host"
+    else if (pctNorm) "url_canon_pct"
+    else "url_canon"
 
-  override def nullSafeEval(input: Any): Any =
-    if (hostOnly) UrlCanonUtil.host(input.asInstanceOf[UTF8String])
-    else UrlCanonUtil.canon(input.asInstanceOf[UTF8String])
+  private def fnName: String =
+    if (hostOnly) "host" else if (pctNorm) "canonPct" else "canon"
+
+  override def nullSafeEval(input: Any): Any = fnName match {
+    case "host" => UrlCanonUtil.host(input.asInstanceOf[UTF8String])
+    case "canonPct" => UrlCanonUtil.canonPct(input.asInstanceOf[UTF8String])
+    case _ => UrlCanonUtil.canon(input.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode = {
-    val fn = if (hostOnly) "host" else "canon"
-    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanonUtil.$fn($c)")
-  }
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanonUtil.$fnName($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
@@ -180,6 +242,11 @@ case class UrlCanon(child: Expression, hostOnly: Boolean)
 object UrlCanon {
   def canon(c: Column): Column =
     Bridge.column(UrlCanon(Bridge.expression(c), hostOnly = false))
+  /** Canonicalization + RFC 3986 §6.2.2 percent-encoding normalization
+    * (opt-in: decoding is a semantic choice some pipelines reject). */
+  def canonPct(c: Column): Column =
+    Bridge.column(UrlCanon(Bridge.expression(c), hostOnly = false,
+      pctNorm = true))
   def host(c: Column): Column =
     Bridge.column(UrlCanon(Bridge.expression(c), hostOnly = true))
 }

@@ -329,5 +329,124 @@ object WebCorpus {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q159UrlCanon, q160HostCap, q165UrlDedup)
+  // ---------------------------------------------------------------------
+  // q167: percent-encoding normalization (RFC 3986 §6.2.2, opt-in)
+  // ---------------------------------------------------------------------
+
+  /** Synthetic raw URL exercising every §6.2.2 rule class, one per
+    * content key (c = doc_id div 4): lowercase-hex unreserved (%7e →
+    * `~`), uppercase-hex unreserved (%41 → `A`), reserved kept-but-
+    * uppercased (%2f → %2F), already-canonical reserved (%20 stays),
+    * malformed two ways (%g7, trailing lone %), plus query escapes
+    * (%6a → `j`; %2B stays) and the www/trailing-slash decorations so
+    * the rule composes with the base canon steps. */
+  private def rawUrlPct: Column = {
+    val c = expr("doc_id div 4")
+    val www = when(expr("((doc_id % 4) div 2) % 2") === 1,
+        when(c % 11 === 0, lit("www.www.")).otherwise(lit("www.")))
+      .otherwise(lit(""))
+    val host = concat(lit("h"), (c % 40).cast("string"), lit(".example.com"))
+    val esc = when(c % 6 === 0, lit("%7e"))
+      .when(c % 6 === 1, lit("%41bc"))
+      .when(c % 6 === 2, lit("%2fq"))
+      .when(c % 6 === 3, lit("%20x"))
+      .when(c % 6 === 4, lit("%g7"))
+      .otherwise(lit("x%"))
+    val slash = when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit(""))
+    val query = when(c % 3 === 0, lit("?id=%6a"))
+      .when(c % 3 === 1, lit("?id=%2B"))
+      .otherwise(lit(""))
+    concat(lit("http://"), www, host, lit("/e"), esc, slash, query)
+  }
+
+  /** DuckDB §6.2.2 replay over a split-on-'%' list column `l`: prepend
+    * the head, transform each tail element by its leading two chars —
+    * a GENERIC normalizer (any escape value, not just the generated
+    * shapes), so the oracle and [[UrlCanonUtil.pctNormalize]] agree on
+    * the whole input domain, not merely the fixture (the round-14
+    * canon-oracle lesson). */
+  private def sqlPctList(l: String): String = {
+    val h1 = s"(strpos('0123456789abcdef', lower(e[1])) - 1)"
+    val h2 = s"(strpos('0123456789abcdef', lower(e[2])) - 1)"
+    val v = s"($h1 * 16 + $h2)"
+    s"""array_to_string(list_prepend($l[1], list_transform($l[2:], e ->
+       |  CASE WHEN len(e) >= 2 AND
+       |      strpos('0123456789abcdef', lower(e[1])) > 0 AND
+       |      strpos('0123456789abcdef', lower(e[2])) > 0
+       |  THEN (CASE WHEN ($v BETWEEN 65 AND 90) OR ($v BETWEEN 97 AND 122) OR
+       |          ($v BETWEEN 48 AND 57) OR $v IN (45, 46, 95, 126)
+       |        THEN chr(CAST($v AS INTEGER)) || e[3:]
+       |        ELSE '%' || upper(e[1:2]) || e[3:] END)
+       |  ELSE '%' || e END)), '')""".stripMargin
+  }
+
+  /** q167: URL canonicalization WITH percent-encoding normalization —
+    * the opt-in `url_canon_pct` form. Emits (doc_id, raw_url, url) per
+    * document so the gate pins every rule-class output string exactly.
+    * Without §6.2.2, `%7euser` and `~user` count as distinct URLs in
+    * every dedup/cap stage — under-collapsing the corpus; with blind
+    * full decoding, `%2F` turns into a path separator and CHANGES which
+    * resource is named. The rule is exactly RFC 3986's safe middle.
+    *
+    * Shape at scale: one narrow codegen expression per row, no shuffle
+    * but the final presentation sort.
+    *
+    * Oracle scope, stated honestly: the escape normalizer is GENERIC
+    * (any %xx value); the surrounding canon steps replay the rules this
+    * generator composes with it (lowercase scheme/host, www strip,
+    * trailing-slash strip) — the full rule set is pinned by q159/q160/
+    * q165's richer generator, and full-domain safety (never-throw,
+    * idempotence over byte soup) by PropertySpec's fuzzer. */
+  val q167UrlCanonPct = QueryDef(
+    "q167_url_canon_pct",
+    s"""WITH u AS (SELECT doc_id,
+       |    'http://' ||
+       |    (CASE WHEN ((doc_id % 4) // 2) % 2 = 1 THEN
+       |       (CASE WHEN (doc_id // 4) % 11 = 0
+       |             THEN 'www.www.' ELSE 'www.' END)
+       |     ELSE '' END) ||
+       |    'h' || CAST((doc_id // 4) % 40 AS VARCHAR) || '.example.com' ||
+       |    '/e' ||
+       |    (CASE WHEN (doc_id // 4) % 6 = 0 THEN '%7e'
+       |          WHEN (doc_id // 4) % 6 = 1 THEN '%41bc'
+       |          WHEN (doc_id // 4) % 6 = 2 THEN '%2fq'
+       |          WHEN (doc_id // 4) % 6 = 3 THEN '%20x'
+       |          WHEN (doc_id // 4) % 6 = 4 THEN '%g7'
+       |          ELSE 'x%' END) ||
+       |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN (doc_id // 4) % 3 = 0 THEN '?id=%6a'
+       |          WHEN (doc_id // 4) % 3 = 1 THEN '?id=%2B'
+       |          ELSE '' END) AS raw_url
+       |  FROM documents),
+       |pr AS (SELECT doc_id, raw_url,
+       |    regexp_replace(
+       |      lower(regexp_extract(raw_url, '^http://([^/?#]+)', 1)),
+       |      '^(www\\.)+', '') AS host,
+       |    regexp_replace(
+       |      split_part(regexp_replace(raw_url, '^http://[^/?#]*', ''),
+       |        '?', 1), '/+$$', '') AS cpath0,
+       |    regexp_extract(regexp_replace(raw_url, '^http://[^/?#]*', ''),
+       |      '\\?(.*)$$', 1) AS cq0
+       |  FROM u),
+       |sp AS (SELECT doc_id, raw_url, host,
+       |    string_split(cpath0, '%') AS pl,
+       |    string_split(cq0, '%') AS ql
+       |  FROM pr),
+       |pc AS (SELECT doc_id, raw_url, host,
+       |    ${sqlPctList("pl")} AS cpath,
+       |    ${sqlPctList("ql")} AS cqn
+       |  FROM sp)
+       |SELECT doc_id, raw_url,
+       |  'http://' || host ||
+       |  (CASE WHEN cpath = '' THEN '/' ELSE cpath END) ||
+       |  (CASE WHEN cqn = '' THEN '' ELSE '?' || cqn END) AS url
+       |FROM pc ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), rawUrlPct.as("raw_url"))
+      .withColumn("url", UrlCanon.canonPct(col("raw_url")))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q159UrlCanon, q160HostCap, q165UrlDedup, q167UrlCanonPct)
 }

@@ -130,6 +130,15 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
           s"host '$h' must appear in canon '$c' of '$s'")
         else assert(c == s,
           s"unparseable input must pass through unchanged: '$s' -> '$c'")
+        // the §6.2.2 opt-in form: same never-throw + idempotence bars,
+        // over the same hostile domain ('%' is in the soup alphabet, so
+        // truncated/malformed escapes are well covered)
+        val cp = graft.functions.UrlCanonUtil.canonString(s, pctNorm = true)
+        assert(graft.functions.UrlCanonUtil.canonString(cp, pctNorm = true)
+          == cp, s"pct-canon not idempotent on '$s' -> '$cp'")
+        val pn = graft.functions.UrlCanonUtil.pctNormalize(s)
+        assert(graft.functions.UrlCanonUtil.pctNormalize(pn) == pn,
+          s"pctNormalize not idempotent on '$s' -> '$pn'")
       }
     }
   }

@@ -170,4 +170,34 @@ class WebCorpusSpec extends AnyFunSuite with SparkTestSession {
       s"q160: window + rollup must share one host exchange, got $hashEx\n" +
         p160)
   }
+
+  test("percent-encoding normalization (RFC 3986 §6.2.2, opt-in): each " +
+    "rule class, pinned adversarially") {
+    import graft.functions.UrlCanonUtil.{canonString, pctNormalize}
+    def pct(s: String) = canonString(s, pctNorm = true)
+    // unreserved escapes decode, either hex case
+    assert(pct("http://h.com/%7euser") == "http://h.com/~user")
+    assert(pct("http://h.com/%7Euser") == "http://h.com/~user")
+    assert(pct("http://h.com/a%41%62c") == "http://h.com/aAbc")
+    // reserved escapes NEVER decode (decoding %2F would change which
+    // resource is named) — hex uppercases only
+    assert(pct("http://h.com/a%2fb") == "http://h.com/a%2Fb")
+    assert(pct("http://h.com/a%2Fb") == "http://h.com/a%2Fb")
+    assert(pct("http://h.com/p%20q") == "http://h.com/p%20q")
+    // %25 ('%' itself) must not decode — that's the idempotence trap
+    assert(pct("http://h.com/x%2541") == "http://h.com/x%2541")
+    // malformed escapes pass through byte-for-byte
+    assert(pct("http://h.com/a%g7") == "http://h.com/a%g7")
+    assert(pct("http://h.com/a%") == "http://h.com/a%")
+    assert(pct("http://h.com/a%2") == "http://h.com/a%2")
+    // query side normalizes too, after utm filtering
+    assert(pct("http://h.com/p?id=%6a&utm_source=%7e")
+      == "http://h.com/p?id=j")
+    // composes with the base rules (www strip, trailing slash, case)
+    assert(pct("http://WWW.H.com/%7e/") == "http://h.com/~")
+    // the default form leaves escapes byte-for-byte (opt-in means OPT-IN)
+    assert(canonString("http://h.com/%7euser") == "http://h.com/%7euser")
+    // raw normalizer on a non-URL string: same rules, no parse needed
+    assert(pctNormalize("%7e%2f%g7%") == "~%2F%g7%")
+  }
 }
