@@ -50,6 +50,76 @@ object BatchSink {
     (df, table, epochId) =>
       df.write.mode(SaveMode.Overwrite)
         .parquet(s"$dir/$table/epoch=$epochId")
+
+  /** Exactly-once JDBC sink — the keyed-upsert twin of
+    * [[idempotentParquet]] for stores with transactions but no
+    * per-partition overwrite. Per batch: (1) the rows land in a staging
+    * table (`<table>_stage_<epoch>`, Spark JDBC overwrite — a replay
+    * re-stages over its own leftovers), tagged with an `epoch` column;
+    * (2) ONE sink-side transaction deletes the target's rows for that
+    * epoch and inserts the staged rows. An at-least-once foreachBatch
+    * replay of any epoch therefore converges to exactly the rows of its
+    * last delivery — no duplicates, no partial batches (the transaction
+    * is all-or-nothing), matching MySQL/Postgres/Derby semantics alike.
+    *
+    * Posture difference from [[jdbc]], deliberate: failures PROPAGATE.
+    * The swallow-and-log sink mirrors the reference's at-least-once
+    * fire-and-forget (covid_streaming.py:57-61); an exactly-once sink
+    * that swallowed a failed write would commit the stream's offsets
+    * past data that never landed — silent LOSS, strictly worse than the
+    * duplicates it was bought to prevent. Let the batch fail and replay.
+    *
+    * `table` must not already carry an `epoch` column; identifiers are
+    * trusted (they name the caller's own sink tables, as in the
+    * reference's hardcoded table list). */
+  def idempotentJdbc(url: String, options: Map[String, String]): BatchSink =
+    (df, table, epochId) => {
+      val stage = s"${table}_stage_$epochId"
+      df.withColumn("epoch", org.apache.spark.sql.functions.lit(epochId))
+        .write.mode(SaveMode.Overwrite).format("jdbc")
+        .option("url", url).options(options).option("dbtable", stage)
+        .save()
+      val props = new java.util.Properties()
+      options.foreach { case (k, v) => props.put(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        try {
+        conn.setAutoCommit(false)
+        val exists = {
+          val rs = conn.getMetaData.getTables(
+            null, null, table.toUpperCase(java.util.Locale.ROOT), null)
+          try rs.next() finally rs.close()
+        }
+        val st = conn.createStatement()
+        try {
+          if (!exists)
+            st.executeUpdate(
+              s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+          // Spark's JDBC writer creates QUOTED (case-exact) columns, so
+          // the predicate must quote too (ANSI double quotes: Derby,
+          // Postgres, MySQL-ANSI alike)
+          st.executeUpdate(s"""DELETE FROM $table WHERE "epoch" = $epochId""")
+          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+          conn.commit()
+        } finally st.close()
+        // best-effort staging cleanup OUTSIDE the transaction: a leftover
+        // staging table is re-overwritten by the next replay, never read
+        val st2 = conn.createStatement()
+        try { st2.executeUpdate(s"DROP TABLE $stage"); conn.commit() }
+        catch {
+          case _: Exception =>
+            try conn.rollback() catch { case _: Exception => () }
+        } finally st2.close()
+        } catch {
+          // roll back the open transaction so close() doesn't mask the
+          // real failure with "transaction still active" — the ORIGINAL
+          // exception is what the replaying batch needs to see
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Exception => () }
+            throw e
+        }
+      } finally conn.close()
+    }
 }
 
 /** Streaming wiring (covid_streaming.py:200-226): source → JSON decode →

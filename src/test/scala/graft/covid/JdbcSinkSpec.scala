@@ -55,6 +55,52 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(table("continent_covid_stats").count() >= 1)
   }
 
+  test("idempotentJdbc: at-least-once redelivery converges to exactly " +
+    "one copy per epoch — the keyed-upsert exactly-once path") {
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derby-home-idem").toString)
+    val url = "jdbc:derby:memory:graft_idem;create=true"
+    val sink = BatchSink.idempotentJdbc(url, Map.empty)
+    def table() =
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "t_idem").load()
+
+    val batch0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    sink.write(batch0, "t_idem", 0L)
+    assert(table().count() == 2)
+    // redelivery of the SAME epoch (foreachBatch replay after a failure
+    // between write and offset commit): plain append would duplicate —
+    // the keyed upsert must converge, not grow
+    sink.write(batch0, "t_idem", 0L)
+    assert(table().count() == 2, "epoch-0 replay duplicated rows")
+    // a replay may even carry DIFFERENT rows (source re-read after
+    // compaction): the epoch's content is replaced wholesale
+    sink.write(Seq((9L, "z")).toDF("id", "s"), "t_idem", 0L)
+    val after = table().collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.toSet == Set((9L, "z")), s"epoch-0 not replaced: " +
+      after.mkString(","))
+    // a NEW epoch appends next to the old one
+    sink.write(Seq((3L, "c")).toDF("id", "s"), "t_idem", 1L)
+    assert(table().count() == 2)
+    assert(table().select("epoch").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L))
+    // staging tables are cleaned up
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "T_IDEM_STAGE_%", null)
+      try assert(!rs.next(), "staging table left behind") finally rs.close()
+    } finally conn.close()
+  }
+
+  test("idempotentJdbc PROPAGATES failures (no silent loss) — the " +
+    "posture difference from the swallow-and-log reference sink") {
+    val sink = BatchSink.idempotentJdbc(
+      "jdbc:derby:/nonexistent/path/db", Map.empty)
+    intercept[Exception] {
+      sink.write(Seq((1L, "x")).toDF("id", "s"), "t", 0L)
+    }
+  }
+
   test("jdbc sink keeps the reference's swallow-and-log posture on failure") {
     import spark.implicits._
     // unreachable database: the write must log and return, never throw
