@@ -329,24 +329,29 @@ object CorpusBuild {
       lastPos.foreach(_.unpersist(false))
       lastPos = Some(pos.persist())
     }
-    val exPer = Corpus.mergedSpans(pos.select(col("doc_id"), col("pos"),
-        col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    val exPer = exPerOf(pos)
     val comp = CcCache.components(spark, dir) // artifact, not re-iterate
       .select(col("v").as("doc_id"), col("component"))
-    val contam = pos.filter(col("bucket") < 80)
-      .join(pos.filter(col("bucket") >= 90)
-        .select(col("sh")).distinct(), "sh")
-      .select(col("doc_id")).distinct()
-      .withColumn("hasct", lit(true))
+    val contam = contamOf(pos)
 
-    base
+    flagsSelect(base
       .join(kQuality, Seq("doc_id"), "left")
       .join(kGopher, Seq("doc_id"), "left")
       .join(kBlock, Seq("doc_id"), "left")
       .join(kPpl, Seq("doc_id"), "left")
-      .join(kCls, Seq("doc_id"), "left")
+      .join(kCls, Seq("doc_id"), "left"), exPer, comp, contam)
+  }
+
+  /** The final flags projection over the joined per-doc verdicts — the
+    * null-default algebra (absent quality/gopher/blocklist/classifier
+    * verdicts fail, absent perplexity passes — a reference model cannot
+    * judge what it cannot read, absent spans excise nothing, absent
+    * component label means singleton survivor, absent contamination hit
+    * means clean). Shared verbatim with the streaming maintainer.
+    * `joined` must carry (doc_id, n_tokens, f1..f5). */
+  private[graft] def flagsSelect(joined: DataFrame, exPer: DataFrame,
+      comp: DataFrame, contam: DataFrame): DataFrame =
+    joined
       .join(exPer, Seq("doc_id"), "left")
       .join(comp, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
@@ -363,7 +368,24 @@ object CorpusBuild {
         (col("doc_id") === coalesce(col("component"), col("doc_id")))
           .as("f7"),
         coalesce(col("hasct"), lit(false)).unary_!.as("f8"))
-  }
+
+  /** Per-doc excised-duplicate token mass from a BUCKETED positioned-
+    * shingle table (doc_id, pos, sh, bucket) — shared by the batch flags
+    * and the streaming manifest maintainer's read-time derivation. */
+  private[graft] def exPerOf(pos: DataFrame): DataFrame =
+    Corpus.mergedSpans(pos.select(col("doc_id"), col("pos"), col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+
+  /** Contaminated train-side doc ids (doc_id, hasct=true) from the same
+    * bucketed positioned-shingle table — both decontamination sides are
+    * bucket filters of it, never a rescan of text. */
+  private[graft] def contamOf(pos: DataFrame): DataFrame =
+    pos.filter(col("bucket") < 80)
+      .join(pos.filter(col("bucket") >= 90)
+        .select(col("sh")).distinct(), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("hasct", lit(true))
 
   val q161CorpusManifest = QueryDef(
     "q161_corpus_manifest",
@@ -447,8 +469,16 @@ object CorpusBuild {
     // audit/report over them is a read + one global aggregate; the
     // funnel algebra below is that aggregate (still hash-gated, so a
     // stale artifact fails the round's correctness gate)
-    val flags = ManifestCache.flags(spark, dir)
+    funnelOf(ManifestCache.flags(spark, dir))
+  }
 
+  /** The funnel algebra over any per-doc flags table (doc_id, n_tokens,
+    * t_ex, f1..f8): sequential stage conjunctions, ONE global map-side-
+    * combined aggregate row, unpivoted to the 9 audited stages. Shared
+    * verbatim by q161 and the streaming maintainer's read-time funnel
+    * ([[graft.streaming.ManifestStream.funnel]]), so stream ≡ batch is a
+    * property of the FLAGS alone. */
+  private[graft] def funnelOf(flags: DataFrame): DataFrame = {
     val cums = (1 to 8).map { i =>
       (1 to i).map(j => col(s"f$j")).reduce(_ && _).as(s"s$i")
     }

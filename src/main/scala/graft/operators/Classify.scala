@@ -257,11 +257,24 @@ object Classify {
     * Bounded model state (≤ [[ClsBuckets]] rows collected — the q119
     * [[Recipe]] precedent); BigInt because count × 10⁶ overflows int64 at
     * 100 TB. */
-  private[graft] def trainModel(train: DataFrame): Array[Long] = {
-    val tok = train.select(col("label_good"),
-      explode(words(col("text"))).as("w"))
+  private[graft] def trainModel(train: DataFrame): Array[Long] =
+    trainModelTok(train.select(col("label_good"),
+        explode(words(col("text"))).as("w"))
       .select(col("label_good"),
+        pmod(hash60(col("w")), lit(ClsBuckets.toLong)).as("b")))
+
+  /** Per-occurrence token-bucket rows (doc_id, b) — the token-level
+    * classifier state the streaming manifest maintainer persists at
+    * ingest, so scoring and (re)training never re-read text. */
+  private[graft] def tokenBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"),
         pmod(hash60(col("w")), lit(ClsBuckets.toLong)).as("b"))
+
+  /** [[trainModel]] over a PRE-COMPUTED (label_good, b) token table —
+    * the streaming-state form; the text path above delegates here so the
+    * two can never drift. */
+  private[graft] def trainModelTok(tok: DataFrame): Array[Long] = {
     val counts = tok.groupBy(col("b")).agg(
       sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
       sum(when(col("label_good"), 0L).otherwise(1L)).as("cb"))
@@ -290,6 +303,23 @@ object Classify {
       val n = size(w).cast(LongType)
       intDiv(imp + n * ClsScale, n) - ClsScale
     }
+  }
+
+  /** [[scorePt]] over a PRE-COMPUTED (doc_id, b) token table: per-doc
+    * (doc_id, score_pt), arithmetically identical to the narrow text
+    * fold (same per-token model lookups, same shifted-floor division) —
+    * the streaming-state form. A doc absent from `tok` (zero tokens)
+    * simply has no row, matching the text path's null score. */
+  private[graft] def scoreFromTok(tok: DataFrame,
+      model: Array[Long]): DataFrame = {
+    val scoreArr = typedLit(model.toSeq)
+    tok.groupBy(col("doc_id"))
+      .agg(sum(element_at(scoreArr, (col("b") + 1).cast(IntegerType)))
+          .as("imp"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        (intDiv(col("imp") + col("n") * ClsScale, col("n")) - ClsScale)
+          .as("score_pt"))
   }
 
   val all: Seq[QueryDef] = Seq(q128QualityClassifier,

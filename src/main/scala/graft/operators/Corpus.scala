@@ -262,7 +262,7 @@ object Corpus {
     * label preserves components and the component min survives as a
     * quotient vertex (the min's label is itself, fixed from round one).
     * The choice never affects results, only the round count. */
-  private[operators] def connectedComponents(edges: DataFrame, src: String,
+  private[graft] def connectedComponents(edges: DataFrame, src: String,
       dst: String): DataFrame =
     edges.sparkSession.conf.get("spark.graft.cc.algo", "auto") match {
       case "label" => labelPropComponents(edges, src, dst)

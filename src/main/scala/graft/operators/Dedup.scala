@@ -228,9 +228,20 @@ object Dedup {
     * at runtime). The distinct-shingle table is cheap to recompute (one
     * narrow projection), so it is not persisted. */
   private[operators] def candidateStatsOf(docs: DataFrame,
+      metricName: String = "neardup_bucket_cap"): DataFrame =
+    candidateStatsPre(minhashBandsOf(docs), shingleSetsOf(docs), metricName)
+
+  /** [[candidateStatsOf]] over PRE-COMPUTED `bands` (doc_id, band_idx,
+    * band_hash) and shingle sets `sh` (doc_id, sh) — the form the
+    * streaming manifest maintainer uses, where both tables are persisted
+    * at ingest ([[graft.streaming.StreamingDedup.startIncremental]]'s
+    * layout) and the SYMMETRIC pair pipeline replays over the
+    * accumulated index without ever re-reading text. The text path above
+    * delegates here, so an index maintained by appending equals a
+    * from-scratch rebuild row for row. */
+  private[graft] def candidateStatsPre(bands: DataFrame, sh: DataFrame,
       metricName: String = "neardup_bucket_cap"): DataFrame = {
-    val sh = shingleSetsOf(docs)
-    val cand = Buckets.cappedPairs(minhashBandsOf(docs),
+    val cand = Buckets.cappedPairs(bands,
         Seq("band_idx", "band_hash"), "doc_id", metricName)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -258,6 +269,12 @@ object Dedup {
   private[graft] def nearDupPairs(spark: SparkSession,
       dir: String): DataFrame =
     jaccardPairs(PairCache.pairStats(spark, dir))
+
+  /** The verified pair set from a PRE-COMPUTED band/shingle index —
+    * [[nearDupPairs]]' streaming-state twin. */
+  private[graft] def nearDupPairsPre(bands: DataFrame,
+      sh: DataFrame): DataFrame =
+    jaccardPairs(candidateStatsPre(bands, sh, "manifest_bucket_cap"))
 
   /** MinHash + LSH near-duplicate detection: 16 min-hashes over 3-word
     * shingles (two 60-bit digest windows per shingle + cheap integer

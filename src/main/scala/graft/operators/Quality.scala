@@ -549,7 +549,7 @@ object Quality {
     * top/dup fracs, gopher_keep), unordered — shared with the q161
     * corpus-build manifest, whose gopher stage is exactly this keep
     * column. */
-  private[operators] def gopherProfile(docs: DataFrame): DataFrame = {
+  private[graft] def gopherProfile(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
       .filter(col("n_chars") >= 1)
@@ -770,7 +770,11 @@ object Quality {
     perplexityReport(Tables(spark, dir, "documents"), c2, c1, v)
   }
 
-  private def bigramHashes(df: org.apache.spark.sql.DataFrame,
+  /** Per-occurrence bigram hash rows (keep-cols, h2, h1) — the token-
+    * level LM state. private[graft]: the streaming manifest maintainer
+    * ([[graft.streaming.ManifestStream]]) persists exactly these rows at
+    * ingest so the LM stage never re-reads text. */
+  private[graft] def bigramHashes(df: org.apache.spark.sql.DataFrame,
       keep: Seq[String]): org.apache.spark.sql.DataFrame =
     df.select(keep.map(col) :+
         explode(bigramGen(col("text"))).as("bg"): _*)
@@ -795,12 +799,18 @@ object Quality {
     * and scores every arriving batch against the SAME counts. */
   private[graft] def lmCounts(ref: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-        Long) = {
-    val rh = bigramHashes(ref, Seq.empty)
+        Long) =
+    lmCountsFromBigrams(bigramHashes(ref, Seq.empty))
+
+  /** [[lmCounts]] over a PRE-COMPUTED bigram-hash table (h2, h1) — the
+    * form the streaming manifest maintainer uses, where bigram rows are
+    * persisted at ingest and the reference slice is an id filter. */
+  private[graft] def lmCountsFromBigrams(rh: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Long) =
     (rh.groupBy(col("h2")).agg(count(lit(1)).as("n2")),
       rh.groupBy(col("h1")).agg(count(lit(1)).as("n1")),
       rh.select(col("h1")).distinct().count())
-  }
 
   /** q153's per-document integer score under a frozen reference model:
     * (doc_id, source, n_bigrams, score_ppm). Stateless per document —
@@ -810,7 +820,17 @@ object Quality {
       c2: org.apache.spark.sql.DataFrame,
       c1: org.apache.spark.sql.DataFrame, v: Long)
       : org.apache.spark.sql.DataFrame =
-    bigramHashes(docs, Seq("doc_id", "source"))
+    lmScoresFromBigrams(bigramHashes(docs, Seq("doc_id", "source")),
+      c2, c1, v)
+
+  /** [[lmScores]] over a PRE-COMPUTED per-doc bigram-hash table
+    * (doc_id, source, h2, h1) — the streaming-state form. */
+  private[graft] def lmScoresFromBigrams(
+      bg: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame, v: Long)
+      : org.apache.spark.sql.DataFrame =
+    bg
       .join(c2, Seq("h2"), "left")
       .join(c1, Seq("h1"), "left")
       .select(col("doc_id"), col("source"),

@@ -1,0 +1,201 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StringType
+
+/** Streaming corpus-build manifest maintenance — the incremental twin of
+  * q161 ([[graft.operators.CorpusBuild]]): documents arrive as a stream,
+  * each micro-batch's TEXT is read exactly once at ingest, and
+  * [[funnel]] over the accumulated state equals batch q161 over the same
+  * documents row for row (ManifestStreamSpec, through overlapping
+  * redelivery and compaction).
+  *
+  * What must stream and what must wait: of the funnel's eight verdicts,
+  * three are per-doc pure (quality rules, gopher repetition, blocklist —
+  * frozen at ingest into `docsig`), and five are functions of the WHOLE
+  * corpus so far (the reference LM and its per-source percentile buckets
+  * move with every arrival; the classifier retrains on the growing train
+  * split; span excision counts global shingle occurrences; near-dup
+  * survivorship re-clusters; decontamination matches against the growing
+  * held-out side). The maintainer therefore persists the TOKEN-LEVEL
+  * state those five derive from — positioned shingles (`occ`, the
+  * [[SpanStream]] index, shared by excision AND both decontamination
+  * sides), per-doc bigram hashes (`bg`), per-doc classifier token
+  * buckets (`tok`), and the LSH band/shingle-set index (`bands`/
+  * `shingles`, [[StreamingDedup.startIncremental]]'s layout) — and
+  * derives the verdicts AT READ TIME (the [[WebCorpusStream]] cap
+  * discipline), through the batch operators' OWN shared bodies
+  * ([[graft.operators.Quality.lmScoresFromBigrams]],
+  * [[graft.operators.Classify.trainModelTok]]/`scoreFromTok`,
+  * [[graft.operators.Dedup.nearDupPairsPre]],
+  * [[graft.operators.CorpusBuild.exPerOf]]/`contamOf`/`flagsSelect`/
+  * `funnelOf`), so stream ≡ batch is structural, not coincidental.
+  *
+  * Exactly-once is the [[SpanStream]] discipline: a `seen` id set gates
+  * arrivals (duplicate token-level rows would corrupt counts), each
+  * batch writes only its genuinely-new docs' state, same-lineage replay
+  * overwrites its own epoch partitions, fresh-lineage redelivery is
+  * emptied by the gate, and epoch numbers are collision-free across
+  * checkpoint lineages ([[EpochState.lineageBase]]). Compaction uses the
+  * shared [[Compaction]] marker protocol; the occurrence-shaped tables
+  * (`bg`, `tok`) fold by IDENTITY — their duplicates are real
+  * multiplicities — which is safe exactly because the marker protocol
+  * guarantees no double-read across a crashed compaction.
+  *
+  * Shape at scale: per-batch cost is a few narrow passes over the BATCH
+  * (tokenize once, hash three ways) plus per-epoch appends — never a
+  * corpus rescan; read-time derivation joins id-keyed compact state
+  * (ids, hashes, booleans — text never leaves its ingest batch) and ends
+  * in [[graft.operators.CorpusBuild.funnelOf]]'s single global
+  * aggregate. The heavy read-time stages are exactly the batch
+  * operators' plans over the same compact relations, with their caps and
+  * bounds intact. At 100 TB the state tables are the pipeline's standing
+  * indexes (the token-position index IS substring dedup's footprint);
+  * the funnel is a report over them, refreshed per audit, not per batch.
+  * (Reference scope: covid_streaming.py has no curation surface; this is
+  * the LLM-pipeline extension tier's capstone, streamed.) */
+object ManifestStream {
+  import graft.operators.{Classify, Corpus, CorpusBuild, Dedup, Quality}
+  import graft.operators.Mirror.{hash60, words}
+
+  /** Starts the maintainer over a stream of document rows (doc_id,
+    * source, text, n_chars). `publish` receives (epoch, n_new_docs) after the
+    * epoch's state is committed. */
+  def start(docs: DataFrame, stateDir: String, checkpoint: String)(
+      publish: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val spark = docs.sparkSession
+    val seenRoot = s"$stateDir/seen"
+    val base = EpochState.lineageBase(
+      EpochState.fs(spark, stateDir), stateDir, seenRoot, checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val epoch = base + epochId
+        val fs = EpochState.fs(spark, stateDir)
+        val seen: DataFrame = {
+          val p = new Path(seenRoot)
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+            Compaction.readTable(spark, seenRoot)
+              .filter(col("epoch") =!= lit(epoch)) // replay-safe self-mask
+              .select(col("doc_id"))
+          else batch.limit(0).select(col("doc_id"))
+        }
+        val fresh = batch.toDF()
+          .dropDuplicates("doc_id")
+          .join(seen, Seq("doc_id"), "left_anti")
+        fresh.persist()
+        try {
+          val n = fresh.count()
+          def out(table: String, df: DataFrame): Unit =
+            df.write.mode("overwrite")
+              .parquet(s"$stateDir/$table/epoch=$epoch")
+          // per-doc pure verdicts + labels, frozen at ingest
+          val sig = fresh
+            .select(col("doc_id"), col("source"),
+              size(words(col("text"))).cast("long").as("n_tokens"))
+            .join(Quality.funnelMetrics(fresh)
+              .select(col("doc_id"), Quality.keepAll.as("f1")),
+              Seq("doc_id"), "left")
+            .join(Quality.gopherProfile(fresh)
+              .select(col("doc_id"), col("gopher_keep").as("f2")),
+              Seq("doc_id"), "left")
+            .join(Quality.blockHits(fresh)
+              .select(col("doc_id"),
+                (aggregate(col("counts"), lit(0L), (a, x) => a + x) === 0L)
+                  .as("f3")),
+              Seq("doc_id"), "left")
+            .join(Classify.labeledDocs(fresh)
+              .select(col("doc_id"), col("split"), col("label_good")),
+              Seq("doc_id"), "left")
+          out("docsig", sig)
+          // token-level state the corpus-global verdicts derive from
+          out("occ", Corpus.positionedShingles(fresh))
+          out("bg", Quality.bigramHashes(fresh, Seq("doc_id", "source")))
+          out("tok", Classify.tokenBuckets(fresh))
+          out("bands", Dedup.minhashBandsOf(fresh))
+          out("shingles", Dedup.shingleSetsOf(fresh))
+          fresh.select(col("doc_id")).write.mode("overwrite")
+            .parquet(s"$seenRoot/epoch=$epoch")
+          publish(epoch, n)
+        } finally { fresh.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  private def table(spark: SparkSession, stateDir: String, name: String,
+      cols: String*): DataFrame =
+    Compaction.readTable(spark, s"$stateDir/$name").select(cols.map(col): _*)
+
+  /** The per-doc flags table over everything ingested — equal to
+    * [[graft.operators.CorpusBuild.docFlags]] over the same documents
+    * (every stage derives through the batch operators' shared bodies). */
+  def flags(spark: SparkSession, stateDir: String): DataFrame = {
+    val sig = table(spark, stateDir, "docsig",
+      "doc_id", "source", "n_tokens", "f1", "f2", "f3", "split",
+      "label_good")
+    val pos = table(spark, stateDir, "occ", "doc_id", "pos", "sh")
+      .withColumn("bucket", hash60(col("doc_id").cast(StringType)) % 100)
+    // the reference LM: bigrams of quality-passing docs so far
+    val bg = table(spark, stateDir, "bg", "doc_id", "source", "h2", "h1")
+    val (c2, c1, v) = Quality.lmCountsFromBigrams(
+      bg.join(sig.filter(col("f1")).select(col("doc_id")), "doc_id")
+        .select(col("h2"), col("h1")))
+    val scored = Quality.lmScoresFromBigrams(bg, c2, c1, v)
+    val kPpl = scored
+      .join(Quality.lmBuckets(scored), Seq("source", "score_ppm"))
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("f4"))
+    // the classifier: retrained on the accumulated train split
+    val tok = table(spark, stateDir, "tok", "doc_id", "b")
+    val model = Classify.trainModelTok(
+      tok.join(sig.filter(col("split") === "train")
+          .select(col("doc_id"), col("label_good")), "doc_id")
+        .select(col("label_good"), col("b")))
+    val kCls = Classify.scoreFromTok(tok, model)
+      .select(col("doc_id"), (col("score_pt") > 0).as("f5"))
+    // near-dup survivorship: the symmetric pair pipeline over the
+    // accumulated band/shingle index, closed transitively
+    val comp = Corpus.connectedComponents(
+        Dedup.nearDupPairsPre(
+          table(spark, stateDir, "bands", "doc_id", "band_idx",
+            "band_hash"),
+          table(spark, stateDir, "shingles", "doc_id", "sh")),
+        "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("component"))
+    CorpusBuild.flagsSelect(
+      sig.select(col("doc_id"), col("n_tokens"), col("f1"), col("f2"),
+          col("f3"))
+        .join(kPpl, Seq("doc_id"), "left")
+        .join(kCls, Seq("doc_id"), "left"),
+      CorpusBuild.exPerOf(pos), comp, CorpusBuild.contamOf(pos))
+  }
+
+  /** The 9-stage attrition funnel over everything ingested — row-for-row
+    * equal to batch q161 over the same documents (ManifestStreamSpec). */
+  def funnel(spark: SparkSession, stateDir: String): DataFrame =
+    CorpusBuild.funnelOf(flags(spark, stateDir))
+
+  /** Offline small-files maintenance (run while the stream is stopped),
+    * on the shared crash-safe [[Compaction]] protocol. Identity folds
+    * for the occurrence-shaped tables (`bg`, `tok`) — their duplicate
+    * rows are real multiplicities; dedup folds for the uniquely-keyed
+    * ones. */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    Compaction.compactTable(spark, s"$stateDir/docsig",
+      df => df.dropDuplicates("doc_id"))
+    Compaction.compactTable(spark, s"$stateDir/occ",
+      df => df.select(col("doc_id"), col("pos"), col("sh")).distinct())
+    Compaction.compactTable(spark, s"$stateDir/bg",
+      df => df.select(col("doc_id"), col("source"), col("h2"), col("h1")))
+    Compaction.compactTable(spark, s"$stateDir/tok",
+      df => df.select(col("doc_id"), col("b")))
+    Compaction.compactTable(spark, s"$stateDir/bands",
+      df => df.dropDuplicates("doc_id", "band_idx"))
+    Compaction.compactTable(spark, s"$stateDir/shingles",
+      df => df.dropDuplicates("doc_id"))
+    Compaction.compactTable(spark, s"$stateDir/seen",
+      df => df.select(col("doc_id")).distinct())
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.covid.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class MDoc(doc_id: Long, source: String, text: String,
+    n_chars: Long)
+
+/** Streaming corpus-build manifest ([[ManifestStream]]): the funnel over
+  * the accumulated state must equal batch q161 row for row — under
+  * overlapping batch splits, fresh-lineage redelivery, and compaction —
+  * with the same telescoping invariant BuildManifestSpec pins, and text
+  * must be read only at ingest (the read-time derivation scans no
+  * documents.parquet). */
+class ManifestStreamSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docRows: Seq[MDoc] =
+    graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => MDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  private def run(dir: java.nio.file.Path, ckpt: String,
+      bs: Seq[Seq[MDoc]]): Seq[(Long, Long)] = {
+    val stream = MemoryStream[MDoc](spark)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = ManifestStream.start(stream.toDF(),
+      dir.resolve("state").toString, dir.resolve(ckpt).toString) {
+      (e, n) => reports += ((e, n))
+    }
+    try bs.foreach { b =>
+      stream.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    reports.toSeq
+  }
+
+  private def funnelRows(df: DataFrame): Seq[(Long, String, Long, Long,
+      Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+
+  test("stream funnel == batch q161 row for row under overlapping " +
+    "splits and redelivery; telescopes; compaction preserves; " +
+    "fresh-lineage redelivery gates to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("manifeststream")
+    val state = dir.resolve("state").toString
+    val rows = docRows
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    // deliver with an overlap (batch 2 redelivers a tail of batch 1)
+    val r1 = run(dir, "ckpt1", Seq(b1))
+    val r2 = run(dir, "ckpt2", Seq(b1.takeRight(20) ++ b2, b3))
+    assert((r1 ++ r2).map(_._2).sum == rows.length,
+      "every doc must land exactly once (gate absorbs the overlap)")
+
+    // the batch reference: q161 computed INLINE on the same documents
+    // (every artifact tier off, so nothing persisted leaks across tests)
+    val got = funnelRows(ManifestStream.funnel(spark, state))
+    val want = try {
+      Seq("manifestcache", "cccache", "lmcache", "paircache")
+        .foreach(c => spark.conf.set(s"spark.graft.$c", "false"))
+      funnelRows(graft.operators.CorpusBuild.q161CorpusManifest
+        .fn(spark, sfDir))
+    } finally Seq("manifestcache", "cccache", "lmcache", "paircache")
+      .foreach(c => spark.conf.unset(s"spark.graft.$c"))
+    assert(got == want, s"stream funnel != batch q161:\n$got\nvs\n$want")
+
+    // the BuildManifestSpec telescoping invariant holds on the stream side
+    assert(got.map(_._1) == (0L to 8L))
+    got.sliding(2).foreach { case Seq(prev, cur) =>
+      assert(cur._3 <= prev._3 && cur._4 <= prev._4)
+      assert(cur._5 == prev._3 - cur._3 && cur._6 == prev._4 - cur._4,
+        s"stage ${cur._2} must telescope")
+    }
+
+    // text is read only at ingest: the read-time plan scans state
+    // parquet, never documents.parquet
+    val flagsDf = ManifestStream.flags(spark, state)
+    flagsDf.collect()
+    val scans = flagsDf.queryExecution.executedPlan.toString
+    assert(!scans.contains("documents.parquet"),
+      "read-time derivation must not rescan text")
+
+    // compaction preserves the funnel exactly
+    ManifestStream.compactState(spark, state)
+    assert(funnelRows(ManifestStream.funnel(spark, state)) == want,
+      "compaction changed the funnel")
+
+    // fresh-lineage redelivery of an already-seen batch gates to zero
+    val rep = run(dir, "ckpt3", Seq(b2))
+    assert(rep.map(_._2).sum == 0, "fresh-lineage redelivery must gate")
+    assert(funnelRows(ManifestStream.funnel(spark, state)) == want)
+  }
+}
