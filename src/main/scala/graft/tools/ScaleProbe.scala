@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only empirical scale probe (round-14 verdict item 3): generate a
+  * documents/embeddings pair at sf0.1 size and at ~10× that size, run
+  * the five scale-claiming families FRESH (every artifact cache
+  * disabled, so each run pays the full pipeline), and report
+  * runtime-vs-scale ratios plus shuffle write volume — the empirical
+  * check behind the per-operator "linear at 100 TB" plan-shape claims.
+  *
+  * The generator mimics the driver corpus' structure (small shared
+  * vocabulary → natural shingle overlap and near-dups; clustered
+  * embeddings = per-label center + per-vector noise) as pure hash
+  * functions of the id, so both scales draw from the SAME distribution
+  * and the 10× dir is not ten copies of the 1× dir (copies would
+  * manufacture quadratic duplicate structure no real corpus has).
+  *
+  * Usage: `runMain graft.tools.ScaleProbe [baseRows=5000] [mult=10]`.
+  * Writes /tmp/graft-scale/x1 and /tmp/graft-scale/x<mult>, prints one
+  * SCALE line per (family, scale) and a ratio table.
+  */
+object ScaleProbe {
+
+  private val Vocab = Seq("spark", "line", "column", "part", "scan",
+    "fast", "query", "agg", "table", "hash", "slow", "value", "filter",
+    "customer", "stream", "key", "group", "the", "order", "window",
+    "join", "small", "data", "row", "vector", "sort", "batch", "merge",
+    "big", "a")
+
+  private def gen(spark: SparkSession, dir: String, docs: Long,
+      vecs: Long, files: Int): Unit = {
+    val vocabSql = Vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val d = spark.range(docs).selectExpr(
+      "id AS doc_id",
+      s"""array_join(transform(
+         |  sequence(0, 14 + cast(pmod(hash(id), 46) AS int)),
+         |  i -> element_at($vocabSql,
+         |         cast(pmod(hash(id, i), ${Vocab.size}) AS int) + 1)),
+         | ' ') AS text""".stripMargin,
+      "element_at(array('en','de','fr','zh','es','ru')," +
+        " cast(pmod(hash(id, 7), 6) AS int) + 1) AS lang",
+      "concat('src', pmod(id, 10)) AS source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    d.coalesce(files).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val e = spark.range(vecs).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 63), d -> cast(
+        |  (pmod(hash(pmod(hash(id, 3), 16), d), 1000) / 500.0 - 1.0) +
+        |  (pmod(hash(id, d), 1000) / 5000.0 - 0.1) AS float))
+        | AS embedding""".stripMargin,
+      "cast(pmod(hash(id, 3), 16) AS int) AS label")
+    e.coalesce(files).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseRows = if (args.length > 0) args(0).toLong else 5000L
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // FRESH pipelines only: every artifact tier off, so both scales
+      // pay identical work and the ratio measures the algorithm
+      .config("spark.graft.paircache", "false")
+      .config("spark.graft.cccache", "false")
+      .config("spark.graft.semcache", "false")
+      .config("spark.graft.manifestcache", "false")
+      .config("spark.graft.modelcache", "false")
+      .config("spark.graft.lmcache", "false")
+      .config("spark.graft.bpecache", "false")
+      .config("spark.graft.unigramcache", "false")
+      .config("spark.graft.wpcache", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
+      }
+    })
+
+    val base = "/tmp/graft-scale"
+    val dirs = Seq(1 -> s"$base/n$baseRows",
+      mult -> s"$base/n${baseRows * mult}")
+    dirs.foreach { case (m, dir) =>
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println(s"[scale] generating $dir (${baseRows * m} docs)")
+        gen(spark, dir, baseRows * m, baseRows * m * 2 / 5,
+          math.max(4, 4 * m))
+      }
+    }
+
+    val families = Seq[(String, (SparkSession, String) => Long)](
+      "q19_lsh_neardup" -> ((s, d) =>
+        graft.SparkEntry.queries("q19_dedup_minhash_lsh")(s, d).count()),
+      "q166_semantic_fresh" -> ((s, d) =>
+        graft.SparkEntry.queries("q166_semantic_dedup_fresh")(s, d)
+          .count()),
+      "q143_substring_spans" -> ((s, d) =>
+        graft.SparkEntry.queries("q143_substring_spans")(s, d).count()),
+      "q68_ann_pq" -> ((s, d) =>
+        graft.SparkEntry.queries("q68_ann_pq")(s, d).count()),
+      "q161_signal_table" -> ((s, d) =>
+        graft.operators.ManifestCache.flags(s, d).count()))
+
+    val results = scala.collection.mutable.Map
+      .empty[(String, Int), (Double, Long, Long)]
+    dirs.foreach { case (m, dir) =>
+      families.foreach { case (name, fn) =>
+        // two fresh executions, keep the min (damps GC/JIT noise); the
+        // per-JVM centroid memo is cleared so EVERY run trains fresh
+        val runs = (1 to 2).map { _ =>
+          graft.operators.Similarity.clearModelMemoForTest()
+          shuffleBytes.set(0L)
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir)
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let straggler task-end events drain
+          (secs, shuffleBytes.get(), rows)
+        }
+        val best = runs.minBy(_._1)
+        results((name, m)) = best
+        println(f"SCALE $name x$m%d: secs=${best._1}%.2f " +
+          f"shuffleMB=${best._2 / 1e6}%.1f rows=${best._3}%d")
+      }
+    }
+    println(s"family | x1 s | x$mult s | time ratio | x1 shMB | " +
+      s"x$mult shMB | shuffle ratio")
+    families.foreach { case (name, _) =>
+      val a = results((name, 1)); val b = results((name, mult))
+      println(f"$name | ${a._1}%.2f | ${b._1}%.2f | ${b._1 / a._1}%.1fx" +
+        f" | ${a._2 / 1e6}%.1f | ${b._2 / 1e6}%.1f" +
+        f" | ${b._2.toDouble / math.max(a._2, 1)}%.1fx")
+    }
+    spark.stop()
+  }
+}
