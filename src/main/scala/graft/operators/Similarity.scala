@@ -479,7 +479,10 @@ object Similarity {
 
   /** Test hook: drop the per-JVM memo so specs can simulate a cold session
     * against the [[ModelCache]] disk tier. */
-  private[graft] def clearModelMemoForTest(): Unit = modelCache.clear()
+  private[graft] def clearModelMemoForTest(): Unit = {
+    modelCache.clear()
+    pqMemo.clear()
+  }
 
   /** The input's file-scan root paths — or None when ANY leaf is not a
     * file relation. A canonicalized plan string identifies projections
@@ -862,6 +865,46 @@ object Similarity {
     }
   }
 
+  /** Per-JVM memo + [[ModelCache]] disk tier for the PQ codebook family —
+    * the [[lloydCentroids]] discipline applied to the batched trainer
+    * (which bypasses the lloyd memo by design and was therefore
+    * RETRAINING all 8 codebooks on every q68 invocation: two corpus
+    * collects + a 64×-explode aggregation of pure fixed cost per run,
+    * the round-15 tail finding). The 8 codebooks persist as ONE
+    * ModelCache payload with cell ids encoded m·100+cell (cells are
+    * 1..[[KmeansK]] ≤ 100 by construction); decode restores the
+    * per-subspace arrays in cell order, bit-exactly. Keys and stable
+    * tags follow [[lloydCentroids]] verbatim; crafted/local inputs
+    * (no file leaves) train uncached. */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Boolean), IndexedSeq[Array[(Long, Array[Double])]]]()
+
+  private[graft] def pqCodebooksCached(emb: DataFrame)
+      : IndexedSeq[Array[(Long, Array[Double])]] = {
+    val exact = exactMeans(emb)
+    fileLeafPaths(emb) match {
+      case Some((p, plainPaths)) =>
+        val canonical = emb.queryExecution.analyzed.canonicalized.toString
+        val key = ("pq|" + p + "\n" + canonical, KmeansK, exact)
+        val stableTag = ArtifactStore.md5Hex(
+          Seq("pq", plainPaths, canonical, PqM, KmeansK, exact)
+            .mkString("|"))
+        pqMemo.computeIfAbsent(key, _ => {
+          val flat = ModelCache.loadOrTrain(emb.sparkSession,
+            Seq(key._1, PqM, KmeansK, exact).mkString("|"), stableTag)(() =>
+            pqCodebooks(emb).zipWithIndex.flatMap { case (cb, m) =>
+              cb.map { case (cell, v) => (m * 100L + cell, v) }
+            }.toArray)
+          (0 until PqM).map { m =>
+            flat.filter(_._1 / 100 == m)
+              .map { case (id, v) => (id % 100, v) }
+              .sortBy(_._1)
+          }
+        })
+      case None => pqCodebooks(emb)
+    }
+  }
+
   /** Per-subspace DuckDB training + assignment + query distance table:
     * slice, md5-seeded init, one Lloyd iteration (reusing the q48
     * iteration template under a `sub$m` prefix), final codes (argmin cell
@@ -947,8 +990,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     def sub(m: Int) = slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
     // 8 independent codebooks trained in one batched pass (model on the
-    // driver, like q48); see pqCodebooks for why not 8 lloydCentroids calls
-    val cents = pqCodebooks(emb)
+    // driver, like q48); see pqCodebooks for why not 8 lloydCentroids
+    // calls, and pqCodebooksCached for the memo/ModelCache tier — a
+    // production index trains its quantizer once and persists it
+    val cents = pqCodebooksCached(emb)
     // encode: one narrow projection, 8 native argmin expressions
     val codes = emb.select(
       col("vec_id") +: (0 until PqM).map(m =>

