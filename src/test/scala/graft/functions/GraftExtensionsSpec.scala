@@ -75,6 +75,23 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
   }
 
+  test("url_canon / url_canon_pct / url_host are callable from SQL and " +
+    "agree with the Column API") {
+    GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      "SELECT url_canon('http://WWW.H.com:80/%7eu/?utm_source=x&id=1#f')," +
+        " url_canon_pct('http://h.com/%7eu/a%2fb?id=%6a')," +
+        " url_host('https://u@www.www.H7.example.com/x')").collect().head
+    assert(r.getString(0) == "http://h.com/%7eu?id=1")
+    assert(r.getString(1) == "http://h.com/~u/a%2Fb?id=j")
+    assert(r.getString(2) == "h7.example.com")
+    // type-checked: a non-string argument is an analysis error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT url_canon_pct(42)").collect()
+    }
+    assert(e.getMessage.contains("url_canon_pct"))
+  }
+
   test("wrong argument types fail at analysis, not execution") {
     GraftExtensions.registerInto(spark)
     // array<double> would silently getFloat() 8-byte-packed data — must be
