@@ -57,7 +57,49 @@ object ScaleProbe {
       .parquet(s"$dir/embeddings.parquet")
   }
 
+  /** `pairs` mode: count the LSH candidate-pair relation at three
+    * corpus sizes — the direct empirical check of the cap-saturation
+    * claim (SCALE.md): pairs/doc grows through the fill² transition and
+    * FLATTENS once hot buckets saturate at MaxBucket, bounding the
+    * asymptote at N·Bands·MaxBucket/2. Counting the pair relation alone
+    * (no verify join) isolates the stage the claim is about. */
+  private def pairsProbe(spark: SparkSession, baseRows: Long,
+      mults: Seq[Int]): Unit = {
+    val base = "/tmp/graft-scale"
+    mults.foreach { m =>
+      val dir = s"$base/n${baseRows * m}"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println(s"[scale] generating $dir (${baseRows * m} docs)")
+        gen(spark, dir, baseRows * m, baseRows * m * 2 / 5,
+          math.max(4, 4 * m))
+      }
+      val docs = graft.Tables(spark, dir, "documents")
+      val t0 = System.nanoTime()
+      val nPairs = graft.operators.Dedup.candidateStatsPre(
+        graft.operators.Dedup.minhashBandsOf(docs),
+        graft.operators.Dedup.shingleSetsOf(docs),
+        s"scaleprobe_cap_x$m").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perDoc = nPairs.toDouble / (baseRows * m)
+      println(f"PAIRS x$m%d docs=${baseRows * m}%d cand_pairs=$nPairs%d " +
+        f"pairs_per_doc=$perDoc%.2f secs=$secs%.1f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pairs")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      pairsProbe(spark, 50000L, Seq(1, 10, 30))
+      spark.stop()
+      return
+    }
     val baseRows = if (args.length > 0) args(0).toLong else 5000L
     val mult = if (args.length > 1) args(1).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
