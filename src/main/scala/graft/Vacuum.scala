@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.ArtifactStore
 
 /** Unified store vacuum — ONE entry point sweeping every artifact store
-  * the engine maintains (model / pair / cc / bpe / unigram / lm / wp) plus any
+  * the engine maintains (model / pair / cc / sem / manifest / bpe /
+  * unigram / lm / wp) plus any
   * [[graft.streaming.LayoutStream]] tables passed as arguments, all under
   * the one shared grace rule ([[ArtifactStore.pruneGraceMs]]). Before
   * this, each store swept only at its own publish time
@@ -26,11 +27,11 @@ import graft.operators.ArtifactStore
   * report line per store: name, dirs removed, bytes reclaimed. */
 object Vacuum {
 
-  /** The seven artifact store roots, honoring each cache's own prop/env
+  /** The nine artifact store roots, honoring each cache's own prop/env
     * overrides (same resolution order as the caches themselves). */
   def storeRoots: Seq[(String, String)] =
-    Seq("modelcache", "paircache", "cccache", "bpecache", "unigramcache",
-      "lmcache", "wpcache").map { n =>
+    Seq("modelcache", "paircache", "cccache", "semcache", "manifestcache",
+      "bpecache", "unigramcache", "lmcache", "wpcache").map { n =>
       n -> sys.props.get(s"graft.$n.dir")
         .orElse(sys.env.get("SPARK_GRAFT_" + n.toUpperCase + "_DIR"))
         .getOrElse(sys.props("java.io.tmpdir") + s"/graft-$n")
