@@ -524,23 +524,37 @@ object Extended {
     * (one shuffle), then a histogram of counts (the distinct-count table
     * is tiny — at most one row per distinct group size), and the
     * percentile is the first histogram cell whose running total clears
-    * the ceil-rank. The only windowed relation is the histogram. */
+    * the ceil-rank.
+    *
+    * Single-exchange shape: the per-key count relation is consumed
+    * EXACTLY ONCE — the histogram row for group size `c` carries its
+    * frequency `f` AND the smallest key of that size (`mk`), so key
+    * cardinality (Σf), row total (Σc·f), max size, both percentiles
+    * (running Σf over the size-ordered histogram), and the tie-broken
+    * top key (`max_by(mk, c)` — sizes are unique per histogram row) all
+    * derive from the tiny histogram without ever re-executing the
+    * per-key aggregation. One wide shuffle + one histogram-sized
+    * shuffle + a single-partition window over at-most-distinct-sizes
+    * rows, at any scale. */
   private def skewProfile(df: org.apache.spark.sql.DataFrame,
       key: String, name: String): org.apache.spark.sql.DataFrame = {
     val c1 = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-    val st = c1.agg(count(lit(1)).as("nk"), sum(col("c")).as("nr"),
-      max(col("c")).as("mx"))
-    val cum = c1.groupBy(col("c")).agg(count(lit(1)).as("f"))
-      .withColumn("cum", sum(col("f")).over(Window.orderBy(col("c"))))
+    val h = c1.groupBy(col("c"))
+      .agg(count(lit(1)).as("f"), min(col("k")).as("mk"))
+    val ord = Window.orderBy(col("c"))
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = h.withColumn("cum", sum(col("f")).over(ord))
+      .withColumn("nk", sum(col("f")).over(all))
     def rank(num: Long, den: Long) =
       ((col("nk") * num + (den - 1L)) / den).cast(LongType)
-    val pp = cum.crossJoin(broadcast(st)).agg(
-      min(when(col("cum") >= rank(1L, 2L), col("c"))).as("p50"),
-      min(when(col("cum") >= rank(99L, 100L), col("c"))).as("p99"))
-    val tk = c1.crossJoin(broadcast(st))
-      .filter(col("c") === col("mx"))
-      .agg(min(col("k")).as("top_key"))
-    st.crossJoin(pp).crossJoin(tk)
+    cum.agg(
+        max(col("nk")).as("nk"),
+        sum(col("c") * col("f")).as("nr"),
+        max(col("c")).as("mx"),
+        min(when(col("cum") >= rank(1L, 2L), col("c"))).as("p50"),
+        min(when(col("cum") >= rank(99L, 100L), col("c"))).as("p99"),
+        max_by(col("mk"), col("c")).as("top_key"))
       .select(lit(name).as("key_name"), col("nk").as("n_keys"),
         col("nr").as("n_rows"),
         (col("nr").cast(DoubleType) / col("nk").cast(DoubleType))
