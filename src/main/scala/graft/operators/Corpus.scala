@@ -68,7 +68,7 @@ object Corpus {
     // convergence — fail loudly instead of looping silently for hours.
     val maxRounds =
       edges.sparkSession.conf.get("spark.graft.cc.maxRounds", "100").toInt
-    val (labels, converged, _) = labelLoop(edges, src, dst, maxRounds)
+    val (labels, converged, _, _) = labelLoop(edges, src, dst, maxRounds)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
@@ -101,37 +101,63 @@ object Corpus {
     * table; the convergence `count` is the driver-side control signal,
     * same as MLlib's iterative jobs. */
   private def labelLoop(edges: DataFrame, src: String, dst: String,
-      budget: Int): (DataFrame, Boolean, Int) = {
-    val truncate = ccTruncate(edges.sparkSession)
+      budget: Int): (DataFrame, Boolean, Int, DataFrame) = {
+    val spark = edges.sparkSession
+    val truncate = ccTruncate(spark)
     // checkpoint the DIRECTED pairs first: the union below reads the edge
     // pipeline (LSH + verify) twice, so materializing before symmetrizing
-    // halves its executions; iterations then run off cached blocks only
-    val p = truncate(edges.select(col(src).as("a"), col(dst).as("b")))
+    // halves its executions; iterations then run off cached blocks only.
+    // This is the only CORPUS-scale action — it runs at full session
+    // width/adaptivity; the observed pair count then sizes the loop's
+    // pinned profile ([[LoopConf]] — the label table is id+long rows,
+    // tiny next to the pipeline that produced it).
+    val pObs = Obs("cc_pairs")
+    val p = truncate(edges.select(col(src).as("a"), col(dst).as("b"))
+      .observe(pObs, count(lit(1)).as("n")))
+    val nPairs = Obs.long(pObs, "n")
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
-    var labels = truncate(sym.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("label")))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < budget) {
-      rounds += 1
-      val nbrMin = sym
-        .join(labels.select(col("v").as("b"), col("label")), "b")
-        .groupBy(col("a").as("v"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = truncate(labels
-        .join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label"))
-            .as("chg")))
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("v"), col("label"))
+    LoopConf.pinned(spark, LoopConf.parts(spark, 2L * nPairs)) {
+      val dbg = sys.env.contains("GRAFT_DEBUG_CC")
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = if (dbg) {
+        val t1 = System.nanoTime()
+        System.err.println(f"[cc]   $tag: ${(t1 - t0) / 1e9}%.3f s")
+        t0 = t1
+      }
+      var labels = truncate(sym.select(col("a").as("v")).distinct()
+        .select(col("v"), col("v").as("label")))
+      lap("labels0")
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < budget) {
+        rounds += 1
+        val nbrMin = sym
+          .join(labels.select(col("v").as("b"), col("label")), "b")
+          .groupBy(col("a").as("v"))
+          .agg(min(col("label")).as("nbr_min"))
+        // the round's ONE job: the truncation materializes the new labels
+        // and its observed metric is the convergence signal — no second
+        // count action per round
+        val obs = Obs("cc_chg")
+        val next = truncate(labels
+          .join(nbrMin, Seq("v"), "left")
+          .select(col("v"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label"),
+            (coalesce(col("nbr_min"), col("label")) < col("label"))
+              .as("chg"))
+          .observe(obs,
+            coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))
+              .as("n_chg")))
+        changed = Obs.long(obs, "n_chg")
+        lap(s"round $rounds (changed=$changed)")
+        labels = next.select(col("v"), col("label"))
+      }
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(
+          s"[cc] label loop: $rounds rounds, converged=${changed == 0}")
+      (labels, changed == 0, rounds, p)
     }
-    if (sys.env.contains("GRAFT_DEBUG_CC"))
-      System.err.println(
-        s"[cc] label loop: $rounds rounds, converged=${changed == 0}")
-    (labels, changed == 0, rounds)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -190,46 +216,66 @@ object Corpus {
           least(col("u"), col("v")).as("b"))
         .distinct()
     }
+    // observed row count riding a truncation job — each star half-step
+    // is ONE action (materialize + count), not two
+    def truncCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = Obs("star_n")
+      val t = truncate(df.observe(obs, count(lit(1)).as("n")))
+      (t, Obs.long(obs, "n"))
+    }
     // canonical (hi=a, lo=b) distinct edge set; checkpoint cuts the
-    // LSH/cosine edge pipeline out of the loop lineage
-    var e = truncate(edges
+    // LSH/cosine edge pipeline out of the loop lineage. This is the
+    // only input-scale action — full session width/adaptivity; the
+    // contraction cycles then run pinned to the edge-set's own size
+    var (e, eCount) = truncCounted(edges
       .filter(col(src) =!= col(dst))
       .select(greatest(col(src), col(dst)).as("a"),
         least(col(src), col(dst)).as("b"))
       .distinct())
-    var eCount = e.count()
     // distinct sets: equal counts + empty one-sided difference ⇒ equal
     def unchanged(next: DataFrame, nextCount: Long, prev: DataFrame,
         prevCount: Long): Boolean =
       nextCount == prevCount && next.except(prev).isEmpty
-    var cycles = 0
-    var converged = eCount == 0L
-    while (!converged) {
-      cycles += 1
-      if (cycles > maxRounds)
-        throw new IllegalStateException(
-          s"starComponents did not converge in $maxRounds cycles " +
-            "(spark.graft.cc.maxRounds) — aborting instead of looping " +
-            "unbounded")
-      val l = truncate(step(e, large = true))
-      val lCount = l.count()
-      val n = truncate(step(l, large = false))
-      val nCount = n.count()
-      // converged ⇔ BOTH steps were identities: the joint fixpoints of
-      // large- and small-star are exactly the min-centered star partitions
-      // (a cycle-level no-op is NOT enough — small-star alone is identity
-      // on some non-star states, e.g. a half-contracted chain)
-      converged = unchanged(l, lCount, e, eCount) &&
-        unchanged(n, nCount, l, lCount)
-      e = n
-      eCount = nCount
+    LoopConf.pinned(spark, LoopConf.parts(spark, 2L * eCount)) {
+      val dbg = sys.env.contains("GRAFT_DEBUG_CC")
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = if (dbg) {
+        val t1 = System.nanoTime()
+        System.err.println(f"[cc]   star $tag: ${(t1 - t0) / 1e9}%.3f s")
+        t0 = t1
+      }
+      var cycles = 0
+      var converged = eCount == 0L
+      while (!converged) {
+        cycles += 1
+        if (cycles > maxRounds)
+          throw new IllegalStateException(
+            s"starComponents did not converge in $maxRounds cycles " +
+              "(spark.graft.cc.maxRounds) — aborting instead of looping " +
+              "unbounded")
+        val (l, lCount) = truncCounted(step(e, large = true))
+        lap(s"cycle $cycles large")
+        val (n, nCount) = truncCounted(step(l, large = false))
+        lap(s"cycle $cycles small")
+        // converged ⇔ BOTH steps were identities: the joint fixpoints of
+        // large- and small-star are exactly the min-centered star
+        // partitions (a cycle-level no-op is NOT enough — small-star
+        // alone is identity on some non-star states, e.g. a
+        // half-contracted chain)
+        converged = unchanged(l, lCount, e, eCount) &&
+          unchanged(n, nCount, l, lCount)
+        lap(s"cycle $cycles conv-check")
+        e = n
+        eCount = nCount
+      }
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[cc] star converged in $cycles cycles")
+      // fixpoint is disjoint min-centered stars: component = min(v,
+      // center)
+      sym(e).groupBy(col("a").as("v"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("component"))
     }
-    if (sys.env.contains("GRAFT_DEBUG_CC"))
-      System.err.println(s"[cc] star converged in $cycles cycles")
-    // fixpoint is disjoint min-centered stars: component = min(v, center)
-    sym(e).groupBy(col("a").as("v"))
-      .agg(min(col("b")).as("mn"))
-      .select(col("v"), least(col("v"), col("mn")).as("component"))
   }
 
   /** Label-propagation budget of the `auto` mode before it escalates to
@@ -237,6 +283,86 @@ object Corpus {
     * shallow near-dup graph (the common case) finishes in the cheap loop
     * and only genuinely deep graphs pay the contraction machinery. */
   private val AutoLabelBudget = 4
+
+  /** Driver-finish bound for the label-contracted quotient graph: when
+    * the quotient has at most this many edges it is solved with an exact
+    * union-find ON THE DRIVER instead of O(log d) more distributed star
+    * cycles. This is the standard last step of multi-level contraction
+    * (shrink distributedly until the remainder is bounded, then finish
+    * locally — the same bounded-driver-state posture as the Lloyd and
+    * dangling-mass scalars): each distributed round costs a fixed
+    * planning/scheduling round-trip regardless of data size, so once the
+    * remainder is megabyte-scale the driver solve is strictly faster —
+    * measured at sf0.1, the q166 semantic quotient (hundreds of edges)
+    * paid ~2.2 s for four star cycles a union-find does in microseconds.
+    * 1M edges ≈ tens of MB of driver heap, far under any sane driver
+    * budget; set 0 to force the distributed path. */
+  private val DriverFinishMaxEdges = 1000000L
+
+  /** Exact min-representative union-find over a bounded edge list —
+    * component = min reachable vertex under the column type's ordering
+    * (the same `<`/`least` ordering the distributed paths use), so the
+    * result is bit-identical to [[starComponents]] on the same graph. */
+  private def unionFind(edges: Array[(Any, Any)]): Map[Any, Any] = {
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long) => a < b
+      case (a: Int, b: Int) => a < b
+      case (a: String, b: String) => a < b
+      case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+        a.compareTo(b) < 0
+      case _ => throw new IllegalArgumentException(
+        s"unorderable component id type: ${x.getClass}")
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min root stays the representative
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    verts.iterator.map(v => v -> find(v)).toMap
+  }
+
+  /** Component labels for the quotient graph: driver union-find when the
+    * edge list is bounded ([[DriverFinishMaxEdges]], probed with a
+    * limit-collect so an oversized quotient never lands on the driver),
+    * distributed star contraction otherwise. Returns (label, component)
+    * for every quotient vertex. */
+  private def quotientComponents(quotient: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = quotient.sparkSession
+    val maxEdges = spark.conf
+      .get("spark.graft.cc.driverFinishMaxEdges",
+        DriverFinishMaxEdges.toString).toLong
+    val probe = if (maxEdges > 0 && maxEdges < Int.MaxValue - 1)
+      quotient.limit(maxEdges.toInt + 1).collect() else Array.empty[Row]
+    if (maxEdges > 0 && probe.length <= maxEdges) {
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(
+          s"[cc] quotient driver-finish: ${probe.length} edges")
+      val comp = unionFind(probe.map(r => (r.get(0), r.get(1))))
+      val idType = quotient.schema.fields(0).dataType
+      val schema = StructType(Seq(StructField("label", idType),
+        StructField("component", idType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          comp.toSeq.map { case (v, c) => Row(v, c) }, 1), schema)
+    } else
+      starComponents(quotient, "a", "b")
+        .select(col("v").as("label"), col("component"))
+  }
 
   /** Transitive closure of an undirected pair list → (v, component) with
     * component = min reachable vertex id, for every vertex appearing in an
@@ -271,21 +397,24 @@ object Corpus {
         val budget = math.min(AutoLabelBudget,
           edges.sparkSession.conf.get("spark.graft.cc.maxRounds", "100")
             .toInt)
-        val (labels, converged, _) = labelLoop(edges, src, dst, budget)
+        val (labels, converged, _, pairs) = labelLoop(edges, src, dst,
+          budget)
         if (converged) labels.select(col("v"), col("label").as("component"))
         else {
           // quotient graph: one row per surviving inter-label edge; the
           // star phase then runs on a graph whose vertex count is the
-          // number of DISTINCT labels, not original vertices
+          // number of DISTINCT labels, not original vertices. Built from
+          // the label loop's TRUNCATED pair table — rebuilding from
+          // `edges` here would re-execute the whole upstream pair
+          // pipeline (LSH banding + verification) a second time
           val la = labels.select(col("v").as("qa"), col("label").as("a"))
           val lb = labels.select(col("v").as("qb"), col("label").as("b"))
-          val quotient = edges
-            .select(col(src).as("qa"), col(dst).as("qb"))
+          val quotient = pairs
+            .select(col("a").as("qa"), col("b").as("qb"))
             .join(la, "qa").join(lb, "qb")
             .filter(col("a") =!= col("b"))
             .select(col("a"), col("b"))
-          val starLabels = starComponents(quotient, "a", "b")
-            .select(col("v").as("label"), col("component"))
+          val starLabels = quotientComponents(quotient)
           // vertices whose label has no surviving quotient edge converged
           // inside the budget — their label IS the component min
           labels.join(starLabels, Seq("label"), "left")

@@ -69,23 +69,10 @@ object Graph {
     spark.conf.get("spark.graft.pagerank.ckptEvery", default.toString)
       .toInt
 
-  /** Target rows per loop partition: ~1M (id, long) rows ≈ 16 MB — small
-    * enough to sort/join in memory, large enough that task-launch
-    * overhead never dominates the work. */
-  private val RowsPerPart = 1L << 20
-
-  /** Loop parallelism sized to the NODE TABLE, not the session default:
-    * ceil(n / [[RowsPerPart]]) capped at the session shuffle width. A
-    * 60k-node local graph runs 1-wide (spraying a 1 MB rank table over
-    * 32 tasks × ~3 stages × 5 rounds is pure scheduling overhead — the
-    * measured floor of the loop at small SF), while a 10^11-node cluster
-    * graph saturates the configured shuffle partitions. Partition count
-    * never affects results: every per-round reduction is an exact
-    * integer sum and the final top-100 ordering is total. */
-  private def prParts(spark: SparkSession, n: Long): Int = {
-    val sp = spark.conf.get("spark.sql.shuffle.partitions", "200").toLong
-    math.max(1L, math.min(sp, (n + RowsPerPart - 1) / RowsPerPart)).toInt
-  }
+  /** Loop parallelism sized to the NODE TABLE, not the session default —
+    * see [[LoopConf.parts]]. */
+  private def prParts(spark: SparkSession, n: Long): Int =
+    LoopConf.parts(spark, n)
 
   /** The node table (any projection starting with doc_id),
     * hash-partitioned on doc_id [[prParts]]-wide and materialized once
@@ -118,37 +105,12 @@ object Graph {
     * loop's own actions run under the pin; the returned final plan
     * executes under the caller's session settings. */
   private def withLoopConf[T](spark: SparkSession, parts: Int)(
-      body: => T): T = {
-    val conf = spark.conf
-    val savedSp = conf.getOption("spark.sql.shuffle.partitions")
-    val savedAqe = conf.getOption("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.shuffle.partitions", parts.toString)
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try body
-    finally {
-      savedSp.fold(conf.unset("spark.sql.shuffle.partitions"))(
-        conf.set("spark.sql.shuffle.partitions", _))
-      savedAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
-        conf.set("spark.sql.adaptive.enabled", _))
-    }
-  }
+      body: => T): T = LoopConf.pinned(spark, parts)(body)
 
-  /** Monotonic source for unique Observation names — a query can run many
-    * times in one session (bench min-of-N) and observation names must not
-    * collide within a live listener set. */
-  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private def newObs(): Observation =
-    new Observation(s"graft_pr_dang_${obsSeq.incrementAndGet()}")
+  private def newObs(): Observation = Obs("pr_dang")
 
-  /** The observed dangling sum of an already-materialized round — the
-    * metric rides the truncation job's completion event, so this returns
-    * without launching anything. */
-  private def obsLong(obs: Observation): Long =
-    obs.get("dang_sum") match {
-      case l: java.lang.Long => l.longValue()
-      case other => other.toString.toLong
-    }
+  private def obsLong(obs: Observation): Long = Obs.long(obs, "dang_sum")
 
   /** q132: integer PageRank over a deterministic synthetic link graph —
     * doc d links to hash60(d:link:k) mod N for k = 1..3 (self-links

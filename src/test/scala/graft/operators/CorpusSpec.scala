@@ -53,17 +53,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestSession {
 
   test("connectedComponents: max-rounds guard fails loudly, not silently") {
     import spark.implicits._
-    // diameter-5 chain needs ~4 propagation rounds; a 1-round budget must
-    // abort with a diagnosable error instead of looping or truncating
+    // diameter-5 chain needs ~4 propagation rounds. With a 1-round budget
+    // the label loop hands off a still-deep quotient; the DEFAULT path
+    // solves it exactly with the bounded driver union-find (no unbounded
+    // looping possible), while the forced-distributed path
+    // (driverFinishMaxEdges=0) must abort with a diagnosable error
+    // instead of looping or truncating.
     val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
       .toDF("a", "b")
     spark.conf.set("spark.graft.cc.maxRounds", "1")
     try {
+      val comp = Corpus.connectedComponents(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((2L to 7L).forall(comp(_) == 2L), comp.toSeq.sorted)
+      spark.conf.set("spark.graft.cc.driverFinishMaxEdges", "0")
       val e = intercept[IllegalStateException] {
         Corpus.connectedComponents(chain, "a", "b").count()
       }
       assert(e.getMessage.contains("maxRounds"), e.getMessage)
-    } finally spark.conf.unset("spark.graft.cc.maxRounds")
+    } finally {
+      spark.conf.unset("spark.graft.cc.maxRounds")
+      spark.conf.unset("spark.graft.cc.driverFinishMaxEdges")
+    }
   }
 
   test("cc: auto (default), star, and label reach the same fixpoint") {
