@@ -51,7 +51,11 @@ object Vacuum {
       val (gens, slices) = graft.streaming.LayoutStream.vacuum(spark, t)
       (s"layout:$t", gens + slices, -1L) // LayoutStream counts dirs only
     }
-    storeRows ++ layoutRows
+    // in-session retained caches (not on-disk stores): the manifest
+    // build's positioned-shingle table
+    val retainedRows = Seq(("retained:manifest-shingles",
+      if (graft.operators.CorpusBuild.releaseRetained()) 1L else 0L, -1L))
+    storeRows ++ layoutRows ++ retainedRows
   }
 
   def main(args: Array[String]): Unit = {

@@ -51,6 +51,33 @@ object BatchSink {
       df.write.mode(SaveMode.Overwrite)
         .parquet(s"$dir/$table/epoch=$epochId")
 
+  /** The dialect-dependent statements of [[idempotentJdbc]], isolated so
+    * both shapes are testable without the matching server on hand. */
+  private[covid] final case class IdempotentSql(probe: String,
+      create: String, delete: String, insert: String, drop: String)
+
+  /** MySQL-family URL (`jdbc:mysql`, `jdbc:mariadb`) → backtick
+    * identifiers + `CREATE TABLE … LIKE`; anything else speaks ANSI. */
+  private[covid] def mysqlUrl(url: String): Boolean = {
+    val u = url.toLowerCase(java.util.Locale.ROOT)
+    u.startsWith("jdbc:mysql:") || u.startsWith("jdbc:mariadb:")
+  }
+
+  private[covid] def idempotentJdbcSql(table: String, stage: String,
+      epochId: Long, mysql: Boolean): IdempotentSql = {
+    // Spark's JDBC writer creates QUOTED (case-exact) columns, so the
+    // epoch predicate must quote too — with the dialect's own quoting
+    val epochCol = if (mysql) "`epoch`" else "\"epoch\""
+    IdempotentSql(
+      probe = s"SELECT 1 FROM $table WHERE 1=0",
+      create =
+        if (mysql) s"CREATE TABLE $table LIKE $stage"
+        else s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA",
+      delete = s"DELETE FROM $table WHERE $epochCol = $epochId",
+      insert = s"INSERT INTO $table SELECT * FROM $stage",
+      drop = s"DROP TABLE $stage")
+  }
+
   /** Exactly-once JDBC sink — the keyed-upsert twin of
     * [[idempotentParquet]] for stores with transactions but no
     * per-partition overwrite. Per batch: (1) the rows land in a staging
@@ -60,7 +87,23 @@ object BatchSink {
     * epoch and inserts the staged rows. An at-least-once foreachBatch
     * replay of any epoch therefore converges to exactly the rows of its
     * last delivery — no duplicates, no partial batches (the transaction
-    * is all-or-nothing), matching MySQL/Postgres/Derby semantics alike.
+    * is all-or-nothing).
+    *
+    * Dialect handling (the three statements that differ are isolated in
+    * [[idempotentJdbcSql]]): the target-exists probe is DB-agnostic
+    * (`SELECT 1 … WHERE 1=0` on the autocommit connection, before the
+    * transaction opens — a metadata lookup would be identifier-folding
+    * dependent: Derby folds unquoted names upper, Postgres lower);
+    * table cloning and the epoch predicate switch on the JDBC URL —
+    * `jdbc:mysql`/`jdbc:mariadb` get `CREATE TABLE … LIKE` + backticked
+    * identifiers (MySQL's default sql_mode has no ANSI_QUOTES and no
+    * `WITH NO DATA`; the reference's actual sink is MySQL,
+    * init-db/init.sql:9), everything else gets ANSI `CREATE TABLE … AS
+    * SELECT … WITH NO DATA` + double-quoted identifiers
+    * (Derby/Postgres). On MySQL the CREATE DDL implicitly commits — the
+    * delete+insert pair still runs in one transaction, so replay
+    * convergence is unaffected (a created-then-crashed empty table is
+    * just the exists=true path next time).
     *
     * Posture difference from [[jdbc]], deliberate: failures PROPAGATE.
     * The swallow-and-log sink mirrors the reference's at-least-once
@@ -79,33 +122,35 @@ object BatchSink {
         .write.mode(SaveMode.Overwrite).format("jdbc")
         .option("url", url).options(options).option("dbtable", stage)
         .save()
+      val sql = idempotentJdbcSql(table, stage, epochId, mysqlUrl(url))
       val props = new java.util.Properties()
       options.foreach { case (k, v) => props.put(k, v) }
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
+        // DB-agnostic exists probe, on the AUTOCOMMIT connection: a
+        // failed statement inside the upcoming transaction would abort
+        // it on Postgres; out here it is just a boolean
+        val exists = {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(sql.probe)
+            try true finally rs.close()
+          } catch { case _: java.sql.SQLException => false }
+          finally st.close()
+        }
         try {
         conn.setAutoCommit(false)
-        val exists = {
-          val rs = conn.getMetaData.getTables(
-            null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-          try rs.next() finally rs.close()
-        }
         val st = conn.createStatement()
         try {
-          if (!exists)
-            st.executeUpdate(
-              s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
-          // Spark's JDBC writer creates QUOTED (case-exact) columns, so
-          // the predicate must quote too (ANSI double quotes: Derby,
-          // Postgres, MySQL-ANSI alike)
-          st.executeUpdate(s"""DELETE FROM $table WHERE "epoch" = $epochId""")
-          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+          if (!exists) st.executeUpdate(sql.create)
+          st.executeUpdate(sql.delete)
+          st.executeUpdate(sql.insert)
           conn.commit()
         } finally st.close()
         // best-effort staging cleanup OUTSIDE the transaction: a leftover
         // staging table is re-overwritten by the next replay, never read
         val st2 = conn.createStatement()
-        try { st2.executeUpdate(s"DROP TABLE $stage"); conn.commit() }
+        try { st2.executeUpdate(sql.drop); conn.commit() }
         catch {
           case _: Exception =>
             try conn.rollback() catch { case _: Exception => () }

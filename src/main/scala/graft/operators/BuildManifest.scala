@@ -285,6 +285,18 @@ object CorpusBuild {
     * spilled by MEMORY_AND_DISK beyond it. */
   private var lastPos: Option[DataFrame] = None
 
+  /** Releases the retained positioned-shingle cache ([[lastPos]]):
+    * between-builds retention is an optimization, not state a session
+    * must carry — the unified [[graft.Vacuum]] calls this so a
+    * long-lived session doesn't pin O(corpus tokens) cached blocks after
+    * its last manifest build. Returns whether anything was held. */
+  def releaseRetained(): Boolean = synchronized {
+    val held = lastPos.isDefined
+    lastPos.foreach(_.unpersist(false))
+    lastPos = None
+    held
+  }
+
   /** The per-doc stage-signal table (doc_id, n_tokens, t_ex, f1..f8)
     * computed INLINE — each signal is the SOURCE query's own shared
     * body, with the trained/iterative inputs arriving as artifacts (LM

@@ -881,6 +881,13 @@ object Similarity {
 
   private[graft] def pqCodebooksCached(emb: DataFrame)
       : IndexedSeq[Array[(Long, Array[Double])]] = {
+    // the m·100+cell payload encoding is only injective while cells fit
+    // under the stride — enforce the invariant the decode depends on
+    // instead of assuming it (a future K ≥ 100 would silently
+    // misattribute cell 100 of subspace m to subspace m+1 as cell 0)
+    require(KmeansK < 100,
+      s"pq codebook payload encodes cell ids as m*100+cell; KmeansK " +
+        s"= $KmeansK breaks the stride — widen it before raising K")
     val exact = exactMeans(emb)
     fileLeafPaths(emb) match {
       case Some((p, plainPaths)) =>

@@ -39,11 +39,23 @@ import org.apache.spark.sql.types.StringType
   * batch writes only its genuinely-new docs' state, same-lineage replay
   * overwrites its own epoch partitions, fresh-lineage redelivery is
   * emptied by the gate, and epoch numbers are collision-free across
-  * checkpoint lineages ([[EpochState.lineageBase]]). Compaction uses the
+  * checkpoint lineages ([[EpochState.lineageBase]]). On top of that, an
+  * epoch only becomes VISIBLE through a commit marker written after its
+  * last state file (`commits/epoch=N`, one atomic PUT): the seen gate
+  * and every read-time table scan filter to marked epochs, so a crash
+  * anywhere inside an epoch's multi-table write — followed by EITHER
+  * same-lineage replay (self-masked overwrite, as before) OR
+  * fresh-lineage re-ingest (the partial epoch is invisible to the gate,
+  * its docs re-enter whole; the orphan partitions are never read and
+  * [[compactState]] deletes them) — yields exactly-once state, and an
+  * audit read concurrent with an in-flight batch sees only whole
+  * epochs, never docsig-without-occ ([[flags]] additionally snapshots
+  * ONE marker set across all its table reads). Compaction uses the
   * shared [[Compaction]] marker protocol; the occurrence-shaped tables
   * (`bg`, `tok`) fold by IDENTITY — their duplicates are real
   * multiplicities — which is safe exactly because the marker protocol
-  * guarantees no double-read across a crashed compaction.
+  * guarantees no double-read across a crashed compaction (the folded
+  * generation inherits a commit marker once its fold commits).
   *
   * Shape at scale: per-batch cost is a few narrow passes over the BATCH
   * (tokenize once, hash three ways) plus per-epoch appends — never a
@@ -61,6 +73,35 @@ object ManifestStream {
   import graft.operators.{Classify, Corpus, CorpusBuild, Dedup, Quality}
   import graft.operators.Mirror.{hash60, words}
 
+  /** Epoch commit markers: `commits/epoch=N` is one empty object PUT
+    * after the epoch's LAST state file; an epoch without it is invisible
+    * to the gate and to every reader. */
+  private def commitsRoot(stateDir: String) = s"$stateDir/commits"
+
+  private def markCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, epoch: Long): Unit = {
+    fs.mkdirs(new Path(commitsRoot(stateDir)))
+    fs.create(new Path(commitsRoot(stateDir), s"epoch=$epoch"), true)
+      .close()
+  }
+
+  private[streaming] def committedEpochs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Set[Long] = {
+    val p = new Path(commitsRoot(stateDir))
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).toSet
+  }
+
+  /** Marker-filtered read of one state table: only committed epochs are
+    * visible (the caller supplies one snapshot of the marker set so a
+    * multi-table read is consistent). */
+  private def committedOnly(df: DataFrame, keep: Set[Long]): DataFrame =
+    if (keep.isEmpty) df.filter(lit(false))
+    else df.filter(col("epoch").isin(keep.toSeq: _*)) // partition-pruned
+
   /** Starts the maintainer over a stream of document rows (doc_id,
     * source, text, n_chars). `publish` receives (epoch, n_new_docs) after the
     * epoch's state is committed. */
@@ -77,7 +118,8 @@ object ManifestStream {
         val seen: DataFrame = {
           val p = new Path(seenRoot)
           if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-            Compaction.readTable(spark, seenRoot)
+            committedOnly(Compaction.readTable(spark, seenRoot),
+              committedEpochs(fs, stateDir))
               .filter(col("epoch") =!= lit(epoch)) // replay-safe self-mask
               .select(col("doc_id"))
           else batch.limit(0).select(col("doc_id"))
@@ -118,6 +160,10 @@ object ManifestStream {
           out("shingles", Dedup.shingleSetsOf(fresh))
           fresh.select(col("doc_id")).write.mode("overwrite")
             .parquet(s"$seenRoot/epoch=$epoch")
+          // the epoch becomes visible ONLY here — one atomic PUT after
+          // the last state file, so every earlier crash point leaves an
+          // invisible partial epoch (re-ingested whole on any lineage)
+          markCommitted(fs, stateDir, epoch)
           publish(epoch, n)
         } finally { fresh.unpersist(); () }
       }
@@ -126,20 +172,26 @@ object ManifestStream {
   }
 
   private def table(spark: SparkSession, stateDir: String, name: String,
-      cols: String*): DataFrame =
-    Compaction.readTable(spark, s"$stateDir/$name").select(cols.map(col): _*)
+      keep: Set[Long], cols: String*): DataFrame =
+    committedOnly(Compaction.readTable(spark, s"$stateDir/$name"), keep)
+      .select(cols.map(col): _*)
 
   /** The per-doc flags table over everything ingested — equal to
     * [[graft.operators.CorpusBuild.docFlags]] over the same documents
-    * (every stage derives through the batch operators' shared bodies). */
+    * (every stage derives through the batch operators' shared bodies).
+    * All six table reads share ONE snapshot of the commit-marker set, so
+    * a read concurrent with an in-flight batch sees every epoch either
+    * whole or not at all — docsig can never be visible for an epoch
+    * whose occ/bands haven't landed. */
   def flags(spark: SparkSession, stateDir: String): DataFrame = {
-    val sig = table(spark, stateDir, "docsig",
+    val keep = committedEpochs(EpochState.fs(spark, stateDir), stateDir)
+    val sig = table(spark, stateDir, "docsig", keep,
       "doc_id", "source", "n_tokens", "f1", "f2", "f3", "split",
       "label_good")
-    val pos = table(spark, stateDir, "occ", "doc_id", "pos", "sh")
+    val pos = table(spark, stateDir, "occ", keep, "doc_id", "pos", "sh")
       .withColumn("bucket", hash60(col("doc_id").cast(StringType)) % 100)
     // the reference LM: bigrams of quality-passing docs so far
-    val bg = table(spark, stateDir, "bg", "doc_id", "source", "h2", "h1")
+    val bg = table(spark, stateDir, "bg", keep, "doc_id", "source", "h2", "h1")
     val (c2, c1, v) = Quality.lmCountsFromBigrams(
       bg.join(sig.filter(col("f1")).select(col("doc_id")), "doc_id")
         .select(col("h2"), col("h1")))
@@ -148,7 +200,7 @@ object ManifestStream {
       .join(Quality.lmBuckets(scored), Seq("source", "score_ppm"))
       .select(col("doc_id"), (col("bucket") =!= "tail").as("f4"))
     // the classifier: retrained on the accumulated train split
-    val tok = table(spark, stateDir, "tok", "doc_id", "b")
+    val tok = table(spark, stateDir, "tok", keep, "doc_id", "b")
     val model = Classify.trainModelTok(
       tok.join(sig.filter(col("split") === "train")
           .select(col("doc_id"), col("label_good")), "doc_id")
@@ -159,9 +211,9 @@ object ManifestStream {
     // accumulated band/shingle index, closed transitively
     val comp = Corpus.connectedComponents(
         Dedup.nearDupPairsPre(
-          table(spark, stateDir, "bands", "doc_id", "band_idx",
+          table(spark, stateDir, "bands", keep, "doc_id", "band_idx",
             "band_hash"),
-          table(spark, stateDir, "shingles", "doc_id", "sh")),
+          table(spark, stateDir, "shingles", keep, "doc_id", "sh")),
         "doc_a", "doc_b")
       .select(col("v").as("doc_id"), col("component"))
     CorpusBuild.flagsSelect(
@@ -183,19 +235,65 @@ object ManifestStream {
     * rows are real multiplicities; dedup folds for the uniquely-keyed
     * ones. */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
-    Compaction.compactTable(spark, s"$stateDir/docsig",
-      df => df.dropDuplicates("doc_id"))
-    Compaction.compactTable(spark, s"$stateDir/occ",
+    val fs = EpochState.fs(spark, stateDir)
+    val keep = committedEpochs(fs, stateDir)
+    // repair first: partitions of epochs that never reached their commit
+    // marker are invisible garbage from a mid-epoch crash — delete them
+    // BEFORE folding, so an identity fold can never bake orphan
+    // multiplicities into the compacted generation
+    Tables.foreach { name =>
+      val root = new Path(s"$stateDir/$name")
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("epoch="))
+          .filterNot(p =>
+            keep(p.getName.stripPrefix("epoch=").toLong))
+          .foreach { p => try { fs.delete(p, true); () }
+            catch { case _: Throwable => () } }
+    }
+    // PRE-mark each root's would-be folded generation (min epoch - 1,
+    // [[Compaction.compactTable]]'s numbering) as committed BEFORE the
+    // fold can delete the covered originals — a crash after the fold but
+    // before a post-hoc marking would otherwise leave the whole table
+    // invisible and the seen gate re-ingesting everything. A pre-mark
+    // for a fold that never happens is pruned below; readers require
+    // marker AND partition, so a dangling marker is inert.
+    def compactMarked(name: String)(fold: DataFrame => DataFrame): Unit = {
+      val root = new Path(s"$stateDir/$name")
+      if (fs.exists(root)) {
+        val nums = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("epoch="))
+          .map(_.stripPrefix("epoch=").toLong)
+        if (nums.length > 1) markCommitted(fs, stateDir, nums.min - 1)
+      }
+      Compaction.compactTable(spark, s"$stateDir/$name", fold)
+    }
+    compactMarked("docsig")(df => df.dropDuplicates("doc_id"))
+    compactMarked("occ")(
       df => df.select(col("doc_id"), col("pos"), col("sh")).distinct())
-    Compaction.compactTable(spark, s"$stateDir/bg",
+    compactMarked("bg")(
       df => df.select(col("doc_id"), col("source"), col("h2"), col("h1")))
-    Compaction.compactTable(spark, s"$stateDir/tok",
-      df => df.select(col("doc_id"), col("b")))
-    Compaction.compactTable(spark, s"$stateDir/bands",
-      df => df.dropDuplicates("doc_id", "band_idx"))
-    Compaction.compactTable(spark, s"$stateDir/shingles",
-      df => df.dropDuplicates("doc_id"))
-    Compaction.compactTable(spark, s"$stateDir/seen",
-      df => df.select(col("doc_id")).distinct())
+    compactMarked("tok")(df => df.select(col("doc_id"), col("b")))
+    compactMarked("bands")(df => df.dropDuplicates("doc_id", "band_idx"))
+    compactMarked("shingles")(df => df.dropDuplicates("doc_id"))
+    compactMarked("seen")(df => df.select(col("doc_id")).distinct())
+    // prune markers no live partition carries anymore, so the marker set
+    // stays one entry per live generation
+    val live = Tables.flatMap { name =>
+      val root = new Path(s"$stateDir/$name")
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+    }.toSet
+    (committedEpochs(fs, stateDir) -- live).foreach { e =>
+      try { fs.delete(new Path(commitsRoot(stateDir), s"epoch=$e"), false)
+        () } catch { case _: Throwable => () }
+    }
   }
+
+  /** The seven epoch-partitioned state roots under a manifest state
+    * dir. */
+  private val Tables = Seq("docsig", "occ", "bg", "tok", "bands",
+    "shingles", "seen")
 }

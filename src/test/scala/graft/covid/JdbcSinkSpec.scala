@@ -108,4 +108,53 @@ class JdbcSinkSpec extends AnyFunSuite with SparkTestSession {
     val sink = BatchSink.jdbc("jdbc:derby:/nonexistent/path/db", Map.empty)
     sink.write(Seq((1L, "x")).toDF("id", "s"), "t", 0L) // must not throw
   }
+
+  test("idempotentJdbc dialect split: MySQL-family URLs get LIKE + " +
+    "backticks, everything else ANSI WITH NO DATA + double quotes") {
+    assert(BatchSink.mysqlUrl("jdbc:mysql://db:3306/covid"))
+    assert(BatchSink.mysqlUrl("JDBC:MariaDB://db/covid"))
+    assert(!BatchSink.mysqlUrl("jdbc:derby:memory:x"))
+    assert(!BatchSink.mysqlUrl("jdbc:postgresql://db/covid"))
+
+    val my = BatchSink.idempotentJdbcSql("t", "t_stage_7", 7L,
+      mysql = true)
+    // MySQL default sql_mode: no ANSI_QUOTES, no WITH NO DATA — the
+    // clone must be CREATE TABLE ... LIKE and the predicate backticked
+    assert(my.create == "CREATE TABLE t LIKE t_stage_7")
+    assert(my.delete == "DELETE FROM t WHERE `epoch` = 7")
+    assert(!my.create.contains("WITH NO DATA"))
+    assert(!my.delete.contains("\""))
+
+    val ansi = BatchSink.idempotentJdbcSql("t", "t_stage_7", 7L,
+      mysql = false)
+    assert(ansi.create ==
+      "CREATE TABLE t AS SELECT * FROM t_stage_7 WITH NO DATA")
+    assert(ansi.delete == "DELETE FROM t WHERE \"epoch\" = 7")
+    // shared, dialect-free statements
+    Seq(my, ansi).foreach { s =>
+      assert(s.probe == "SELECT 1 FROM t WHERE 1=0")
+      assert(s.insert == "INSERT INTO t SELECT * FROM t_stage_7")
+      assert(s.drop == "DROP TABLE t_stage_7")
+    }
+  }
+
+  test("idempotentJdbc exists probe is identifier-folding agnostic: " +
+    "replay against a pre-created MIXED-case target on Derby") {
+    import spark.implicits._
+    // Derby folds unquoted identifiers UPPER; the old getTables(upper)
+    // lookup worked only by that accident (Postgres folds lower). The
+    // probe must see the table regardless, so replay takes the
+    // exists=true path instead of failing a duplicate CREATE.
+    val dbDir = java.nio.file.Files.createTempDirectory("derbyprobe")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val sink = BatchSink.idempotentJdbc(url, Map.empty)
+    sink.write(Seq((1L, "a")).toDF("id", "s"), "t_probe", 0L)
+    // redelivery of the SAME epoch with different rows: converges to
+    // the last delivery through the exists=true path
+    sink.write(Seq((2L, "b")).toDF("id", "s"), "t_probe", 0L)
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "t_probe").load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b")), got)
+  }
 }

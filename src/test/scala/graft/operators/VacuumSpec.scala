@@ -103,12 +103,33 @@ class VacuumSpec extends AnyFunSuite with SparkTestSession {
     sys.props("graft.artifact.prune.grace.ms") = "-60000"
     try {
       val rows = graft.Vacuum.run(spark)
-      assert(rows.map(_._1) == names)
-      assert(rows.forall(_._2 == 1L),
+      assert(rows.map(_._1) == names :+ "retained:manifest-shingles")
+      assert(rows.filter(_._1 != "retained:manifest-shingles")
+        .forall(_._2 == 1L),
         s"each store had exactly one garbage dir: $rows")
     } finally {
       sys.props.remove("graft.artifact.prune.grace.ms")
       names.foreach(n => sys.props.remove(s"graft.$n.dir"))
     }
+  }
+
+  test("Vacuum releases the manifest build's retained shingle cache") {
+    // a manifest build retains ONE persisted positioned-shingle table
+    // between invocations; the sweep must release it so a long-lived
+    // session doesn't pin O(corpus tokens) of cached blocks
+    Seq("manifestcache", "cccache", "lmcache", "paircache")
+      .foreach(c => spark.conf.set(s"spark.graft.$c", "false"))
+    try {
+      CorpusBuild.q161CorpusManifest.fn(spark,
+        "/root/testdata/sf0.001").collect()
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+      assert(persistedBefore > 0, "the build should retain its shingles")
+      graft.Vacuum.run(spark)
+      assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore,
+        "Vacuum must unpersist the retained shingle table")
+      // idempotent: a second sweep has nothing retained to release
+      assert(!CorpusBuild.releaseRetained())
+    } finally Seq("manifestcache", "cccache", "lmcache", "paircache")
+      .foreach(c => spark.conf.unset(s"spark.graft.$c"))
   }
 }

@@ -99,5 +99,31 @@ class ManifestStreamSpec extends AnyFunSuite with SparkTestSession {
     val rep = run(dir, "ckpt3", Seq(b2))
     assert(rep.map(_._2).sum == 0, "fresh-lineage redelivery must gate")
     assert(funnelRows(ManifestStream.funnel(spark, state)) == want)
+
+    // mid-epoch crash: state partitions land but the commit marker (the
+    // LAST write of an epoch) does not. Simulate by cloning a committed
+    // epoch's partitions under an unmarked epoch number — duplicate
+    // token-level rows that an unbarriered reader would double-count.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val statePath = new org.apache.hadoop.fs.Path(state)
+    val firstEpoch = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/docsig")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).min
+    Seq("docsig", "occ", "bg", "tok", "bands", "shingles").foreach { t =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$state/$t/epoch=$firstEpoch"),
+        fs, new org.apache.hadoop.fs.Path(s"$state/$t/epoch=999999"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    assert(funnelRows(ManifestStream.funnel(spark, state)) == want,
+      "an uncommitted (partial) epoch must be invisible to readers")
+    // compaction's repair pass deletes the orphan partitions outright
+    ManifestStream.compactState(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$state/occ/epoch=999999")), "compactState must sweep orphans")
+    assert(funnelRows(ManifestStream.funnel(spark, state)) == want)
+    assert(fs.exists(statePath))
   }
 }
