@@ -86,7 +86,70 @@ object ScaleProbe {
     }
   }
 
+  /** `graph` mode (round-15 verdict item 5): the PageRank family
+    * (q132/q134) over the synthetic corpus at 50k and 500k nodes,
+    * recording wall-clock, shuffle write volume, TOTAL scheduled jobs,
+    * and jobs per iteration — the per-iteration driver round-trips are
+    * exactly the pattern local probes under-report, so the job count is
+    * measured, not inferred from the code. Expected shape after the
+    * round-16 loop rework: q132 fuses all [[graft.operators.Graph]]
+    * rounds into one action (0 per-round actions), q134 runs exactly
+    * one action per round (the observed truncation). */
+  private def graphProbe(spark: SparkSession, baseRows: Long,
+      mults: Seq[Int]): Unit = {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
+      }
+    })
+    val base = "/tmp/graft-scale"
+    mults.foreach { m =>
+      val dir = s"$base/n${baseRows * m}"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println(s"[scale] generating $dir (${baseRows * m} docs)")
+        gen(spark, dir, baseRows * m, baseRows * m * 2 / 5,
+          math.max(4, 4 * m))
+      }
+      Seq("q132_pagerank", "q134_pagerank_dangling").foreach { q =>
+        val runs = (1 to 2).map { _ =>
+          jobs.set(0L); shuffle.set(0L)
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, dir).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // drain straggler task-end events
+          (secs, jobs.get(), shuffle.get())
+        }
+        val best = runs.minBy(_._1)
+        println(f"GRAPH $q x$m%d nodes=${baseRows * m}%d " +
+          f"secs=${best._1}%.2f jobs=${best._2}%d " +
+          f"shuffleMB=${best._3 / 1e6}%.1f")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("graph")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graphProbe(spark, 50000L, Seq(1, 10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pairs")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = SparkSession.builder()
