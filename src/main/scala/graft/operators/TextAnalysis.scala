@@ -419,6 +419,14 @@ object TextAnalysis {
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     var vocab = bpeVocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize ONCE at full width (the only corpus-scale pass), then
+    // run the merge rounds under the loop profile sized to the cached
+    // vocabulary — the per-round argmax + re-segment actions shuffle
+    // word-level rows, and under the session's width/adaptivity their
+    // fixed per-stage scheduling dominates at small SF (LoopConf)
+    val nWords = vocab.count()
+    LoopConf.pinned(docs.sparkSession,
+      LoopConf.parts(docs.sparkSession, nWords)) {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -440,6 +448,7 @@ object TextAnalysis {
       }
     }
     (vocab, merges.result())
+    }
   }
 
   /** Tokenizer APPLICATION: per-document token counts under the trained
@@ -790,7 +799,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = uniWordFreq(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    wf.count()
+    val nWords = wf.count()
     val sub = wf
       .select(col("w"), col("freq"),
         explode(sequence(lit(1), length(col("w")))).as("i"))
@@ -812,13 +821,19 @@ object TextAnalysis {
       .map(r => (r.getString(0), r.getString(0).length)).toSeq
     sub.unpersist(false)
     var pieces = chars ++ seed
-    UniKeepK.foreach { keep =>
-      val u = uniSegmentUsage(wf, pieces)
-      val kept = u.toSeq.filter(_._1.length >= 2)
-        .sortBy { case (p, c) => (-c, p) }.take(keep)
-      pieces = chars ++ kept.map { case (p, _) => (p, p.length) }
+    // the EM-ish refinement + final segmentation walk word-level tables
+    // (broadcast prefix joins, driver-folded usage partials) — pin them
+    // to the cached word table's own width (LoopConf)
+    val (fin, vocab) = LoopConf.pinned(spark,
+      LoopConf.parts(spark, nWords)) {
+      UniKeepK.foreach { keep =>
+        val u = uniSegmentUsage(wf, pieces)
+        val kept = u.toSeq.filter(_._1.length >= 2)
+          .sortBy { case (p, c) => (-c, p) }.take(keep)
+        pieces = chars ++ kept.map { case (p, _) => (p, p.length) }
+      }
+      uniSegment(wf, pieces, withVocab = true)
     }
-    val (fin, vocab) = uniSegment(wf, pieces, withVocab = true)
     wf.unpersist(false)
     val pieceTable = fin.toSeq.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, p.length.toLong, c) }
@@ -1008,6 +1023,9 @@ object TextAnalysis {
       : (DataFrame, Seq[WpMerge]) = {
     import org.apache.spark.storage.StorageLevel
     var vocab = bpeVocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val nWords = vocab.count() // materialize full-width, pin the rounds
+    LoopConf.pinned(docs.sparkSession,
+      LoopConf.parts(docs.sparkSession, nWords)) {
     val merges = Seq.newBuilder[WpMerge]
     var r = 1
     var exhausted = false
@@ -1025,6 +1043,7 @@ object TextAnalysis {
       }
     }
     (vocab, merges.result())
+    }
   }
 
   /** One WordPiece round as a DuckDB CTE chain `wx$r` → … → `wv${r+1}` —
