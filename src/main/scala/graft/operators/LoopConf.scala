@@ -22,7 +22,15 @@ import org.apache.spark.sql.SparkSession
   * the caller's session settings. The CORPUS-scale stages that feed a
   * loop (LSH banding, cosine verification, parquet scans) must be
   * materialized BEFORE entering the window so they keep full
-  * parallelism and adaptive planning. */
+  * parallelism and adaptive planning.
+  *
+  * Concurrency caveat: the pin mutates SESSION runtime conf, so an
+  * unrelated query planned on the same SparkSession during the window
+  * would inherit it. Every graft entry point executes queries
+  * sequentially per session (Verify, Bench, the SparkEntry contract);
+  * a host application multiplexing one session across threads should
+  * give loop-running queries their own session (`newSession()` shares
+  * the ContextState but isolates runtime conf). */
 private[operators] object LoopConf {
 
   /** Target rows per loop partition: ~1M (id, long) rows ≈ 16 MB. */
