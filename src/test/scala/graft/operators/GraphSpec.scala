@@ -222,4 +222,45 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
         savedCoalesce)
     }
   }
+
+  test("cadence variants are value-identical: q132 per-round truncation" +
+    " == fused default; q134 fused share == observed default") {
+    // the conf only changes job structure (fused single action vs one
+    // action per round; in-plan broadcast share vs observed scalar) —
+    // never values. Pin both non-default paths against the defaults.
+    def rows(q: graft.QueryDef) = q.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_micro")))
+      .toSeq
+    val d132 = rows(Graph.q132Pagerank)
+    val d134 = rows(Graph.q134PagerankDangling)
+    spark.conf.set("spark.graft.pagerank.ckptEvery", "1")
+    try assert(rows(Graph.q132Pagerank) == d132,
+      "q132 per-round truncation diverged from the fused default")
+    finally spark.conf.unset("spark.graft.pagerank.ckptEvery")
+    spark.conf.set("spark.graft.pagerank.ckptEvery", "0")
+    try assert(rows(Graph.q134PagerankDangling) == d134,
+      "q134 fused in-plan share diverged from the observed default")
+    finally spark.conf.unset("spark.graft.pagerank.ckptEvery")
+  }
+
+  test("q134's observed dangling sum works through RELIABLE checkpoint " +
+    "(the cluster truncation posture)") {
+    // spark.graft.cc.checkpointDir switches every loop truncation from
+    // localCheckpoint to checkpoint(); the observe fuse must deliver its
+    // metric through that action too, or cluster runs would hang on the
+    // first round's Observation.get
+    val ck = java.nio.file.Files.createTempDirectory("prreliable")
+    spark.conf.set("spark.graft.cc.checkpointDir", ck.toString)
+    try {
+      val d = Graph.q134PagerankDangling.fn(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_micro")))
+        .toSeq
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      val local = Graph.q134PagerankDangling.fn(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_micro")))
+        .toSeq
+      assert(d == local,
+        "reliable-checkpoint loop diverged from localCheckpoint loop")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
 }
