@@ -42,24 +42,29 @@ object Corpus {
     * (only near-dup members appear). Iteration count = propagation depth
     * (near-dup clusters are shallow: q59 converges in 3). `localCheckpoint`
     * truncates the growing loop lineage (on a cluster, prefer `checkpoint`
-    * to a reliable store for fault tolerance; the convergence `count` is
-    * the driver-side control signal, same as MLlib's iterative jobs).
+    * to a reliable store for fault tolerance); each round is ONE action —
+    * the truncation job, whose observed metric is the convergence signal
+    * — and the rounds run under the pinned loop profile ([[LoopConf]]:
+    * width from the materialized pair count, AQE off inside the loop).
     *
     * Alternatives MEASURED on the q73 semantic graph (depth 22 at sf0.1,
     * a long cosine-threshold chain — the stress case) and rejected:
     * pointer jumping (label ← label(label)) only cut 22 rounds to 16 —
     * labels collapse onto near-min hubs immediately, so label-of-label
     * rarely knows more — and paid an extra materialization per round;
-    * fusing 4..8 propagation steps per checkpoint didn't amortize anything
-    * because AQE schedules every Exchange as its own query-stage job
-    * (fixed cost stays per-STEP, not per-cycle), and disabling AQE for the
-    * loop made the deep fused plans catastrophically slower (170 s).
-    * The published fix for deep graphs is neighborhood CONTRACTION, not
-    * label chasing — implemented here as the alternating star algorithm
-    * ([[starComponents]]); the default `auto` mode runs THIS loop first
-    * (shallow graphs — the common case — finish in 2-4 cheap rounds) and
-    * hands the label-contracted quotient graph to star contraction when a
-    * budget of rounds doesn't converge (see [[connectedComponents]]). */
+    * fusing 4..8 propagation steps per checkpoint didn't amortize
+    * anything (round-7 finding, measured under session AQE where every
+    * exchange is its own query-stage job; the round-16 LoopConf pin
+    * removes that per-step fixed cost for the MATERIALIZED rounds, but
+    * un-truncated fused label steps still re-execute reduce sides and
+    * stayed slower). The published fix for deep graphs is neighborhood
+    * CONTRACTION, not label chasing — implemented as the alternating
+    * star algorithm ([[starComponents]]); the default `auto` mode runs
+    * THIS loop first (shallow graphs — the common case — finish in 2-4
+    * cheap rounds), hands the label-contracted quotient to a
+    * driver-local union-find when it is bounded
+    * ([[quotientComponents]]) and to star contraction otherwise
+    * (see [[connectedComponents]]). */
   private[operators] def labelPropComponents(edges: DataFrame, src: String,
       dst: String): DataFrame = {
     // Propagation depth = longest label chain; near-dup graphs are shallow
