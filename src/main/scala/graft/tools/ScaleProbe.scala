@@ -136,7 +136,69 @@ object ScaleProbe {
     }
   }
 
+  /** `cc` mode (round 16): the full near-dup connected-components
+    * pipeline (q59's body — LSH pairs → label rounds → bounded-quotient
+    * driver union-find) at 50k and 500k docs, recording wall, TOTAL
+    * jobs, and shuffle volume. The claim under test: after the round-16
+    * rework the JOB count is a function of propagation depth (label
+    * rounds + fixed setup), NOT corpus size — the quotient solve is
+    * O(quotient) driver work, and a bigger corpus only widens the
+    * per-job stages. */
+  private def ccProbe(spark: SparkSession, baseRows: Long,
+      mults: Seq[Int]): Unit = {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
+      }
+    })
+    val base = "/tmp/graft-scale"
+    mults.foreach { m =>
+      val dir = s"$base/n${baseRows * m}"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println(s"[scale] generating $dir (${baseRows * m} docs)")
+        gen(spark, dir, baseRows * m, baseRows * m * 2 / 5,
+          math.max(4, 4 * m))
+      }
+      val runs = (1 to 2).map { _ =>
+        jobs.set(0L); shuffle.set(0L)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries("q59_dedup_components")(spark, dir)
+          .count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (secs, jobs.get(), shuffle.get())
+      }
+      val best = runs.minBy(_._1)
+      println(f"CC q59 x$m%d docs=${baseRows * m}%d secs=${best._1}%.2f " +
+        f"jobs=${best._2}%d shuffleMB=${best._3 / 1e6}%.1f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cc")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.graft.paircache", "false")
+        .config("spark.graft.cccache", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      ccProbe(spark, 50000L, Seq(1, 10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("graph")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = SparkSession.builder()
