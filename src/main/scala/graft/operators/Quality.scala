@@ -800,7 +800,17 @@ object Quality {
   private[graft] def lmCounts(ref: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         Long) =
-    lmCountsFromBigrams(bigramHashes(ref, Seq.empty))
+    // ONE pass over the reference slice: deriving it (the funnel-metric
+    // keep filter + bigram hashing) is the expensive part, and without
+    // truncation it would run three times — once for the V count action
+    // and once under each of the c2/c1 joins in the caller's final plan.
+    // localCheckpoint materializes the (h2, h1) rows eagerly (blocks are
+    // released by the ContextCleaner when the plan is GC'd — the
+    // connectedComponents discipline); the reference slice is the
+    // quality-passing subset (CCNet trains on a curated reference, not
+    // the full corpus), so the checkpointed table is reference-sized.
+    lmCountsFromBigrams(
+      bigramHashes(ref, Seq.empty).localCheckpoint(true))
 
   /** [[lmCounts]] over a PRE-COMPUTED bigram-hash table (h2, h1) — the
     * form the streaming manifest maintainer uses, where bigram rows are

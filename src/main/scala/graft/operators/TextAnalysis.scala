@@ -404,9 +404,7 @@ object TextAnalysis {
     * trip the gate, not hide behind the cache). */
   val q135BpeTrainPipeline = QueryDef(
     "q135_bpe_train_pipeline", sqlBpeMergesOracle) { (spark, dir) =>
-    val (vocab, merges) = bpeTrain(Tables(spark, dir, "documents"))
-    vocab.unpersist(false)
-    mergesDf(spark, merges)
+    mergesDf(spark, bpeTrainMerges(Tables(spark, dir, "documents")))
   }
 
   /** The full [[BpeMerges]]-round training loop over `docs`' vocabulary:
@@ -416,6 +414,17 @@ object TextAnalysis {
     * (q103) reuses the identical generations — the final vocabulary IS
     * the trained tokenizer's segmentation of every corpus word. */
   private[operators] def bpeTrain(docs: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, Long)]) =
+    bpeTrainImpl(docs, buildFinal = true)
+
+  /** [[bpeTrain]]'s merge list alone — skips BUILDING the final
+    * generation entirely (the round-N argmax never reads it), saving one
+    * full re-segmentation job for merge-table-only callers (q135). */
+  private[operators] def bpeTrainMerges(
+      docs: DataFrame): Seq[(Int, String, String, Long)] =
+    bpeTrainImpl(docs, buildFinal = false)._2
+
+  private def bpeTrainImpl(docs: DataFrame, buildFinal: Boolean)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     var vocab = bpeVocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -428,6 +437,14 @@ object TextAnalysis {
     LoopConf.pinned(docs.sparkSession,
       LoopConf.parts(docs.sparkSession, nWords)) {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // One action per round: the round-r argmax is the FIRST action over
+    // the round-(r-1) merge result, so it materializes that generation's
+    // persist as a side effect — no eager count() per round. The parent
+    // generation must stay cached until its child has materialized
+    // (releasing it earlier would force the child's first action to
+    // recompute the whole generation chain), hence the one-round
+    // unpersist lag.
+    var parent: Option[DataFrame] = None
     var r = 1
     var exhausted = false
     while (r <= BpeMerges && !exhausted) {
@@ -439,13 +456,26 @@ object TextAnalysis {
           exhausted = true
         case Some((a, b, cnt)) =>
           merges += ((r, a, b, cnt))
-          val next =
-            bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before releasing the parent
-          vocab.unpersist(false)
-          vocab = next
+          if (r < BpeMerges || buildFinal) {
+            parent.foreach(_.unpersist(false))
+            parent = Some(vocab)
+            vocab =
+              bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
+          }
           r += 1
       }
+    }
+    if (buildFinal) {
+      // The final generation is still lazy here; materialize it inside
+      // the pinned window (callers scan it: q103's encode join, the
+      // BpeCache publish) before releasing its parent.
+      vocab.count()
+      parent.foreach(_.unpersist(false))
+    } else {
+      // merges-only: the last argmax already materialized what `vocab`
+      // points at; release everything.
+      parent.foreach(_.unpersist(false))
+      vocab.unpersist(false)
     }
     (vocab, merges.result())
     }
@@ -795,6 +825,12 @@ object TextAnalysis {
     * vocabulary-sized; the model lives on the driver between rounds. */
   private[operators] def unigramTrainFull(docs: DataFrame)
       : (DataFrame, DataFrame) = {
+    val (pieces, vocab) = unigramTrainImpl(docs, withVocab = true)
+    (pieces, vocab.get)
+  }
+
+  private def unigramTrainImpl(docs: DataFrame, withVocab: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
@@ -809,17 +845,26 @@ object TextAnalysis {
       .select(col("w").substr(col("i"), col("k")).as("piece"), col("freq"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val chars: Seq[(String, Int)] = sub
-      .filter(length(col("piece")) === 1)
-      .select(col("piece")).collect().map(r => (r.getString(0), 1))
-      .sortBy(_._1).toSeq
-    val seed: Seq[(String, Int)] = sub
-      .filter(length(col("piece")) >= 2)
-      .orderBy(col("freq").desc, col("piece")) // TakeOrdered, ties by piece
-      .limit(UniSeedK)
-      .select(col("piece")).collect()
-      .map(r => (r.getString(0), r.getString(0).length)).toSeq
+    // chars (every length-1 candidate) and the multi-char seed shortlist
+    // in ONE action: the branches are disjoint by length and each side's
+    // order is reconstructed driver-side from the collected (piece, freq)
+    // rows, so fusing the two collects drops a job without touching the
+    // selection semantics (the seed side is still TakeOrdered by
+    // freq desc, piece — the limit runs inside the union's right branch).
+    val inv = sub.filter(length(col("piece")) === 1)
+      .unionAll(sub.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")) // TakeOrdered, ties by piece
+        .limit(UniSeedK))
+      .collect()
     sub.unpersist(false)
+    val chars: Seq[(String, Int)] = inv
+      .collect { case r if r.getString(0).length == 1 => r.getString(0) }
+      .sorted.map(p => (p, 1)).toSeq
+    val seed: Seq[(String, Int)] = inv
+      .collect { case r if r.getString(0).length >= 2 =>
+        (r.getString(0), r.getLong(1)) }
+      .sortBy { case (p, f) => (-f, p) }
+      .map { case (p, _) => (p, p.length) }.toSeq
     var pieces = chars ++ seed
     // the EM-ish refinement + final segmentation walk word-level tables
     // (broadcast prefix joins, driver-folded usage partials) — pin them
@@ -832,19 +877,22 @@ object TextAnalysis {
           .sortBy { case (p, c) => (-c, p) }.take(keep)
         pieces = chars ++ kept.map { case (p, _) => (p, p.length) }
       }
-      uniSegment(wf, pieces, withVocab = true)
+      uniSegment(wf, pieces, withVocab)
     }
     wf.unpersist(false)
     val pieceTable = fin.toSeq.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, p.length.toLong, c) }
       .toDF("piece", "plen", "usage")
       .orderBy(col("usage").desc, col("piece"))
-    (pieceTable, vocab.get)
+    (pieceTable, vocab)
   }
 
-  /** [[unigramTrainFull]]'s piece table alone (q145's output shape). */
+  /** [[unigramTrainFull]]'s piece table alone (q145's output shape) —
+    * trained with `withVocab = false`, so the final segmentation skips
+    * the per-step `localCheckpoint` banking of surviving word sets (one
+    * eager job per step that only the q146 fertility consumer needs). */
   private[operators] def unigramTrain(docs: DataFrame): DataFrame =
-    unigramTrainFull(docs)._1
+    unigramTrainImpl(docs, withVocab = false)._1
 
   /** One greedy-segmentation pass of the oracle as a recursive CTE:
     * leftmost-longest match via 4 prefix LEFT JOINs (longest wins through
@@ -1003,10 +1051,17 @@ object TextAnalysis {
   private[operators] def wpTopPair(vocab: DataFrame): Option[WpMerge] = {
     val sc = vocab.select(col("freq"), explode(col("syms")).as("s"))
       .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+    // shuffle_hash, NOT broadcast: a BroadcastExchange is its own
+    // scheduled job (one per join side, each recomputing the `sc`
+    // aggregate to collect it), which triples the loop's per-round job
+    // count. Inside the pinned loop window the relations are loop-width
+    // — the shuffle is a couple of tasks in the SAME action.
     bpePairRows(vocab).filter(col("nxt").isNotNull)
       .groupBy(col("s"), col("nxt")).agg(sum(col("freq")).as("cnt"))
-      .join(sc.select(col("s"), col("c").as("ca")), "s")
-      .join(sc.select(col("s").as("nxt"), col("c").as("cb")), "nxt")
+      .join(sc.select(col("s"), col("c").as("ca")).hint("shuffle_hash"),
+        "s")
+      .join(sc.select(col("s").as("nxt"), col("c").as("cb"))
+        .hint("shuffle_hash"), "nxt")
       .orderBy((col("cnt").cast(DoubleType) / col("ca").cast(DoubleType)
           / col("cb").cast(DoubleType)).desc,
         col("s"), col("nxt"))
@@ -1020,6 +1075,15 @@ object TextAnalysis {
     * ([[bpeMerge]] — InvariantSpec's pinned semantics carry over
     * verbatim). Returns (final segmented vocabulary, merge list). */
   private[operators] def wpTrain(docs: DataFrame)
+      : (DataFrame, Seq[WpMerge]) =
+    wpTrainImpl(docs, buildFinal = true)
+
+  /** [[wpTrain]]'s merge list alone — skips building the final
+    * generation (the [[bpeTrainMerges]] saving, for q163). */
+  private[operators] def wpTrainMerges(docs: DataFrame): Seq[WpMerge] =
+    wpTrainImpl(docs, buildFinal = false)._2
+
+  private def wpTrainImpl(docs: DataFrame, buildFinal: Boolean)
       : (DataFrame, Seq[WpMerge]) = {
     import org.apache.spark.storage.StorageLevel
     var vocab = bpeVocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1027,6 +1091,9 @@ object TextAnalysis {
     LoopConf.pinned(docs.sparkSession,
       LoopConf.parts(docs.sparkSession, nWords)) {
     val merges = Seq.newBuilder[WpMerge]
+    // One action per round with a one-round unpersist lag — the same
+    // argmax-materializes-the-persist discipline as [[bpeTrain]].
+    var parent: Option[DataFrame] = None
     var r = 1
     var exhausted = false
     while (r <= WpMerges && !exhausted) {
@@ -1034,13 +1101,24 @@ object TextAnalysis {
         case None => exhausted = true
         case Some((_, a, b, cnt, ca, cb)) =>
           merges += ((r, a, b, cnt, ca, cb))
-          val next =
-            bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          vocab.unpersist(false)
-          vocab = next
+          if (r < WpMerges || buildFinal) {
+            parent.foreach(_.unpersist(false))
+            parent = Some(vocab)
+            vocab =
+              bpeMerge(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
+          }
           r += 1
       }
+    }
+    if (buildFinal) {
+      // Materialize the final generation inside the pinned window (the
+      // WpCache publish and q164's fertility join scan it) before
+      // releasing its parent.
+      vocab.count()
+      parent.foreach(_.unpersist(false))
+    } else {
+      parent.foreach(_.unpersist(false))
+      vocab.unpersist(false)
     }
     (vocab, merges.result())
     }
@@ -1131,9 +1209,7 @@ object TextAnalysis {
     * visible to the bench regression gate (the q135/q145 pattern). */
   val q163WordpieceTrainPipeline = QueryDef(
     "q163_wordpiece_train_pipeline", sqlWpMergesOracle) { (spark, dir) =>
-    val (vocab, merges) = wpTrain(Tables(spark, dir, "documents"))
-    vocab.unpersist(false)
-    wpMergesDf(spark, merges)
+    wpMergesDf(spark, wpTrainMerges(Tables(spark, dir, "documents")))
   }
 
   /** Tokenizer FERTILITY under the trained WordPiece merges — the

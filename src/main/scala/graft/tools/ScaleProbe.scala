@@ -183,7 +183,72 @@ object ScaleProbe {
     }
   }
 
+  /** `tokenizer` mode (round 16): the three fresh-train pipelines
+    * (q135 BPE, q163 WordPiece, q145 unigram) at 50k and 500k docs,
+    * recording wall, TOTAL scheduled jobs, and shuffle volume. The
+    * claim under test: ONE corpus-scale pass (the word-frequency
+    * collapse, map-side combined) and then vocabulary-sized rounds —
+    * so the job count is a function of the round budget, not corpus
+    * size, and shuffle volume stays vocabulary-bounded (the synthetic
+    * corpus draws from a fixed vocabulary, so a flat shuffle line IS
+    * the collapse working; a corpus-proportional line would mean word
+    * rows are leaking through the combine). */
+  private def tokProbe(spark: SparkSession, baseRows: Long,
+      mults: Seq[Int]): Unit = {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
+      }
+    })
+    val base = "/tmp/graft-scale"
+    mults.foreach { m =>
+      val dir = s"$base/n${baseRows * m}"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println(s"[scale] generating $dir (${baseRows * m} docs)")
+        gen(spark, dir, baseRows * m, baseRows * m * 2 / 5,
+          math.max(4, 4 * m))
+      }
+      Seq("q135_bpe_train_pipeline", "q163_wordpiece_train_pipeline",
+        "q145_unigram_train_pipeline").foreach { q =>
+        val runs = (1 to 2).map { _ =>
+          jobs.set(0L); shuffle.set(0L)
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, dir).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // drain straggler task-end events
+          (secs, jobs.get(), shuffle.get())
+        }
+        val best = runs.minBy(_._1)
+        println(f"TOK $q x$m%d docs=${baseRows * m}%d " +
+          f"secs=${best._1}%.2f jobs=${best._2}%d " +
+          f"shuffleMB=${best._3 / 1e6}%.1f")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("tokenizer")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      tokProbe(spark, 50000L, Seq(1, 10))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("cc")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = SparkSession.builder()
