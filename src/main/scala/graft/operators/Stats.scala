@@ -108,26 +108,33 @@ object Stats {
   /** Gap-based session windows with the BUILT-IN `session_window` function
     * — the declarative batch twin of [[graft.streaming.Sessions]] (which
     * needs flatMapGroupsWithState only because streaming emission must be
-    * watermark-aware). One shuffle on the user key; Spark merges
-    * overlapping [ts, ts+gap) intervals per key. The oracle replays the
-    * same semantics as gaps-and-islands: a new session starts when the gap
-    * to the previous event is >= 30 min (Spark's intervals are half-open,
-    * so a gap of exactly 30 min does NOT merge), session end = last event
-    * + gap. The gap compares exact integer `epoch_us`, never DuckDB's
-    * DOUBLE-typed `epoch()`, whose rounding near microsecond boundaries
-    * could disagree with Spark's integer micros on exact-gap ties. */
+    * watermark-aware). One shuffle on the user key; Spark merges per-key
+    * gap windows whose next event starts AT OR BEFORE the previous
+    * session's end — a gap of EXACTLY 30 min still merges (probed on
+    * Spark 4.1.2: two events 30:00 apart yield ONE session ending at
+    * +60 min; the streaming twin's `<= gapMs` merge matches). The oracle
+    * replays that as gaps-and-islands: a new session starts only when
+    * the gap to the previous event EXCEEDS 30 min; session end = last
+    * event + gap. The gap compares exact integer `epoch_us`, never
+    * DuckDB's DOUBLE-typed `epoch()`, whose rounding near microsecond
+    * boundaries could disagree with Spark's integer micros on exact-gap
+    * ties — and BOTH window passes order by (ts, event_id), because a
+    * running sum ordered by a timestamp with duplicates assigns
+    * tie-group rows to sessions in nondeterministic order (driver data's
+    * microsecond jitter never produced a tie; the 10× synthetic sweep's
+    * second-granularity timestamps did, 31 phantom sessions per run). */
   val q56SessionWindow = QueryDef(
     "q56_session_window",
     s"""WITH d AS (
-       |  SELECT user_id, ts, value,
+       |  SELECT user_id, event_id, ts, value,
        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |           IS NULL
        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-       |              ORDER BY ts, event_id)) >= 1800000000
+       |              ORDER BY ts, event_id)) > 1800000000
        |         THEN 1 ELSE 0 END AS new_s
        |  FROM events),
        |g AS (SELECT user_id, ts, value,
-       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM d)
        |SELECT user_id,

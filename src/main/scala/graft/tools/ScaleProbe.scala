@@ -235,7 +235,121 @@ object ScaleProbe {
     }
   }
 
+  /** `snapshot` mode (round 16): a FULL sf0.1-shaped snapshot — all
+    * eight relational tables plus documents/embeddings — at `mult`×
+    * the sf0.1 row counts, so the ENTIRE 167-query suite (not just the
+    * document families) can be driven through `graft.Verify` and the
+    * per-query oracle harness (`tools/scalecheck.py`) at 10×/100×
+    * scale. Values are pure hash functions of the row id (same
+    * discipline as [[gen]]): both scales draw from one distribution,
+    * FK keys land uniformly in range, doubles are integer/100 (bit-
+    * identical in any parquet reader), timestamps are TIMESTAMP_NTZ
+    * (the driver files' annotation). Distributional REALISM is not the
+    * point — the oracle compare is an equality check, and both engines
+    * read the same files; what scales is row volume and join/shuffle
+    * structure. */
+  private def genSnapshot(spark: SparkSession, dir: String,
+      m: Int): Unit = {
+    import spark.implicits._
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+      "MIDDLE EAST")
+    regions.zipWithIndex.map { case (r, i) => (i, r) }
+      .toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/region.parquet")
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/nation.parquet")
+    val C = 15000L * m; val S = 1000L * m; val P = 20000L * m
+    val O = 150000L * m; val L = 600000L * m; val E = 100000L * m
+    val files = math.max(4, 4 * m)
+    def w(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+      df.coalesce(files).write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    w(spark.range(C).selectExpr("id AS c_custkey",
+      "format_string('Customer#%09d', id) AS c_name",
+      "cast(pmod(hash(id, 1), 25) AS int) AS c_nationkey",
+      "cast(pmod(hash(id, 2), 1100000) AS double) / 100.0 - 999.0" +
+        " AS c_acctbal",
+      "element_at(array('AUTOMOBILE','BUILDING','FURNITURE'," +
+        "'HOUSEHOLD','MACHINERY'), cast(pmod(hash(id, 3), 5) AS int)" +
+        " + 1) AS c_mktsegment"), "customer")
+    w(spark.range(S).selectExpr("id AS s_suppkey",
+      "format_string('Supplier#%09d', id) AS s_name",
+      "cast(pmod(hash(id, 4), 25) AS int) AS s_nationkey",
+      "cast(pmod(hash(id, 5), 1100000) AS double) / 100.0 - 999.0" +
+        " AS s_acctbal"), "supplier")
+    w(spark.range(P).selectExpr("id AS p_partkey",
+      "concat(element_at(array('large','hot','blue','small','green'," +
+        "'cold'), cast(pmod(hash(id, 6), 6) AS int) + 1), ' ', " +
+        "element_at(array('ring','bolt','screw','washer','nut','pin')," +
+        " cast(pmod(hash(id, 7), 6) AS int) + 1)) AS p_name",
+      "concat('Brand#', cast(pmod(hash(id, 8), 25) AS int)) AS p_brand",
+      "element_at(array('ECONOMY','SMALL','LARGE','STANDARD','MEDIUM'," +
+        "'PROMO'), cast(pmod(hash(id, 9), 6) AS int) + 1) AS p_type",
+      "cast(pmod(hash(id, 10), 50) AS int) + 1 AS p_size",
+      "cast(pmod(hash(id, 11), 100000) AS double) / 100.0 + 900.0" +
+        " AS p_retailprice"), "part")
+    w(spark.range(O).selectExpr("id AS o_orderkey",
+      s"pmod(hash(id, 12), ${C}L) AS o_custkey",
+      "element_at(array('O','P','F'), cast(pmod(hash(id, 13), 3)" +
+        " AS int) + 1) AS o_orderstatus",
+      "cast(pmod(hash(id, 14), 45000000) AS double) / 100.0" +
+        " AS o_totalprice",
+      "timestampadd(DAY, cast(pmod(hash(id, 15), 2404) AS int), " +
+        "TIMESTAMP_NTZ '1995-01-01 00:00:00') AS o_orderdate",
+      "element_at(array('1-URGENT','2-HIGH','3-MEDIUM'," +
+        "'4-NOT SPECIFIED','5-LOW'), cast(pmod(hash(id, 16), 5)" +
+        " AS int) + 1) AS o_orderpriority"), "orders")
+    w(spark.range(L).selectExpr(
+      s"pmod(hash(id, 17), ${O}L) AS l_orderkey",
+      s"pmod(hash(id, 18), ${P}L) AS l_partkey",
+      s"pmod(hash(id, 19), ${S}L) AS l_suppkey",
+      "cast(pmod(id, 7) AS int) + 1 AS l_linenumber",
+      "cast(cast(pmod(hash(id, 20), 50) AS int) + 1 AS double)" +
+        " AS l_quantity",
+      "cast(pmod(hash(id, 21), 10000000) AS double) / 100.0 + 1.0" +
+        " AS l_extendedprice",
+      "cast(pmod(hash(id, 22), 11) AS double) / 100.0 AS l_discount",
+      "cast(pmod(hash(id, 23), 9) AS double) / 100.0 AS l_tax",
+      "element_at(array('R','A','N'), cast(pmod(hash(id, 24), 3)" +
+        " AS int) + 1) AS l_returnflag",
+      "element_at(array('O','F'), cast(pmod(hash(id, 25), 2)" +
+        " AS int) + 1) AS l_linestatus",
+      "timestampadd(DAY, cast(pmod(hash(id, 26), 2499) AS int) + 1, " +
+        "TIMESTAMP_NTZ '1995-01-01 00:00:00') AS l_shipdate"),
+      "lineitem")
+    w(spark.range(E).selectExpr("id AS event_id",
+      "timestampadd(SECOND, cast(pmod(hash(id, 27), 2592000) AS int), " +
+        "TIMESTAMP_NTZ '2024-01-01 00:00:00') AS ts",
+      s"pmod(hash(id, 28), ${1500L * m}L) AS user_id",
+      "element_at(array('click','error','purchase','signup','view')," +
+        " cast(pmod(hash(id, 29), 5) AS int) + 1) AS event_type",
+      "cast(pmod(hash(id, 30), 56021) AS double) / 100.0 AS value",
+      "concat('{\"k\": ', cast(pmod(hash(id, 31), 100) AS int), '}')" +
+        " AS props"), "events")
+    gen(spark, dir, 5000L * m, 2000L * m, files)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("snapshot")) {
+      val m = if (args.length > 1) args(1).toInt else 10
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = s"/tmp/graft-scale/full_x$m"
+      println(s"[scale] generating full snapshot $dir (${m}x sf0.1)")
+      genSnapshot(spark, dir, m)
+      println(s"[scale] done: $dir")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("tokenizer")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = SparkSession.builder()

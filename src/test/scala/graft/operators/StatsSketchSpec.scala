@@ -234,4 +234,36 @@ class StatsSketchSpec extends AnyFunSuite with SparkTestSession {
       s"q139's branches must share the (sh) rollup exchange:\n$p139")
     assert(!p139.contains("CartesianProduct"), p139)
   }
+
+  test("session_window boundary contract the q56 oracle replays: an " +
+    "exactly-gap-sized gap MERGES; duplicate timestamps are one session") {
+    // Pins Spark's closed-at-the-end merge rule, found when the 10x
+    // synthetic sweep's second-granularity timestamps produced exact
+    // 30-min gaps (driver data's microsecond jitter never does): two
+    // events exactly 30:00 apart are ONE session ending at +60 min.
+    // The q56 oracle's gaps-and-islands replay (split only when the
+    // gap EXCEEDS 30 min, ties ordered by event_id) and the streaming
+    // twin's `<= gapMs` merge both encode this; if a Spark upgrade
+    // flips the boundary, this is the test that says so.
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"),
+      (2L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:30:00.000001"),
+      (3L, "2024-01-01 00:05:00"), (3L, "2024-01-01 00:05:00")
+    ).toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val sess = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.end").as("e"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(sess.toSeq == Seq(
+      (1L, "2024-01-01 01:00:00.0", 2L), // exact gap merged, end = +60
+      (2L, "2024-01-01 00:30:00.0", 1L), // 1 us past the gap: split
+      (2L, "2024-01-01 01:00:00.000001", 1L),
+      (3L, "2024-01-01 00:35:00.0", 2L)), // duplicate ts: one session
+      sess.toSeq.toString)
+  }
 }
