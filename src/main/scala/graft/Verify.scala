@@ -70,9 +70,20 @@ object Verify {
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SPARK_GRAFT_VERIFY_WIDE_OUT=1 skips the single-file coalesce —
+    // for the synthetic scale sweeps, where a per-event-sized result
+    // (q51 emits one row per event) otherwise funnels the whole global
+    // sort + parquet encode through ONE task (>300 s at 10M events).
+    // The oracle compares read the dump with a *.parquet glob, so file
+    // count is irrelevant; the driver's gate runs without the env var
+    // and keeps the exact single-file layout it has always read.
+    val wideOut = sys.env.get("SPARK_GRAFT_VERIFY_WIDE_OUT").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        (if (wideOut) out else out.coalesce(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
