@@ -14,6 +14,11 @@ run / fork := true
 // Forked `run` output must reach stdout verbatim (no "[info] " logger
 // prefix) so the bench's single JSON line stays machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." trailer: the bench driver
+// parses the LAST stdout line as JSON, and the trailer lands after the
+// bench's JSON line, breaking the parse (BENCH_r14..r16 "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the logger, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

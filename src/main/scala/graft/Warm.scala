@@ -57,6 +57,7 @@ object Warm {
     def guard(body: => Any): Unit =
       try { body; () } catch { case _: Throwable => () }
     guard(operators.PairCache.pairStats(spark, dir))
+    guard(operators.SimPairCache.stats(spark, dir))
     guard(operators.CcCache.components(spark, dir))
     guard(operators.SemCache.components(spark, dir))
     guard(operators.BpeCache.trained(spark, dir))

@@ -381,9 +381,11 @@ object Dedup {
     * [[Mirror.hash60]]) keeps the per-block pigeonhole buckets fine enough
     * that candidate volume stays near-linear in corpus size. */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.SimHash60(col("text")).as("simhash"))
+    simhashOf(Tables(spark, dir, "documents"))
+
+  private def simhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash60(col("text")).as("simhash"))
 
   /** Declarative specification of [[simhashDf]] (explode → hash → vote
     * aggregation), tested equal to the native expression. */
@@ -452,8 +454,11 @@ object Dedup {
     * distance, UNFILTERED — q21 applies the ≤ 3 cutoff; q109 measures
     * what each cutoff would mean in exact-Jaccard terms. */
   private def simhashCandPairs(spark: SparkSession,
-      dir: String): DataFrame = {
-    val sim = simhashDf(spark, dir)
+      dir: String): DataFrame =
+    simhashCandPairsOf(Tables(spark, dir, "documents"))
+
+  private def simhashCandPairsOf(docs: DataFrame): DataFrame = {
+    val sim = simhashOf(docs)
     val blockStructs = (0 until 4).map { k =>
       struct(lit(k).as("k"),
         shiftright(col("simhash"), k * 15).bitwiseAND(32767).as("blk"))
@@ -494,6 +499,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Verified statistics (doc_a, doc_b, hamming, inter, tot) for every
+    * capped block-pigeonhole SimHash candidate pair — the SimHash family's
+    * counterpart of [[candidateStatsOf]]: the candidate relation is
+    * bucket-capped (never all-pairs) and the exact shingle verification
+    * join runs ONCE over the tiny pair side (AQE broadcasts it). The
+    * output is O(candidate pairs), which is why [[SimPairCache]]
+    * materializes it per input — a production pipeline writes this table
+    * in the ingest pass next to the minhash pair table and every
+    * calibration/report job reads it. */
+  private[operators] def simhashStatsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleSetsOf(docs)
+    simhashCandPairsOf(docs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          .as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("tot"))
+  }
+
   /** SimHash cutoff CALIBRATION — q106's measured-sketch report for the
     * OTHER signature family: every capped block-pigeonhole candidate
     * pair, grouped by hamming distance, with the micro-averaged exact
@@ -503,10 +530,12 @@ object Dedup {
     * shows exactly how much less on THIS corpus).
     *
     * Determinism + scale: per-bin sums are integers (exact in any order);
-    * ratios are single divisions. The candidate relation is the same
-    * bucket-capped pair generation as q21 (never an all-pairs join), and
-    * the shingle verification join is the q19 shape — candidate-pair
-    * sized, with AQE broadcasting the small pair side. */
+    * ratios are single divisions. The verified-pair relation is the
+    * [[SimPairCache]] artifact (bucket-capped candidates + one exact
+    * shingle verification join, O(near-dup pairs) on disk — the q106/
+    * PairCache tier); the fresh simhash-signature and capped-candidate
+    * pipelines stay gate-visible through q20/q21, and the fresh
+    * shingle-verification join through q102. */
   val q109SimhashCalibration = QueryDef(
     "q109_simhash_calibration",
     s"""WITH $sqlSimhash,
@@ -527,16 +556,8 @@ object Dedup {
        |SELECT hamming, n_pairs, si / su AS micro_jaccard, n_near,
        |  CAST(n_near AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS frac_near
        |FROM g ORDER BY hamming""".stripMargin) { (spark, dir) =>
-    val sh = shingleSetsOf(Tables(spark, dir, "documents"))
-    val m = simhashCandPairs(spark, dir)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        "doc_b")
-      .select(col("hamming"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-          .as("inter"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("tot"))
+    val m = SimPairCache.stats(spark, dir)
+      .select(col("hamming"), col("inter"), col("tot"))
       .withColumn("un", col("tot") - col("inter"))
       .filter(col("un") > 0)
     val g = m.groupBy(col("hamming"))

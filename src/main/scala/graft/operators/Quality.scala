@@ -799,18 +799,39 @@ object Quality {
     * and scores every arriving batch against the SAME counts. */
   private[graft] def lmCounts(ref: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-        Long) =
+        Long) = {
     // ONE pass over the reference slice: deriving it (the funnel-metric
     // keep filter + bigram hashing) is the expensive part, and without
-    // truncation it would run three times — once for the V count action
-    // and once under each of the c2/c1 joins in the caller's final plan.
-    // localCheckpoint materializes the (h2, h1) rows eagerly (blocks are
-    // released by the ContextCleaner when the plan is GC'd — the
-    // connectedComponents discipline); the reference slice is the
-    // quality-passing subset (CCNet trains on a curated reference, not
-    // the full corpus), so the checkpointed table is reference-sized.
-    lmCountsFromBigrams(
-      bigramHashes(ref, Seq.empty).localCheckpoint(true))
+    // caching it would run three times — once for the V count action and
+    // once under each of the c2/c1 joins in the caller's final plan.
+    // The occurrence-level (h2, h1) table is persist()ed (lineage kept —
+    // recoverable on executor loss, unlike a localCheckpoint) only for
+    // the duration of this call: it is reduced to the two MODEL-sized
+    // count tables and released in the finally, so a long-lived driver
+    // (streaming maintainer, bench loop) never accumulates
+    // reference-sized cached RDDs between ContextCleaner GCs. What the
+    // caller keeps is the frozen model — c2/c1 lineage-truncated via the
+    // shared cluster-aware posture (`spark.graft.cc.checkpointDir`
+    // switches executor-local truncation to a reliable store; without it
+    // an executor loss on a cluster makes the truncated model
+    // unrecoverable, which is why non-local deployments set it).
+    val spark = ref.sparkSession
+    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
+    val trunc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (ckDir.nonEmpty) {
+        spark.sparkContext.setCheckpointDir(ckDir)
+        df => df.checkpoint()
+      } else df => df.localCheckpoint()
+    val rh = bigramHashes(ref, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c2 = trunc(rh.groupBy(col("h2")).agg(count(lit(1)).as("n2")))
+      val c1 = trunc(rh.groupBy(col("h1")).agg(count(lit(1)).as("n1")))
+      // V = distinct prefixes = c1's cardinality (c1 is already grouped
+      // by h1), counted over the truncated model — no extra rh pass
+      (c2, c1, c1.count())
+    } finally { rh.unpersist(false); () }
+  }
 
   /** [[lmCounts]] over a PRE-COMPUTED bigram-hash table (h2, h1) — the
     * form the streaming manifest maintainer uses, where bigram rows are

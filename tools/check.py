@@ -52,8 +52,23 @@ def main():
         elif os.path.isfile(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # A query that CRASHED inside Verify leaves no dump dir either —
+    # Verify swallows the Throwable and records it only in errors.json.
+    # Without this read, a crash is indistinguishable from "not requested
+    # by the dev-only query filter" and silently greens the gate.
+    crashed = {}
+    err_path = f"{out_dir}/errors.json"
+    if os.path.isfile(err_path):
+        try:
+            crashed = json.load(open(err_path)).get("failures", {}) or {}
+        except (OSError, ValueError) as e:
+            print(f"WARN cannot parse {err_path}: {e}")
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in crashed:
+            print(f"FAIL {name}: crashed in Verify: {crashed[name][:200]}")
+            n_fail += 1
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
             # Verify was run with its dev-only query filter: entries
             # without a dump were not requested — not a failure

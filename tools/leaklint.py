@@ -44,6 +44,13 @@ PATTERNS = [
     # environment variables that smell like private endpoints
     r"\b[A-Z][A-Z0-9_]*(?:INTERNAL|CORP|PRIVATE)_(?:URL|HOST|REGISTRY|"
     r"BUCKET|ENDPOINT)\b",
+    # nested-quotation echo vector (round-16 verdict item 5): the
+    # LEAKCHECK's only remaining hits are `GITLOG:` lines — committed
+    # round artifacts re-quoting git-log lines that themselves quote a
+    # years-old clean-grep report. Any ADDED line that quotes a GITLOG
+    # record re-feeds the echo (17 -> 28 -> 42 hits over three rounds),
+    # so committed docs must describe git history, never paste it.
+    r"\bGITLOG:",
 ]
 COMPILED = [re.compile(p, re.IGNORECASE) for p in PATTERNS]
 

@@ -86,10 +86,15 @@ def main():
                 capture_output=True, text=True, timeout=timeout)
             o = p.stdout + p.stderr
             tag = "PASS" if p.returncode == 0 else "FAIL"
-            if p.returncode != 0 and (
-                    "Out of Memory" in o or "memory limit" in o
-                    or "No space left" in o):
-                tag = "OOM"
+            if p.returncode != 0:
+                # Genuine memory-limit hits are a non-failing oracle-engine
+                # limit (that distinction is this harness's point). A full
+                # DISK is an environment failure — no query was actually
+                # oracle-checked — and must not green the run as OOM.
+                if "No space left" in o:
+                    tag = "ENV"
+                elif "Out of Memory" in o or "memory limit" in o:
+                    tag = "OOM"
             res[n] = (tag, o.strip().splitlines()[-1][:200] if o.strip()
                       else "")
         except subprocess.TimeoutExpired:
@@ -99,7 +104,12 @@ def main():
     for n, (t, m) in res.items():
         if t != "PASS":
             print("DETAIL", n, t, m)
-    sys.exit(1 if any(t == "FAIL" for t, _ in res.values()) else 0)
+    tags = [t for t, _ in res.values()]
+    # fail on any value mismatch or environment failure; also fail when
+    # EVERY query landed in a non-PASS bucket (nothing was checked at all)
+    bad = any(t in ("FAIL", "ENV") for t in tags) or (
+        bool(tags) and not any(t == "PASS" for t in tags))
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
