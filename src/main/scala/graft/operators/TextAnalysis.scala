@@ -716,90 +716,44 @@ object TextAnalysis {
     * under `pieces`, returning corpus-weighted usage per piece.
     *
     * The piece inventory is MODEL state (≤ [[UniSeedK]] + alphabet rows),
-    * so it rides as four broadcast prefix tables — each loop step is one
-    * narrow pass over the (shrinking) remainder table with four
-    * broadcast-hash equi-joins on `substr(rem, 1, k)`, never a shuffle of
-    * text. Steps are bounded by the longest word (each consumes ≥ 1
-    * char); per-step usage partials collapse to ≤ |pieces| rows and fold
-    * into a driver map (the Lloyd-loop pattern: driver holds the model,
-    * not data). Single-char pieces cover every position by construction,
-    * so the match never fails and the loop always terminates. */
+    * compiled into the native [[graft.functions.UniSegment]] expression —
+    * ONE narrow pass over the word table emits each word's piece array
+    * in-line (no remainder loop, no prefix joins), one vocabulary-sized
+    * shuffle collapses usage per piece, and the driver folds the ≤
+    * |pieces| result rows (the Lloyd-loop pattern: driver holds the
+    * model, not data). ONE scheduled job per segmentation — the round-16
+    * step-loop paid one job per consumed-piece step (≈ longest-word/avg-
+    * piece-len of them) per pass, and per-job scheduling, not data, was
+    * the fresh-train floor at bench SF. Single-char pieces cover every
+    * position by construction, so the match never fails on the training
+    * vocabulary. */
   private def uniSegmentUsage(wf: DataFrame,
       pieces: Seq[(String, Int)]): Map[String, Long] =
     uniSegment(wf, pieces, withVocab = false)._1
 
   /** As [[uniSegmentUsage]]; with `withVocab` additionally returns the
-    * segmented vocabulary (w, n_pieces) — each step's surviving word set
-    * is banked (lineage-truncated via localCheckpoint, the
-    * connectedComponents discipline) and a word's piece count is the
-    * number of steps it survived. The application table the tokenizer
-    * family serializes (BPE's `syms` analog), consumed by q146. */
+    * segmented vocabulary (w, n_pieces) — a word's piece count is the
+    * size of its emitted piece array, localCheckpoint-banked (the
+    * connectedComponents discipline) so the returned table never
+    * re-derives the word-frequency shuffle after the trainer releases
+    * its cache. The application table the tokenizer family serializes
+    * (BPE's `syms` analog), consumed by q146. */
   private def uniSegment(wf: DataFrame, pieces: Seq[(String, Int)],
       withVocab: Boolean): (Map[String, Long], Option[DataFrame]) = {
-    import org.apache.spark.storage.StorageLevel
-    val spark = wf.sparkSession
-    import spark.implicits._
-    def side(k: Int): DataFrame =
-      broadcast(pieces.collect { case (p, `k`) => p }.toDF(s"p$k"))
-    val bs = (1 to UniMaxPieceLen).map(k => k -> side(k)).toMap
-    val usage = scala.collection.mutable.Map.empty[String, Long]
-    val wordFrames = Seq.newBuilder[DataFrame]
-    // ONE action per step: the per-piece usage partial also carries the
-    // count of still-unconsumed rows, so the loop needs no separate
-    // count() job — at bench scale per-job scheduling overhead, not
-    // data, is this loop's cost (measured 2.6 s → 1.8 s at sf0.1; a
-    // fully-unrolled single-plan variant was tried and is SLOWER, 2.3 s,
-    // because 3 segmentations × maxLen stages × 4 joins of plan analysis
-    // outweighs the jobs it saves). Each step persists on top of its
-    // cached parent; the grandparent is released only after the new step
-    // materialized.
-    var prev: Option[DataFrame] = None
-    var cur = wf.select(col("w"), col("freq"), col("w").as("rem"))
-    var done = false
-    while (!done) {
-      var joined = cur
-      (UniMaxPieceLen to 1 by -1).foreach { k =>
-        joined = joined.join(bs(k),
-          col("rem").substr(1, k) === col(s"p$k"), "left")
-      }
-      val step = joined
-        .withColumn("piece", coalesce(
-          (UniMaxPieceLen to 1 by -1).map(k => col(s"p$k")): _*))
-        .select(col("w"), col("freq"), col("piece"),
-          col("rem").substr(length(col("piece")) + 1, length(col("rem")))
-            .as("rem2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val partials = step.groupBy(col("piece"))
-        .agg(sum(col("freq")).as("u"),
-          sum(when(length(col("rem2")) > 0, 1L).otherwise(0L)).as("cont"))
-        .collect()
-      partials.foreach { r =>
-        val p = r.getString(0)
-        usage(p) = usage.getOrElse(p, 0L) + r.getLong(1)
-      }
-      if (withVocab)
-        wordFrames += step.select(col("w")).localCheckpoint(true)
-      prev.foreach(_.unpersist(false))
-      prev = Some(step)
-      if (partials.map(_.getLong(2)).sum == 0) {
-        step.unpersist(false)
-        prev = None
-        done = true
-      } else
-        cur = step.filter(length(col("rem2")) > 0)
-          .select(col("w"), col("freq"), col("rem2").as("rem"))
-    }
+    val seged = wf.select(col("w"), col("freq"),
+      graft.functions.UniSegment.pieces(col("w"), pieces.map(_._1))
+        .as("pieces"))
+    val usage = seged
+      .select(explode(col("pieces")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocab =
       if (!withVocab) None
-      else Some {
-        val frames = wordFrames.result()
-        if (frames.isEmpty)
-          spark.range(0).select(col("id").cast("string").as("w"),
-            col("id").as("n_pieces")).limit(0)
-        else frames.reduce(_ unionByName _)
-          .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
-      }
-    (usage.toMap, vocab)
+      else Some(seged
+        .filter(size(col("pieces")) > 0)
+        .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
+        .localCheckpoint(true))
+    (usage, vocab)
   }
 
   /** Unigram-LM tokenizer training — the SentencePiece (Kudo 2018) family
@@ -835,7 +789,15 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = uniWordFreq(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // the ONE corpus-scale action (word-frequency collapse) runs under
+    // the session's full width + AQE; everything after iterates over the
+    // cached vocabulary-sized table, so the whole remainder of training
+    // — seed enumeration included — runs in ONE pinned window sized to
+    // it (LoopConf: loop-sized shuffle width, AQE off so each action is
+    // exactly one scheduled job; TrainerLoopSpec pins the budget)
     val nWords = wf.count()
+    val (fin, vocab) = LoopConf.pinned(spark,
+      LoopConf.parts(spark, nWords)) {
     val sub = wf
       .select(col("w"), col("freq"),
         explode(sequence(lit(1), length(col("w")))).as("i"))
@@ -866,18 +828,13 @@ object TextAnalysis {
       .sortBy { case (p, f) => (-f, p) }
       .map { case (p, _) => (p, p.length) }.toSeq
     var pieces = chars ++ seed
-    // the EM-ish refinement + final segmentation walk word-level tables
-    // (broadcast prefix joins, driver-folded usage partials) — pin them
-    // to the cached word table's own width (LoopConf)
-    val (fin, vocab) = LoopConf.pinned(spark,
-      LoopConf.parts(spark, nWords)) {
-      UniKeepK.foreach { keep =>
-        val u = uniSegmentUsage(wf, pieces)
-        val kept = u.toSeq.filter(_._1.length >= 2)
-          .sortBy { case (p, c) => (-c, p) }.take(keep)
-        pieces = chars ++ kept.map { case (p, _) => (p, p.length) }
-      }
-      uniSegment(wf, pieces, withVocab)
+    UniKeepK.foreach { keep =>
+      val u = uniSegmentUsage(wf, pieces)
+      val kept = u.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, c) => (-c, p) }.take(keep)
+      pieces = chars ++ kept.map { case (p, _) => (p, p.length) }
+    }
+    uniSegment(wf, pieces, withVocab)
     }
     wf.unpersist(false)
     val pieceTable = fin.toSeq.sortBy { case (p, c) => (-c, p) }

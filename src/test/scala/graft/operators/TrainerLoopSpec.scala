@@ -61,6 +61,55 @@ class TrainerLoopSpec extends AnyFunSuite with SparkTestSession {
         s"${Rounds + 4}; 2 actions/round would be ${2 * Rounds + 1})")
   }
 
+  test("unigram EM training schedules one job per segmentation pass") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val (pieceTable, jobs) = jobsOf(TextAnalysis.unigramTrain(docs))
+    assert(pieceTable.columns.toSeq ==
+      Seq("piece", "plen", "usage"))
+    // 1 word-freq count + 1 fused seed/char collect + one usage job per
+    // segmentation pass (2 prune rounds + the final), with slack for AQE
+    // sub-jobs. The pre-native step-loop scheduled one job per consumed-
+    // piece STEP per pass (~3× longest-word/avg-piece-len more).
+    val passes = TextAnalysis.UniKeepK.size + 1
+    assert(jobs <= passes + 6,
+      s"unigram training scheduled $jobs jobs (want <= ${passes + 6})")
+  }
+
+  test("uni_segment matches a reference greedy leftmost-longest matcher") {
+    import scala.jdk.CollectionConverters._
+    val inventory = Seq("a", "b", "c", "d", "ab", "bcd", "abc", "cd")
+    def ref(w: String): Seq[String] = {
+      val maxLen = inventory.map(_.length).max
+      val set = inventory.toSet
+      val out = Seq.newBuilder[String]
+      var i = 0
+      var dead = false
+      while (i < w.length && !dead) {
+        val k = (math.min(maxLen, w.length - i) to 1 by -1)
+          .find(k => set(w.substring(i, i + k)))
+        k match {
+          case Some(len) => out += w.substring(i, i + len); i += len
+          case None => dead = true // unmatched char: oracle's NULL exit
+        }
+      }
+      out.result()
+    }
+    val words =
+      Seq("abcd", "abcdbcd", "dcba", "aaaa", "abxcd", "x", "cdab", "")
+        .filter(_.nonEmpty)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = words.toDF("w")
+      .select(col("w"),
+        graft.functions.UniSegment.pieces(col("w"), inventory).as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getList[String](1).asScala.toSeq)
+      .toMap
+    words.foreach { w =>
+      assert(got(w) == ref(w), s"word '$w': ${got(w)} != ${ref(w)}")
+    }
+  }
+
   test("full training adds exactly the final-generation materialization " +
     "and returns it persisted") {
     val docs = graft.Tables(spark, sfDir, "documents")
