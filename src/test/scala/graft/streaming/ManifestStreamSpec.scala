@@ -126,4 +126,50 @@ class ManifestStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(funnelRows(ManifestStream.funnel(spark, state)) == want)
     assert(fs.exists(statePath))
   }
+
+  test("crash between the seen-partition write and the commit marker, " +
+    "then a fresh-lineage restart: the batch re-ingests whole and " +
+    "nothing double-counts") {
+    // The exact r15 crash window: `seen/epoch=N` landed (the LAST state
+    // write before the marker) but `commits/epoch=N` did not. A reader
+    // of the raw seen table would gate the redelivered batch to zero and
+    // LOSE it (its state epochs are uncommitted = invisible); a reader
+    // that ignores epochs would double-count. The barrier contract is:
+    // the whole epoch is invisible — seen partition included — so a
+    // fresh lineage re-ingests the batch whole, exactly once.
+    val dir = java.nio.file.Files.createTempDirectory("manifestcrash")
+    val state = dir.resolve("state").toString
+    val rows = docRows.take(120)
+    val (b1, b2) = rows.splitAt(60)
+    run(dir, "ckptA", Seq(b1))
+    run(dir, "ckptB", Seq(b2))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the crash ordering by deleting the LAST epoch's marker:
+    // on disk this is indistinguishable from dying right before the PUT
+    val lastEpoch = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/commits")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).max
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$state/commits/epoch=$lastEpoch"), false))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$state/seen/epoch=$lastEpoch")),
+      "precondition: the crashed epoch's seen partition must exist")
+    // fresh lineage redelivers the same batch (new checkpoint = the
+    // restart path where streaming offsets are gone)
+    val rep = run(dir, "ckptC", Seq(b2))
+    assert(rep.map(_._2).sum == b2.size,
+      "the uncommitted seen partition must NOT gate the redelivery — " +
+        "that would lose the batch")
+    // reference: the same two batches through one clean lineage
+    val dir2 = java.nio.file.Files.createTempDirectory("manifestclean")
+    val state2 = dir2.resolve("state").toString
+    run(dir2, "ckptR", Seq(b1, b2))
+    val got = funnelRows(ManifestStream.funnel(spark, state))
+    val want = funnelRows(ManifestStream.funnel(spark, state2))
+    assert(got == want,
+      s"crash-window restart must not change any funnel count " +
+        s"(docs or tokens):\n$got\nvs\n$want")
+  }
 }
