@@ -12,7 +12,15 @@ distinction is the point of the exercise.
 
 Usage:
   python3 tools/scalecheck.py <sfDir> <verifyOutDir> [timeoutSecs=240]
-      [memLimit=24GB]
+      [memLimit=24GB] [--staged] [--only=qNN_a,qNN_b]
+  # --staged: materialize each oracle CTE as a temp table stage by stage
+  #   and replace the recursive `reach` closure with iterative min-label
+  #   propagation (see the staged-mode block below) — for the queries
+  #   whose MONOLITHIC oracle is single-node infeasible at scale. Run it
+  #   at sf0.1 first: a staged PASS there, where the plain oracle is
+  #   feasible and hash-equal to the same Spark dump, is the empirical
+  #   equivalence proof for the rewrite.
+  # --only: restrict to named queries (dump dirs) in either mode.
   # <verifyOutDir> comes from graft.Verify run with its dev-only query
   # filter against <sfDir>; oracle_sql.json there must hold the FULL
   # oracle map (re-copy it from a full-suite Verify dump if a filtered
@@ -26,11 +34,8 @@ import sys
 from collections import Counter
 
 
-def run_one(sf_dir, out_dir, name, mem_limit):
-    """Subprocess entry: compare one query, exit 0/1."""
+def _connect(sf_dir, mem_limit):
     import duckdb
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from check import canon, cells_equal
     con = duckdb.connect()
     con.sql(f"SET memory_limit='{mem_limit}'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
@@ -41,12 +46,17 @@ def run_one(sf_dir, out_dir, name, mem_limit):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.isfile(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    return con
+
+
+def _compare(con, exp_sql, out_dir, name):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check import canon, cells_equal
     got_rel = con.sql(
         f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
     got_cols = got_rel.columns
     got = got_rel.fetchall()
-    exp_rel = con.sql(sql)
+    exp_rel = con.sql(exp_sql)
     exp_cols = exp_rel.columns
     exp = exp_rel.fetchall()
     if sorted(got_cols) != sorted(exp_cols):
@@ -67,21 +77,165 @@ def run_one(sf_dir, out_dir, name, mem_limit):
     return 0
 
 
+def run_one(sf_dir, out_dir, name, mem_limit):
+    """Subprocess entry: compare one query, exit 0/1."""
+    con = _connect(sf_dir, mem_limit)
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    return _compare(con, sql, out_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Staged oracle mode (round-16 verdict item 4): materialize the oracle's
+# WITH-chain to temp tables stage by stage, so each stage is individually
+# feasible for the single-node engine. The one construct that is NOT
+# per-stage feasible — the recursive transitive-closure CTE `reach`, whose
+# row count is sum over components of |C|^2 — is textually identical in
+# every oracle that embeds it (seed `SELECT a, a FROM edges`, step
+# `SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b`), and is
+# replaced by ITERATIVE min-label propagation: lab_0(v) = v,
+# lab_{k+1}(v) = min(lab_k(v), min over in-neighbors' lab_k), fixpoint in
+# diameter rounds. Equivalence: the downstream `comp` CTE only ever takes
+# MIN(r) GROUP BY v over `reach`, and min over the reachable set IS the
+# min-label fixpoint (edges is symmetrized + the seed adds self-loops), so
+# materializing `reach` as the one-row-per-v fixpoint table leaves
+# MIN(r) — and therefore every downstream row — unchanged. The harness
+# proves this empirically per query by being run at sf0.1 (where the
+# plain oracle is feasible and the Spark dump is hash-equal to it) before
+# the 10x point is graded.
+# ---------------------------------------------------------------------------
+
+REACH_NORM = ("SELECT A, A FROM EDGES UNION SELECT E.A, REACH.R "
+              "FROM EDGES E JOIN REACH ON REACH.V = E.B")
+
+
+def _norm_ws(s):
+    import re
+    return re.sub(r"\s+", " ", s).strip().upper()
+
+
+def split_ctes(sql):
+    """Split `WITH [RECURSIVE] n1 [(cols)] AS (b1), ... <final>` into
+    ([(name, cols_or_None, body)], final). Paren scan is quote-aware."""
+    import re
+    s = sql.strip()
+    m = re.match(r"WITH\s+(RECURSIVE\s+)?", s, re.I)
+    if not m:
+        raise ValueError("oracle does not start with WITH")
+    i = m.end()
+    ctes = []
+    while True:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s+AS\s*\(",
+                     s[i:], re.I)
+        if not m:
+            raise ValueError(f"cannot parse CTE header at: {s[i:i + 80]!r}")
+        name, cols = m.group(1), m.group(2)
+        j = i + m.end()  # just past the opening paren
+        depth, k, in_q = 1, j, False
+        while depth and k < len(s):
+            c = s[k]
+            if c == "'":
+                in_q = not in_q
+            elif not in_q and c == "(":
+                depth += 1
+            elif not in_q and c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in CTE {name}")
+        ctes.append((name, cols, s[j:k - 1]))
+        rest = s[k:].lstrip()
+        if rest.startswith(","):
+            i = len(s) - len(rest) + 1
+        else:
+            return ctes, rest
+
+
+def _self_referential(name, body):
+    import re
+    return re.search(rf"\b{re.escape(name)}\b", body, re.I) is not None
+
+
+def run_one_staged(sf_dir, out_dir, name, mem_limit, max_rounds=500):
+    """Subprocess entry: staged-oracle compare of one query, exit 0/1."""
+    con = _connect(sf_dir, mem_limit)
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    ctes, final = split_ctes(sql)
+    for nm, cols, body in ctes:
+        if nm.lower() == "reach" and _norm_ws(body) == REACH_NORM:
+            con.sql("CREATE TEMP TABLE reach AS "
+                    "SELECT DISTINCT a AS v, a AS r FROM edges")
+            rounds = 0
+            while True:
+                con.sql(
+                    "CREATE TEMP TABLE reach_next AS "
+                    "SELECT v, MIN(r) AS r FROM ("
+                    "  SELECT v, r FROM reach"
+                    "  UNION ALL"
+                    "  SELECT e.a AS v, rc.r FROM edges e"
+                    "  JOIN reach rc ON rc.v = e.b"
+                    ") GROUP BY v")
+                changed = con.sql(
+                    "SELECT count(*) FROM reach_next n JOIN reach o "
+                    "ON o.v = n.v AND o.r <> n.r").fetchone()[0]
+                con.sql("DROP TABLE reach")
+                con.sql("ALTER TABLE reach_next RENAME TO reach")
+                rounds += 1
+                if changed == 0:
+                    break
+                if rounds > max_rounds:
+                    print(f"FAIL {name}: min-label propagation did not "
+                          f"converge in {max_rounds} rounds")
+                    return 1
+            print(f"  [staged] reach: fixpoint in {rounds} rounds",
+                  flush=True)
+        else:
+            stage_sql = body
+            if _self_referential(nm, body):
+                # self-recursive CTE (e.g. the tokenizer segmentation):
+                # re-wrap so the self-reference resolves to the inner CTE
+                # while references to earlier stages hit their temp tables
+                stage_sql = (f"WITH RECURSIVE {nm}{cols or ''} AS ({body}) "
+                             f"SELECT * FROM {nm}")
+            elif cols:
+                # explicit column list (e.g. `p(pattern) AS (VALUES ...)`)
+                # must survive materialization
+                stage_sql = f"SELECT * FROM ({body}) AS _staged_t{cols}"
+            con.sql(f'CREATE TEMP TABLE "{nm}" AS {stage_sql}')
+            n = con.sql(f'SELECT count(*) FROM "{nm}"').fetchone()[0]
+            print(f"  [staged] {nm}: {n} rows", flush=True)
+    return _compare(con, final, out_dir, name)
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         sys.exit(run_one(sys.argv[2], sys.argv[3], sys.argv[4],
                          sys.argv[5]))
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 240
-    mem = sys.argv[4] if len(sys.argv) > 4 else "24GB"
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one-staged":
+        sys.exit(run_one_staged(sys.argv[2], sys.argv[3], sys.argv[4],
+                                sys.argv[5]))
+    staged = "--staged" in sys.argv
+    only = None
+    args = []
+    for a in sys.argv[1:]:
+        if a == "--staged":
+            continue
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+            continue
+        args.append(a)
+    sf_dir, out_dir = args[0], args[1]
+    timeout = int(args[2]) if len(args) > 2 else 240
+    mem = args[3] if len(args) > 3 else "24GB"
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(f"{out_dir}/{d}"))
+                   if os.path.isdir(f"{out_dir}/{d}")
+                   and (only is None or d in only))
     res = {}
     for n in names:
         try:
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one",
+                [sys.executable, os.path.abspath(__file__),
+                 "--one-staged" if staged else "--one",
                  sf_dir, out_dir, n, mem],
                 capture_output=True, text=True, timeout=timeout)
             o = p.stdout + p.stderr
