@@ -82,10 +82,25 @@ object Bench {
     // max/min >= ~1.3 — making a bad epoch self-diagnosing in the JSON
     // without a judge re-run. min-of-3 per reading: host degradation
     // inflates even the min; GC spikes don't.
+    //
+    // Each checkpoint is preceded by ONE untimed self-warm execution
+    // (round-17): the first checkpoint runs immediately after the full-
+    // suite warm pass, so its timed runs were absorbing the JVM's
+    // accumulated allocation/GC debt rather than host state — measured
+    // sentinel_secs [0.364, 0.195, 0.197, 0.195, 0.210, 0.211] on an
+    // otherwise-FLAT epoch (floor-ratio segments 1.29-1.42, no positional
+    // trend) read as drift 1.87 and self-invalidated three consecutive
+    // epochs whose timed suite was uniformly healthy. The warm run is
+    // applied at EVERY checkpoint, not just the first, so the instrument
+    // stays symmetric: genuine host slowdown inflates the timed min at
+    // any checkpoint regardless of a warm run before it (verified against
+    // the r14 run-4 rising-segment epoch shape, which this would NOT have
+    // rescued — its inflation was in the timed mins themselves).
     val sentinelName = "q01_pricing_summary"
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timeSentinel(): Unit =
       SparkEntry.queries.get(sentinelName).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
         val t = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
