@@ -600,14 +600,20 @@ object TextAnalysis {
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
 
-  private def wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
-
-  /** Per-position symbol rows with each position's successor. */
+  /** (freq, s, nxt) rows derived IN-ROW from each word's symbol array —
+    * each position paired with its successor (NULL at the last position,
+    * so one pass carries both pair counts and total symbol occurrences).
+    * Replaces the posexplode + lead() form, whose per-word window
+    * SHUFFLED the full position-level table every trainer round; the
+    * in-row transform is narrow, and the only exchange left in a round
+    * is the map-side-combined (s, nxt) count aggregation. */
   private def bpePairRows(vocab: DataFrame): DataFrame =
     vocab
-      .select(col("w"), col("freq"),
-        posexplode(col("syms")).as(Seq("pos", "s")))
-      .withColumn("nxt", lead(col("s"), 1).over(wWin))
+      .select(col("freq"),
+        explode(transform(col("syms"), (s, i) =>
+          struct(s.as("s"), get(col("syms"), i + lit(1)).as("nxt"))))
+          .as("p"))
+      .select(col("freq"), col("p.s").as("s"), col("p.nxt").as("nxt"))
 
   /** Corpus-weighted argmax adjacent pair (count desc, then lexicographic
     * — fully deterministic), or None when no adjacent pair exists (every
@@ -622,33 +628,15 @@ object TextAnalysis {
       .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
 
   /** Greedy left-to-right merge of pair (a,b) across every vocabulary
-    * word. a ≠ b: matches can't overlap, all merge at once. a = b: greedy
-    * takes even offsets within each maximal run — the run-grouping prefix
-    * sum + min-pos-per-run window recovers that without a sequential
-    * scan. InvariantSpec pins both cases against a driver-side reference
-    * merge. */
+    * word — one narrow in-row pass via the native
+    * [[graft.functions.BpeMergeStep]] expression (the pair is model
+    * state, compiled into the serialized expression). InvariantSpec pins
+    * the semantics — including the a = b even-offset-within-run rule —
+    * against a driver-side sequential reference merge. */
   private[operators] def bpeMerge(vocab: DataFrame, a: String,
       b: String): DataFrame =
-    bpePairRows(vocab)
-      .withColumn("grp", sum(when(col("s") === a, 0).otherwise(1))
-        .over(wWin.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .withColumn("run0", min(when(col("s") === a, col("pos")))
-        .over(Window.partitionBy(col("w"), col("grp"))))
-      .withColumn("mstart", col("s") === a && col("nxt").isNotNull &&
-        col("nxt") === b &&
-        (lit(a != b) || (col("pos") - col("run0")) % 2 === 0))
-      .withColumn("skip",
-        coalesce(lag(col("mstart"), 1).over(wWin), lit(false)))
-      .filter(!col("skip"))
-      .select(col("w"), col("freq"), col("pos"),
-        when(col("mstart"), concat(col("s"), col("nxt")))
-          .otherwise(col("s")).as("out"))
-      .groupBy(col("w"), col("freq"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("out"))))
-        .as("po"))
-      .select(col("w"), col("freq"),
-        transform(col("po"), p => p.getField("out")).as("syms"))
+    vocab.select(col("w"), col("freq"),
+      graft.functions.BpeMergeStep.merged(col("syms"), a, b).as("syms"))
 
   private val CurationK = 5
 
@@ -999,22 +987,26 @@ object TextAnalysis {
   private type WpMerge = (Int, String, String, Long, Long, Long)
 
   /** Corpus-weighted WordPiece argmax: the adjacent pair maximizing
-    * cnt(ab)/(cnt(a)·cnt(b)), ties lexicographic. Symbol counts join in
-    * as two broadcast-sized lookups (≤ |symbols| rows — model state).
-    * The count side deliberately AVOIDS [[bpePairRows]]: it needs no
-    * successor, so a plain explode+agg (map-side combined, no per-word
-    * window shuffle) replaces the lead() pass — one exchange per round
-    * instead of two (measured in-suite at sf0.1: q163 2.30 → 1.62 s). */
+    * cnt(ab)/(cnt(a)·cnt(b)), ties lexicographic. ONE corpus-scale pass
+    * per round: [[bpePairRows]] emits a (s, successor-or-NULL) row per
+    * symbol occurrence, so the same (s, nxt) count aggregation carries
+    * both the pair candidates (nxt non-null) and, summed over nxt per s,
+    * the total symbol occurrences — ca(s) = Σ_nxt cnt(s, nxt), because
+    * every occurrence has exactly one successor row. The two consumers
+    * share an identical aggregation subtree, so ReuseExchange serves both
+    * from one shuffle write; the symbol-count side is then a
+    * pair-inventory-sized re-aggregation (model-state width). The old
+    * form ran a SECOND corpus-scale explode+agg for the symbol counts.
+    * shuffle_hash, NOT broadcast, on the count joins: a BroadcastExchange
+    * is its own scheduled job (one per join side, each recomputing the
+    * aggregate to collect it), which triples the loop's per-round job
+    * count. Inside the pinned loop window the relations are loop-width
+    * — the shuffle is a couple of tasks in the SAME action. */
   private[operators] def wpTopPair(vocab: DataFrame): Option[WpMerge] = {
-    val sc = vocab.select(col("freq"), explode(col("syms")).as("s"))
-      .groupBy(col("s")).agg(sum(col("freq")).as("c"))
-    // shuffle_hash, NOT broadcast: a BroadcastExchange is its own
-    // scheduled job (one per join side, each recomputing the `sc`
-    // aggregate to collect it), which triples the loop's per-round job
-    // count. Inside the pinned loop window the relations are loop-width
-    // — the shuffle is a couple of tasks in the SAME action.
-    bpePairRows(vocab).filter(col("nxt").isNotNull)
+    val pairs = bpePairRows(vocab)
       .groupBy(col("s"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+    val sc = pairs.groupBy(col("s")).agg(sum(col("cnt")).as("c"))
+    pairs.filter(col("nxt").isNotNull)
       .join(sc.select(col("s"), col("c").as("ca")).hint("shuffle_hash"),
         "s")
       .join(sc.select(col("s").as("nxt"), col("c").as("cb"))
