@@ -800,21 +800,20 @@ object Quality {
   private[graft] def lmCounts(ref: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         Long) = {
-    // ONE pass over the reference slice: deriving it (the funnel-metric
-    // keep filter + bigram hashing) is the expensive part, and without
-    // caching it would run three times — once for the V count action and
-    // once under each of the c2/c1 joins in the caller's final plan.
-    // The occurrence-level (h2, h1) table is persist()ed (lineage kept —
-    // recoverable on executor loss, unlike a localCheckpoint) only for
-    // the duration of this call: it is reduced to the two MODEL-sized
-    // count tables and released in the finally, so a long-lived driver
-    // (streaming maintainer, bench loop) never accumulates
-    // reference-sized cached RDDs between ContextCleaner GCs. What the
-    // caller keeps is the frozen model — c2/c1 lineage-truncated via the
-    // shared cluster-aware posture (`spark.graft.cc.checkpointDir`
-    // switches executor-local truncation to a reliable store; without it
-    // an executor loss on a cluster makes the truncated model
-    // unrecoverable, which is why non-local deployments set it).
+    // ONE corpus-scale pass total: the occurrence-level (h2, h1) rows
+    // funnel straight into a single (h2, h1)-keyed count aggregation —
+    // h2 is the full-bigram hash and h1 its prefix hash, so BOTH model
+    // tables re-aggregate exactly from it (c2(h2) = Σ_h1 n, c1(h1) =
+    // Σ_h2 n; every occurrence contributes one (h2, h1) row, no
+    // approximation). Only that bigram-vocabulary-sized table is
+    // lineage-truncated; the occurrence rows are consumed by exactly one
+    // aggregation, so they need no persist and nothing reference-sized
+    // outlives this call (the round-16 ADVICE lifecycle concern shrinks
+    // to a model-sized checkpoint). Truncation follows the shared
+    // cluster-aware posture: `spark.graft.cc.checkpointDir` switches
+    // executor-local truncation to a reliable store — without it an
+    // executor loss on a cluster makes the truncated model
+    // unrecoverable, which is why non-local deployments set it.
     val spark = ref.sparkSession
     val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
     val trunc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
@@ -822,15 +821,13 @@ object Quality {
         spark.sparkContext.setCheckpointDir(ckDir)
         df => df.checkpoint()
       } else df => df.localCheckpoint()
-    val rh = bigramHashes(ref, Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val c2 = trunc(rh.groupBy(col("h2")).agg(count(lit(1)).as("n2")))
-      val c1 = trunc(rh.groupBy(col("h1")).agg(count(lit(1)).as("n1")))
-      // V = distinct prefixes = c1's cardinality (c1 is already grouped
-      // by h1), counted over the truncated model — no extra rh pass
-      (c2, c1, c1.count())
-    } finally { rh.unpersist(false); () }
+    val g = trunc(bigramHashes(ref, Seq.empty)
+      .groupBy(col("h2"), col("h1")).agg(count(lit(1)).as("n")))
+    val c2 = g.groupBy(col("h2")).agg(sum(col("n")).as("n2"))
+    val c1 = g.groupBy(col("h1")).agg(sum(col("n")).as("n1"))
+    // V = distinct prefixes = c1's cardinality; counted over the
+    // truncated model-sized table — no second corpus pass
+    (c2, c1, c1.count())
   }
 
   /** [[lmCounts]] over a PRE-COMPUTED bigram-hash table (h2, h1) — the
