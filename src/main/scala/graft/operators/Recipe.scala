@@ -264,19 +264,21 @@ object Recipe {
     *
     * let1-bound (see [[Mirror.let1]]): the shingle+hash array and the
     * fingerprint set are each evaluated ONCE per row — without the
-    * binding, CollapseProject inlines the pipeline into every window's
-    * slice() and the evaluator re-hashes the whole document per window
-    * (measured 40×: 4 s for 500 docs at sf0.001). The (fp, nfp) structs
-    * are emitted INSIDE the binding and exploded immediately — Generate
-    * is a real barrier, so the whole per-doc pipeline runs exactly once
+    * binding, CollapseProject inlines the pipeline into downstream
+    * references and the evaluator re-hashes the whole document per use
+    * (measured 40×: 4 s for 500 docs at sf0.001). Window minima come
+    * from the native [[graft.functions.SlidingMin]] monotonic-deque pass
+    * — one O(n) scan instead of an array_min(slice(…)) allocation per
+    * position, bit-identical values. The (fp, nfp) structs are emitted
+    * INSIDE the binding and exploded immediately — Generate is a real
+    * barrier, so the whole per-doc pipeline runs exactly once
     * (plan-pinned in RecipeSpec). */
   private[graft] def winnowEntries(docs: DataFrame): DataFrame = {
     val entries = let1(
       let1(transform(shingleGen(col("text")), s => hash60(s))) { sh =>
         when(size(sh) >= WinnowW,
-          array_distinct(transform(
-            sequence(lit(1), size(sh) - (WinnowW - 1)),
-            i => array_min(slice(sh, i, lit(WinnowW))))))
+          array_distinct(
+            graft.functions.SlidingMin.mins(sh, WinnowW)))
           .otherwise(array(array_min(sh)))
       }) { fps =>
       transform(fps, f =>

@@ -211,6 +211,28 @@ class InvariantSpec extends AnyFunSuite with SparkTestSession {
     bg.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("native SlidingMin equals the slice/array_min HOF reference") {
+    // random long arrays incl. duplicate values (deque tie handling),
+    // strictly increasing/decreasing runs, and the exact-window edge
+    val rows = (1 to 200).map { i =>
+      val n = 4 + rnd.nextInt(40)
+      (1 to n).map(_ => rnd.nextLong() % 50).toArray
+    } ++ Seq(Array.fill(7)(3L), (1L to 9L).toArray, (9L to 1L by -1).toArray,
+      Array(5L, 1L, 5L, 1L))
+    val df = rows.map(a => Tuple1(a.toSeq)).toDF("a")
+    for (w <- Seq(1, 2, 4, 5)) {
+      val got = df.select(
+        graft.functions.SlidingMin.mins(col("a"), w).as("m"),
+        when(size(col("a")) >= w,
+          transform(sequence(lit(1), size(col("a")) - (w - 1)),
+            i => array_min(slice(col("a"), i, lit(w)))))
+          .otherwise(array().cast("array<bigint>")).as("ref"))
+        .collect()
+      got.foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"w=$w ${r.toString}"))
+    }
+  }
+
   test("q83: reported containments are exact and directionally consistent") {
     val sfDir = "/root/testdata/sf0.001"
     // exact shingle sets, driver side
