@@ -137,40 +137,39 @@ object Extended {
        |    (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.inter AS DOUBLE))
        |  >= $NgramJaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    // ONE string shuffle total: the capped groupBy (block, shingle) with
-    // collect_set both dedups repeated (doc, shingle) pairs and builds the
-    // posting list in a single hash aggregation; per-pair intersection
-    // counts fall out of a second (tiny, all-longs) aggregation;
-    // distinct-set sizes come from a narrow projection over documents — no
-    // shuffle at all. No broadcast hints on the size joins: the pair side is
-    // the small one, and AQE picks the build side at runtime (a hinted
-    // broadcast of the per-document size table would be a driver-side
-    // collect of a corpus-sized relation at 100 TB).
+    // ONE pass over documents and ONE corpus-scale shuffle total: the
+    // distinct shingle array is let1-bound per row (dedup happens IN-ROW,
+    // so repeated shingles never become shuffle rows), its size rides
+    // every exploded posting as a struct field — the q120 pattern — and
+    // the capped (block, shingle) groupBy builds the posting list in a
+    // single hash aggregation. Per-pair intersection counts fall out of a
+    // second (tiny, all-longs) aggregation, with both set sizes already
+    // in the grouping key, so NO size join re-scans documents (the old
+    // form ran a second full text pass and two corpus-scale joins).
     // shingles are hashed to 60-bit longs BEFORE the shuffle: the posting
     // shuffle then carries 8-byte keys instead of ~25-char strings (the
     // md5 is ~1 µs/row, the string shuffle is the bigger cost at scale).
     // The oracle applies the identical hash, so a (negligible, ~2^-61)
     // collision would merge the same postings in both engines — results
-    // stay bit-identical regardless.
+    // stay bit-identical regardless. Cap ordering is unchanged: structs
+    // sort by their leading field, doc_id, and n is functionally
+    // dependent on it.
+    val entries = Mirror.let1(shingles3(col("text"))) { sh =>
+      transform(sh, s =>
+        struct(s.as("s"), size(sh).cast(LongType).as("n")))
+    }
     val shingleRows = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
-        explode(shingleGen(col("text"))).as("s"))
-      .select(col("doc_id"), col("lang"), col("len_bucket"),
-        hash60(col("s")).as("h"))
-    val interCounts = Buckets.cappedPairs(shingleRows,
-        Seq("lang", "len_bucket", "h"), "doc_id", "q37_posting_cap",
-        distinctItems = true)
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+        explode(entries).as("x"))
+      .select(col("lang"), col("len_bucket"), hash60(col("x.s")).as("h"),
+        struct(col("doc_id").as("id"), col("x.n").as("n")).as("item"))
+    Buckets.cappedPairs(shingleRows,
+        Seq("lang", "len_bucket", "h"), "item", "q37_posting_cap")
+      .select(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
+        col("p.a.n").as("n_a"), col("p.b.n").as("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = Tables(spark, dir, "documents")
-      .select(col("doc_id"), size(shingles3(col("text"))).as("n"))
-    interCounts
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           ((col("n_a") + col("n_b")).cast(DoubleType) -
