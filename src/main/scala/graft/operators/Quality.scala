@@ -115,7 +115,15 @@ object Quality {
     * the batch query (q112) and the streaming monitor
     * ([[graft.streaming.QualityStream]]). */
   def funnelMetrics(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = funnelMetrics(docs, Seq.empty)
+
+  /** [[funnelMetrics]] with extra input columns carried through — the
+    * metrics are a narrow per-doc projection, so keeping e.g. `text`
+    * alongside them is free (no shuffle sees the wider row) and lets a
+    * caller filter on [[keepAll]] IN the text-scanning pass instead of
+    * joining the keep ids back to the corpus. */
+  def funnelMetrics(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
     val w = words(col("text"))
     val sorted = array_sort(w)
     val topCnt = aggregate(sorted,
@@ -127,13 +135,14 @@ object Quality {
           greatest(run, acc.getField("best")).as("best"))
       },
       acc => acc.getField("best"))
-    docs.select(col("doc_id"), col("source"),
-      size(w).cast(LongType).as("n_words"),
-      topCnt.as("top_cnt"),
+    docs.select(col("doc_id") +: col("source") +:
+      carry.map(col) :+
+      size(w).cast(LongType).as("n_words") :+
+      topCnt.as("top_cnt") :+
       aggregate(w, lit(0L),
-        (a, x) => a + length(x).cast(LongType)).as("sum_chars"),
+        (a, x) => a + length(x).cast(LongType)).as("sum_chars") :+
       size(array_intersect(array_distinct(w),
-        array(stopAll.map(lit): _*))).cast(LongType).as("n_stop"))
+        array(stopAll.map(lit): _*))).cast(LongType).as("n_stop"): _*)
   }
 
   /** Sequential-rule funnel rollup over [[funnelMetrics]] output: each doc
@@ -782,15 +791,17 @@ object Quality {
         hash60(substring_index(col("bg"), " ", 1)).as("h1"): _*)
 
   /** The q153/q154 reference training pipeline over `dir`'s documents:
-    * the quality-rule-passing slice feeds [[lmCounts]]. Fresh compute —
-    * [[LmCache.counts]] wraps this with the persisted-artifact tier. */
+    * the quality-rule-passing slice feeds [[lmCounts]]. The keep decision
+    * is computed IN the text-scanning pass ([[funnelMetrics]] carrying
+    * `text` through) and filtered in-row — the old doc_id join shuffled
+    * the full documents table, text column included, just to apply a
+    * per-row predicate. Fresh compute — [[LmCache.counts]] wraps this
+    * with the persisted-artifact tier. */
   private[graft] def lmRefCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame, Long) = {
-    val docs = Tables(spark, dir, "documents")
-    lmCounts(docs.join(
-      funnelMetrics(docs).filter(keepAll).select(col("doc_id")), "doc_id"))
-  }
+      org.apache.spark.sql.DataFrame, Long) =
+    lmCounts(funnelMetrics(Tables(spark, dir, "documents"), Seq("text"))
+      .filter(keepAll).select(col("text")))
 
   /** The frozen q153 reference model: bigram counts, prefix counts, and
     * prefix-vocabulary size over `ref` (one scalar collect for V — the
