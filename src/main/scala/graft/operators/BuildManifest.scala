@@ -308,26 +308,22 @@ object CorpusBuild {
   private[operators] def docFlags(spark: SparkSession, dir: String)
       : DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val base = docs.select(col("doc_id"),
-      size(words(col("text"))).cast(LongType).as("n_tokens"))
-    // per-doc verdicts: each is the SOURCE query's own shared body
-    val kQuality = Quality.funnelMetrics(docs)
-      .select(col("doc_id"), Quality.keepAll.as("f1"))
+    // the narrow verdict trio (n_tokens, quality keep, blocklist clean)
+    // plus the classifier score ride ONE text scan
+    // ([[Quality.narrowVerdicts]]); only the aggregation-shaped verdicts
+    // (gopher profile, perplexity bucket) remain joins
     val kGopher = Quality.gopherProfile(docs)
       .select(col("doc_id"), col("gopher_keep").as("f2"))
-    val kBlock = Quality.blockHits(docs)
-      .select(col("doc_id"),
-        (aggregate(col("counts"), lit(0L), (a, x) => a + x) === 0L)
-          .as("f3"))
     val (c2, c1, v) = LmCache.counts(spark, dir) // artifact, not retrain
     val scored = Quality.lmScores(docs, c2, c1, v)
     val kPpl = scored
       .join(Quality.lmBuckets(scored), Seq("source", "score_ppm"))
       .select(col("doc_id"), (col("bucket") =!= "tail").as("f4"))
-    val labeled = Classify.labeledDocs(docs)
-    val model = Classify.trainModel(labeled.filter(col("split") === "train"))
-    val kCls = labeled
-      .select(col("doc_id"), (Classify.scorePt(model) > 0).as("f5"))
+    val model = Classify.trainModel(
+      Classify.labeledDocs(docs).filter(col("split") === "train"))
+    val narrow = Quality.narrowVerdicts(docs, Seq("text"))
+      .select(col("doc_id"), col("n_tokens"), col("f1"), col("f3"),
+        (Classify.scorePt(model) > 0).as("f5"))
     // ONE positioned-shingle pass serves THREE consumers: the excision
     // spans and both decontamination sides (train shingles, held-out
     // shingle set) are bucket-filters of the same table — cutting the
@@ -346,12 +342,9 @@ object CorpusBuild {
       .select(col("v").as("doc_id"), col("component"))
     val contam = contamOf(pos)
 
-    flagsSelect(base
-      .join(kQuality, Seq("doc_id"), "left")
+    flagsSelect(narrow
       .join(kGopher, Seq("doc_id"), "left")
-      .join(kBlock, Seq("doc_id"), "left")
-      .join(kPpl, Seq("doc_id"), "left")
-      .join(kCls, Seq("doc_id"), "left"), exPer, comp, contam)
+      .join(kPpl, Seq("doc_id"), "left"), exPer, comp, contam)
   }
 
   /** The final flags projection over the joined per-doc verdicts — the

@@ -938,6 +938,28 @@ object Quality {
       graft.functions.MultiMatch.counts(col("text"), blockPatterns)
         .as("counts"))
 
+  /** The manifest's narrow per-doc verdict block in ONE text scan:
+    * (doc_id, source, n_tokens, f1, f3[, carried…]). Every column here is
+    * a total per-row projection over the same `words`/`text` pass —
+    * n_tokens IS [[funnelMetrics]]' n_words (the identical `size(words)`
+    * expression), f1 the [[keepAll]] decision in-row, f3 the
+    * blocklist-clean flag via the native MultiMatch — so the three
+    * verdicts that the corpus-build funnel previously attached with
+    * three doc_id joins (each a corpus-scale shuffle of a thin table,
+    * plus its own text scan) ride a single scan instead. The
+    * aggregation-shaped verdicts (gopher's n-gram profile, the
+    * perplexity bucket) stay joins — they genuinely reduce. */
+  def narrowVerdicts(docs: DataFrame,
+      carry: Seq[String] = Seq.empty): DataFrame =
+    funnelMetrics(docs, "text" +: carry)
+      .select(col("doc_id") +: col("source") +:
+        col("n_words").as("n_tokens") +:
+        keepAll.as("f1") +:
+        (aggregate(
+          graft.functions.MultiMatch.counts(col("text"), blockPatterns),
+          lit(0L), (a, x) => a + x) === 0L).as("f3") +:
+        carry.map(col): _*)
+
   /** q155 body over a (…, counts) table: per-pattern docs-hit +
     * occurrence rollup, ≤ n_patterns rows. */
   def blockReport(hits: DataFrame): DataFrame = {

@@ -134,23 +134,19 @@ object ManifestStream {
             df.write.mode("overwrite")
               .parquet(s"$stateDir/$table/epoch=$epoch")
           // per-doc pure verdicts + labels, frozen at ingest
-          val sig = fresh
-            .select(col("doc_id"), col("source"),
-              size(words(col("text"))).cast("long").as("n_tokens"))
-            .join(Quality.funnelMetrics(fresh)
-              .select(col("doc_id"), Quality.keepAll.as("f1")),
-              Seq("doc_id"), "left")
+          // narrow trio (n_tokens/f1/f3) in one scan — the batch
+          // docFlags discipline; only the aggregation-shaped gopher
+          // verdict and the label view remain joins
+          val sig = Quality.narrowVerdicts(fresh)
             .join(Quality.gopherProfile(fresh)
               .select(col("doc_id"), col("gopher_keep").as("f2")),
-              Seq("doc_id"), "left")
-            .join(Quality.blockHits(fresh)
-              .select(col("doc_id"),
-                (aggregate(col("counts"), lit(0L), (a, x) => a + x) === 0L)
-                  .as("f3")),
               Seq("doc_id"), "left")
             .join(Classify.labeledDocs(fresh)
               .select(col("doc_id"), col("split"), col("label_good")),
               Seq("doc_id"), "left")
+            .select(col("doc_id"), col("source"), col("n_tokens"),
+              col("f1"), col("f2"), col("f3"),
+              col("split"), col("label_good"))
           out("docsig", sig)
           // token-level state the corpus-global verdicts derive from
           out("occ", Corpus.positionedShingles(fresh))
