@@ -314,4 +314,34 @@ class QualitySpec extends AnyFunSuite with SparkTestSession {
     // actually filters — otherwise this is q69 with extra steps)
     assert(refIds.nonEmpty && refIds.size < texts.length)
   }
+
+  test("narrowVerdicts equals the join-based verdict computation") {
+    // the fused one-scan block must be row-identical to the original
+    // three-join form on every doc, including rule-edge docs (too-short,
+    // all-stopword, blocklisted)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = Quality.narrowVerdicts(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    val base = docs.select(col("doc_id"), col("source"),
+      org.apache.spark.sql.functions.size(
+        graft.operators.Mirror.words(col("text"))).cast("long")
+        .as("n_tokens"))
+    val want = base
+      .join(Quality.funnelMetrics(docs)
+        .select(col("doc_id"), Quality.keepAll.as("f1")), Seq("doc_id"))
+      .join(Quality.blockHits(docs)
+        .select(col("doc_id"),
+          (aggregate(col("counts"), lit(0L), (a, x) => a + x) === 0L)
+            .as("f3")), Seq("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == want.size && got == want)
+    // both verdicts are non-vacuous on the fixture (each flag fires
+    // somewhere, each passes somewhere)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
 }
