@@ -256,28 +256,56 @@ object Bench {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () } // full-precision file for humans/tools
-    // The driver keeps only the LAST 2000 chars of stdout and parses the
-    // JSON line out of it; the full-name full-precision line outgrew that
-    // window at 68 queries (BENCH_r03 "parsed": null). Emit a compact
-    // variant to stdout — qNN keys, ms precision — that stays ~1 KB even
-    // at 120 queries; bench_result.json keeps the verbose form.
-    // Locale.ROOT: the default-locale f-interpolator writes "0,123" under
-    // a comma-decimal locale, silently breaking the driver's JSON parse.
+    // The driver keeps only a ~3 KB TAIL of stdout and parses the JSON
+    // line out of it. The r03 failure was the verbose line not being
+    // last; the r14-r17 failure was the 167-entry per-query map (even
+    // with qNN keys) outgrowing the window so the FRONT of the line was
+    // truncated and the fragment didn't parse. Emit a SUMMARY-ONLY line
+    // — total, counts, drift, outliers, segment ratios, and the path to
+    // the full-precision reading — capped well under 1 KB (BenchSpec
+    // pins the budget); the 167-entry map lives only in
+    // bench_reading.json / bench_result.json.
+    println(Bench.compactLine(results, iters, floorOutliers, segsJson,
+      artifactsPublished, warmSecsStr, driftStr, outPath, sfDir))
+    spark.stop()
+  }
+
+  /** A small FIXED flagship subset for the stdout line's "queries" map —
+    * one representative per major family, enough for a human skimming
+    * the driver artifact; the full per-query map is in the reading
+    * file. Fixed so the line's size is schedule-independent. */
+  private[graft] val headlineNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_topk_customers", "q12_windowed_agg",
+    "q19_dedup_minhash_lsh", "q23_ann_bruteforce", "q112_quality_funnel",
+    "q135_bpe_train_pipeline", "q161_corpus_manifest")
+
+  /** The single machine-readable stdout line. Pure so BenchSpec can pin
+    * the two properties the driver's tail-capture needs: the line parses
+    * as JSON and stays < 1 KB even with every diagnostic field at its
+    * worst-case width (167 queries, 5 segments, outliers capped at 5).
+    * Locale.ROOT: the default-locale f-interpolator writes "0,123" under
+    * a comma-decimal locale, silently breaking the driver's JSON parse. */
+  private[graft] def compactLine(
+      results: Seq[(String, Double)],
+      iters: Int,
+      floorOutliers: Seq[String],
+      segsJson: String,
+      artifactsPublished: Long,
+      warmSecsStr: String,
+      driftStr: String,
+      outPath: String,
+      sfDir: String): String = {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // the qNN prefix must stay a unique key — a second "q12_..." query
-    // would silently shadow the first in the parsed stdout JSON
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
-    require(shortKeys.distinct.size == shortKeys.size,
-      "compact stdout keys collide: " +
-        shortKeys.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f3(v))
+    val nFailed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val byName = results.toMap
+    val qsShort = headlineNames.flatMap { n =>
+      byName.get(n).map(v =>
+        "\"" + n.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f3(v)))
     }.mkString("{", ",", "}")
     val outliersShort = floorOutliers.take(5)
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nfailed":${failedNames.size},"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"floor_ratio_segments":$segsJson,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qsShort,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$iters,"nq":${results.size},"nfailed":$nFailed,"sentinel_drift":$driftStr,"n_floor_outliers":${floorOutliers.size},"floor_outliers":$outliersShort,"floor_ratio_segments":$segsJson,"artifacts_published":$artifactsPublished,"warm_secs":$warmSecsStr,"queries":$qsShort,"reading":"$outPath","sf":"$sfDir"}"""
   }
 }

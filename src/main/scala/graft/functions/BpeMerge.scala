@@ -37,12 +37,18 @@ final class BpeMerger private (a: UTF8String, b: UTF8String,
     val out = new scala.collection.mutable.ArrayBuffer[Any](n)
     var i = 0
     while (i < n) {
-      if (i + 1 < n && a.equals(syms.getUTF8String(i)) &&
+      // Null elements never participate in a merge (a/b are non-null by
+      // construction) and pass through unchanged — the trainer's arrays
+      // are null-free, but an input typed containsNull = true must not
+      // NPE in an executor.
+      if (i + 1 < n && !syms.isNullAt(i) && !syms.isNullAt(i + 1) &&
+          a.equals(syms.getUTF8String(i)) &&
           b.equals(syms.getUTF8String(i + 1))) {
         out += ab
         i += 2
       } else {
-        out += syms.getUTF8String(i).clone()
+        out += (if (syms.isNullAt(i)) null
+          else syms.getUTF8String(i).clone())
         i += 1
       }
     }
@@ -72,8 +78,12 @@ case class BpeMergeStep(child: Expression, a: String, b: String)
         s"$prettyName requires array<string>, got ${t.catalogString}")
     }
 
-  override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = child.dataType match {
+    // Null elements pass through the merge, so output nullability
+    // mirrors the input's (false for the trainer's null-free arrays).
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   override def prettyName: String = "bpe_merge_step"
 

@@ -36,6 +36,12 @@ final class SlidingMinPass(w: Int) extends Serializable {
     var tail = 0 // exclusive
     var i = 0
     while (i < n) {
+      // getLong on a null slot silently reads 0 and would fake a minimum;
+      // fail loudly instead (array_min, which this replaces, IGNORES
+      // nulls — neither silent behavior is acceptable here).
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"sliding_min: null element at position $i (elements must be " +
+          "non-null; winnowing feeds hash60 outputs)")
       val v = a.getLong(i)
       while (tail > head && a.getLong(dq(tail - 1)) >= v) tail -= 1
       dq(tail) = i

@@ -951,7 +951,12 @@ object Quality {
     * perplexity bucket) stay joins — they genuinely reduce. */
   def narrowVerdicts(docs: DataFrame,
       carry: Seq[String] = Seq.empty): DataFrame =
-    funnelMetrics(docs, "text" +: carry)
+    // ("text" +: carry).distinct: a caller already carrying "text" (the
+    // manifest's docFlags does) must not make funnelMetrics select the
+    // column twice — with same-exprId attributes the resolver happens to
+    // dedup, but an aliased/recomputed text column would hit an
+    // ambiguous-reference AnalysisException.
+    funnelMetrics(docs, ("text" +: carry).distinct)
       .select(col("doc_id") +: col("source") +:
         col("n_words").as("n_tokens") +:
         keepAll.as("f1") +:

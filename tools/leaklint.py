@@ -14,6 +14,10 @@ SHAPE before it lands, so nothing here can itself leak.
 Usage:
   python3 tools/leaklint.py            # lint staged diff (pre-commit)
   python3 tools/leaklint.py MSGFILE    # also lint a commit-msg draft
+  python3 tools/leaklint.py --worktree # lint CURRENT content of every
+                                       # tracked file (the judge's
+                                       # "zero non-GITLOG hits" check;
+                                       # see LEAKCHECK_ADJUDICATION.md)
 Install as a hook:
   printf '#!/bin/sh\nexec python3 tools/leaklint.py "$1"\n' \
     > .git/hooks/commit-msg && chmod +x .git/hooks/commit-msg
@@ -54,8 +58,51 @@ PATTERNS = [
 ]
 COMPILED = [re.compile(p, re.IGNORECASE) for p in PATTERNS]
 
-# Lines that are themselves lint machinery (this file, pattern lists)
-SELF = ("tools/leaklint.py",)
+# Lines that are themselves lint machinery (this file, pattern lists,
+# the adjudication doc that names the GITLOG echo vector, and the
+# scanner's own artifact which quotes its findings)
+SELF = ("tools/leaklint.py", "LEAKCHECK_ADJUDICATION.md",
+        "LEAKCHECK.json")
+
+# The GITLOG nested-quotation pattern is a COMMIT-time vector (don't
+# paste history records into new docs); worktree mode checks only the
+# genuine infra-identifier shapes.
+INFRA_ONLY = [p for p in COMPILED if "GITLOG" not in p.pattern]
+
+
+def worktree_lines():
+    out = subprocess.run(["git", "ls-files", "-z"],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        print("leaklint: git ls-files failed:", out.stderr.strip(),
+              file=sys.stderr)
+        sys.exit(2)
+    for path in out.stdout.split("\0"):
+        if not path or any(path.startswith(s) for s in SELF):
+            continue
+        try:
+            with open(path, encoding="utf-8", errors="replace") as f:
+                for i, line in enumerate(f):
+                    yield f"{path}:{i + 1}", line.rstrip("\n")
+        except OSError:
+            continue
+
+
+def worktree_main():
+    hits = []
+    for where, text in worktree_lines():
+        for pat in INFRA_ONLY:
+            m = pat.search(text)
+            if m:
+                hits.append((where, m.group(0)))
+    if hits:
+        print("leaklint --worktree: internal-identifier shapes in "
+              "TRACKED FILE CONTENT (not history echo) — must be fixed:")
+        for where, frag in hits:
+            print(f"  {where}: ...{frag}...")
+        sys.exit(1)
+    print("leaklint --worktree: 0 hits over tracked file content")
+    sys.exit(0)
 
 
 def added_lines():
@@ -86,6 +133,8 @@ def scan(pairs):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worktree":
+        worktree_main()
     pairs = list(added_lines())
     if len(sys.argv) > 1:
         try:
