@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Recipe.all ++ operators.Lifecycle.all ++
       operators.Classify.all ++ operators.Graph.all ++
       operators.Layout.all ++ operators.Bloom.all ++
-      operators.WebCorpus.all ++ operators.CorpusBuild.all
+      operators.WebCorpus.all ++ operators.CorpusBuild.all ++
+      operators.ReplayedStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,6 +67,12 @@ object Warm {
     // depends on LmCache + CcCache above: warm those first, then the
     // composed per-doc signal table
     guard(operators.ManifestCache.flags(spark, dir).count())
+    // streaming-twin replay artifacts (q168-q170): multi-epoch stream
+    // runs, by far the costliest cold publishes — must never land
+    // inside a timed iteration
+    guard(streaming.Replay.manifestFlags(spark, dir).count())
+    guard(streaming.Replay.scd2Segments(spark, dir).count())
+    guard(streaming.Replay.dedupMatches(spark, dir).count())
     // Model tier: execute each training query's plan once — ModelCache
     // publishes on the memo/disk miss inside the plan build; count()
     // forces plans whose training is lazy in the action.

@@ -130,6 +130,16 @@ object Lifecycle {
     */
   private[operators] def scd2Segments(
       spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    collapse(scd2Observations(spark, dir))
+
+  /** The q130 simulation's PRESENT observations (doc_id, source, s, fp) —
+    * the observation stream [[scd2Segments]] collapses, factored out so
+    * the streaming replay gate ([[ReplayedStreams]]) can feed the
+    * identical rows through [[graft.streaming.Scd2Stream]] snapshot by
+    * snapshot and compare against the same q130 oracle. */
+  private[graft] def scd2Observations(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val obs = Tables(spark, dir, "documents")
@@ -160,7 +170,7 @@ object Lifecycle {
               .cast("binary")), lit(":r")).cast("binary")), lit(":r"))
               .cast("binary"))))
       .filter(col("present"))
-    collapse(versioned)
+    versioned.select(col("doc_id"), col("source"), col("s"), col("fp"))
   }
 
   /** The SCD2 collapse alone: observations (doc_id, source, s, fp) →
@@ -246,18 +256,25 @@ object Lifecycle {
        |    AS n_multiseg_docs,
        |  CAST(MAX(n_segs) AS BIGINT) AS max_segments
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin) {
-    (spark, dir) =>
-      scd2Segments(spark, dir)
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_segs"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_segs")).as("n_segments"),
-          sum(when(col("n_segs") > 1, 1L).otherwise(0L))
-            .as("n_multiseg_docs"),
-          max(col("n_segs")).as("max_segments"))
-        .orderBy(col("source"))
+    (spark, dir) => historyRollup(scd2Segments(spark, dir))
   }
+
+  /** q130's per-source report over any segment table (doc_id, source,
+    * …) — shared with the streaming replay gate ([[ReplayedStreams]]),
+    * whose segments come from [[graft.streaming.Scd2Stream.resolve]]. */
+  private[graft] def historyRollup(
+      segs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    segs
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_segs"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_segs")).as("n_segments"),
+        sum(when(col("n_segs") > 1, 1L).otherwise(0L))
+          .as("n_multiseg_docs"),
+        max(col("n_segs")).as("max_segments"))
+      .orderBy(col("source"))
 
   /** q131: point-in-time lookup against the SCD2 segments. A deterministic
     * probe set (every doc with hash60(doc_id:'pit') % 7 = 0, asking about
