@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Completeness surface beyond the reference's own operators (SURVEY §2.7
   * notes none of these exist there): set operations, hierarchical rollup,
@@ -108,71 +108,84 @@ object Extended {
     * are capped at [[Buckets.MaxBucket]] docs (a shingle shared by more is
     * stopword-like noise; see Buckets for the drop-count observation), and
     * the oracle applies the identical row_number cut. */
+  /** (doc_id, n) packed into one long for the posting shuffle: doc_id in
+    * the high 40 bits, the doc's distinct-shingle count in the low 24.
+    * Bounds: 2^40 ≈ 1T documents; 2^24 ≈ 16.8M distinct 3-word shingles
+    * per doc (a doc ~100 MB of text — far past any corpus' doc-length
+    * cap; the quality rules drop such docs long before dedup). Packing
+    * is order-preserving by doc_id (unique, high bits), so the capped
+    * bucket's first-[[Buckets.MaxBucket]]-by-sort-order semantics are
+    * IDENTICAL to sorting raw doc_ids — the oracle's
+    * `row_number() ORDER BY doc_id` cut selects the same ids. */
+  private val PackBits = 24
+
   val q37NgramJaccard = QueryDef(
     "q37_ngram_jaccard",
     s"""WITH sh AS (
        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
        |    $sqlShingles3 AS sh
        |  FROM documents),
-       |exp AS (SELECT doc_id, lang, len_bucket,
-       |    ${sqlHash60("unnest(sh)")} AS h FROM sh),
-       |ranked AS (SELECT doc_id, lang, len_bucket, h,
-       |    row_number() OVER (PARTITION BY lang, len_bucket, h
-       |                       ORDER BY doc_id) AS rn
+       |exp AS (SELECT doc_id, len(sh) AS n,
+       |    ${sqlHash60("concat(lang, '|', CAST(len_bucket AS VARCHAR), " +
+        "'|', unnest(sh))")} AS h
+       |  FROM sh),
+       |ranked AS (SELECT doc_id, n, h,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
        |  FROM exp),
-       |ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
        |  FROM ranked a JOIN ranked b
-       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.h = b.h
-       |   AND a.doc_id < b.doc_id
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
        |   AND a.rn <= ${Buckets.MaxBucket} AND b.rn <= ${Buckets.MaxBucket}
-       |  GROUP BY 1, 2),
-       |sz AS (SELECT doc_id, len(sh) AS n FROM sh)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(i.inter AS DOUBLE) /
-       |    (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.inter AS DOUBLE)) AS jaccard
-       |FROM ic i
-       |JOIN sz sa ON sa.doc_id = i.doc_a
-       |JOIN sz sb ON sb.doc_id = i.doc_b
-       |WHERE CAST(i.inter AS DOUBLE) /
-       |    (CAST(sa.n + sb.n AS DOUBLE) - CAST(i.inter AS DOUBLE))
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) /
+       |    (CAST(n_a + n_b AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+       |FROM ic
+       |WHERE CAST(inter AS DOUBLE) /
+       |    (CAST(n_a + n_b AS DOUBLE) - CAST(inter AS DOUBLE))
        |  >= $NgramJaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     // ONE pass over documents and ONE corpus-scale shuffle total: the
     // distinct shingle array is let1-bound per row (dedup happens IN-ROW,
-    // so repeated shingles never become shuffle rows), its size rides
-    // every exploded posting as a struct field — the q120 pattern — and
-    // the capped (block, shingle) groupBy builds the posting list in a
-    // single hash aggregation. Per-pair intersection counts fall out of a
-    // second (tiny, all-longs) aggregation, with both set sizes already
-    // in the grouping key, so NO size join re-scans documents (the old
-    // form ran a second full text pass and two corpus-scale joins).
-    // shingles are hashed to 60-bit longs BEFORE the shuffle: the posting
-    // shuffle then carries 8-byte keys instead of ~25-char strings (the
-    // md5 is ~1 µs/row, the string shuffle is the bigger cost at scale).
-    // The oracle applies the identical hash, so a (negligible, ~2^-61)
-    // collision would merge the same postings in both engines — results
-    // stay bit-identical regardless. Cap ordering is unchanged: structs
-    // sort by their leading field, doc_id, and n is functionally
-    // dependent on it.
+    // so repeated shingles never become shuffle rows) and its size rides
+    // every exploded posting INSIDE the packed id long — the q120 pattern
+    // compressed to bare longs. The (lang, len_bucket) block key is
+    // folded into the shingle hash (one 60-bit md5 over
+    // `lang|len_bucket|shingle`, computed post-explode in whole-stage
+    // codegen), so a posting row crossing the shuffle is exactly TWO
+    // longs — (h, packed) — instead of (string, long, long,
+    // struct(long, long)): less than half the bytes per row of the
+    // struct-carrying form, and no per-shingle struct allocation. The
+    // per-pair intersection then falls out of a second all-longs
+    // aggregation on the two packed values; set sizes unpack AFTER the
+    // aggregation (shiftright/mask), so NO size join re-scans documents.
+    // The oracle applies the identical composite hash — a (negligible,
+    // ~2^-60) collision would merge the same postings in both engines,
+    // results stay bit-identical regardless.
     val entries = Mirror.let1(shingles3(col("text"))) { sh =>
       transform(sh, s =>
         struct(s.as("s"), size(sh).cast(LongType).as("n")))
     }
+    val mask = (1L << PackBits) - 1
     val shingleRows = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast(LongType).as("len_bucket"),
         explode(entries).as("x"))
-      .select(col("lang"), col("len_bucket"), hash60(col("x.s")).as("h"),
-        struct(col("doc_id").as("id"), col("x.n").as("n")).as("item"))
-    Buckets.cappedPairs(shingleRows,
-        Seq("lang", "len_bucket", "h"), "item", "q37_posting_cap")
-      .select(col("p.a.id").as("doc_a"), col("p.b.id").as("doc_b"),
-        col("p.a.n").as("n_a"), col("p.b.n").as("n_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .select(
+        hash60(concat_ws("|", col("lang"),
+          col("len_bucket").cast(StringType), col("x.s"))).as("h"),
+        (shiftleft(col("doc_id"), PackBits) + col("x.n")).as("item"))
+    Buckets.cappedPairs(shingleRows, Seq("h"), "item", "q37_posting_cap")
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pa"), PackBits).as("doc_a"),
+        shiftright(col("pb"), PackBits).as("doc_b"),
+        (col("pa").bitwiseAND(mask) + col("pb").bitwiseAND(mask))
+          .as("n_sum"), col("inter"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
-          ((col("n_a") + col("n_b")).cast(DoubleType) -
+          (col("n_sum").cast(DoubleType) -
             col("inter").cast(DoubleType))).as("jaccard"))
       .filter(col("jaccard") >= NgramJaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))

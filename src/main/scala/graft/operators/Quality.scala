@@ -759,11 +759,33 @@ object Quality {
       c2: org.apache.spark.sql.DataFrame,
       c1: org.apache.spark.sql.DataFrame, v: Long)
       : org.apache.spark.sql.DataFrame = {
-    val sp = lmScores(docs, c2, c1, v)
+    // sp feeds BOTH the per-doc report and the bucket histogram; AQE
+    // plans the two subtrees independently (no exchange reuse across
+    // them), so without a barrier the corpus text scan + model joins
+    // execute twice in the final action (measured: q153 12 jobs). sp is
+    // ONE narrow row per document — truncate it once and the join-back
+    // is a doc-count-sized hash join (same cluster-aware posture as
+    // [[lmCounts]]' model truncation).
+    val sp = truncated(lmScores(docs, c2, c1, v))
     sp.join(lmBuckets(sp), Seq("source", "score_ppm"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         col("score_ppm"), col("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Lineage-truncate a SMALL (model- or doc-count-sized) relation so
+    * multi-consumer plans materialize it once. Executor-local by
+    * default; `spark.graft.cc.checkpointDir` switches to a reliable
+    * store (on a cluster an executor loss makes a local checkpoint
+    * unrecoverable — non-local deployments set it). */
+  private def truncated(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
+    if (ckDir.nonEmpty) {
+      spark.sparkContext.setCheckpointDir(ckDir)
+      df.checkpoint()
+    } else df.localCheckpoint()
   }
 
   /** q154: the q153 pipeline with the artifact tier bypassed BY
@@ -825,14 +847,7 @@ object Quality {
     // executor-local truncation to a reliable store — without it an
     // executor loss on a cluster makes the truncated model
     // unrecoverable, which is why non-local deployments set it.
-    val spark = ref.sparkSession
-    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
-    val trunc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      if (ckDir.nonEmpty) {
-        spark.sparkContext.setCheckpointDir(ckDir)
-        df => df.checkpoint()
-      } else df => df.localCheckpoint()
-    val g = trunc(bigramHashes(ref, Seq.empty)
+    val g = truncated(bigramHashes(ref, Seq.empty)
       .groupBy(col("h2"), col("h1")).agg(count(lit(1)).as("n")))
     val c2 = g.groupBy(col("h2")).agg(sum(col("n")).as("n2"))
     val c1 = g.groupBy(col("h1")).agg(sum(col("n")).as("n1"))

@@ -33,18 +33,31 @@ object QBench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-iteration Spark JOB count — the trainer-loop budget diagnostic
+    // (a loop that schedules per-round actions shows up here long before
+    // it shows up in wall-clock at test SFs)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       // warmup at smallest SF
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case t: Throwable => println(s"warmup $n: ${t.getMessage}") }
-      val times = (1 to iters).map { _ =>
+      val runs = (1 to iters).map { _ =>
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, jobs.get() - j0)
       }
-      println(f"QBENCH $n: min=${times.min}%.3f all=" +
-        times.map(t => f"$t%.3f").mkString(","))
+      val times = runs.map(_._1)
+      println(f"QBENCH $n: min=${times.min}%.3f jobs=${runs.last._2}" +
+        " all=" + times.map(t => f"$t%.3f").mkString(","))
     }
     spark.stop()
   }

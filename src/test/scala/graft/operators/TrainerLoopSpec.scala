@@ -126,4 +126,29 @@ class TrainerLoopSpec extends AnyFunSuite with SparkTestSession {
         s"inside the training window ($scanJobs jobs to scan it)")
     } finally { vocab.unpersist(false); () }
   }
+
+  test("fresh perplexity pipeline: bounded jobs, two text scans, " +
+    "scan-free final action") {
+    // q154's job-budget discipline (round-17 verdict item 3): the fresh
+    // path is train (corpus scan 1 into the truncated model) + score
+    // (corpus scan 2 into the truncated per-doc score table) + a tiny
+    // histogram join-back. The FINAL action must not touch
+    // documents.parquet at all — both corpus-scale subtrees are
+    // materialized behind checkpoints before it runs (the pre-fix form
+    // re-ran the scan + model joins TWICE inside the final job: the
+    // score table fed both the report join and the bucket histogram
+    // with no exchange reuse between them).
+    val df = Quality.q154PerplexityTrainPipeline.fn(spark, sfDir)
+    val (n, jobs) = jobsOf(df.count())
+    assert(n > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "q154's final action must read only truncated intermediates, " +
+        "never re-scan documents")
+    // final action = doc-sized join + histogram window + sort: a small
+    // fixed AQE stage budget. Re-running a corpus scan (or the model
+    // training) inside it roughly doubles this.
+    assert(jobs <= 8,
+      s"fresh perplexity final action scheduled $jobs jobs (want <= 8)")
+  }
 }
