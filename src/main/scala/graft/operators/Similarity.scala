@@ -599,15 +599,25 @@ object Similarity {
     * fold means → cells `c${i+1}`. Mirrors [[lloydCentroids]] exactly.
     * `p` prefixes every CTE name and `src` the scanned relation, so the
     * same iteration chains once per PQ subspace (q68) without name
-    * clashes; the defaults reproduce q48's original text. */
+    * clashes.
+    *
+    * The assignment FUSES the (src × cells) distance cross join into one
+    * per-vector min-struct aggregation — `min({'d', 'cell'})` compares
+    * lexicographically by (d, cell), the identical tie-break to the
+    * previous `row_number() ORDER BY d, cell` over a separate distance
+    * CTE, on the SAME order-exact [[sqlSqDist]] doubles. Why it matters:
+    * the semantic chain trains N/64 cells, so a materialized distance
+    * CTE is pair-count-sized (625M rows × embedding lists at 100×
+    * sf0.1 — the staged oracle harness spilled >70 GB into it and timed
+    * out, round-17 verdict item 2), while the fused form's only state is
+    * a vector-count hash aggregate. `first(embedding)` is sound:
+    * embedding is functionally dependent on the group key. */
   private def sqlLloydIter(i: Int, p: String = "",
       src: String = "embeddings"): String =
-    s"""d$p$i AS (SELECT m.vec_id, m.embedding, c.cell,
-       |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
-       |  FROM $src m CROSS JOIN c$p$i c),
-       |a$p$i AS (SELECT vec_id, embedding, cell FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY d, cell) AS rn FROM d$p$i) WHERE rn = 1),
+    s"""a$p$i AS (SELECT m.vec_id, first(m.embedding) AS embedding,
+       |    (min({'d': ${sqlSqDist("m.embedding", "c.cvec")},
+       |          'cell': c.cell})).cell AS cell
+       |  FROM $src m CROSS JOIN c$p$i c GROUP BY m.vec_id),
        |e$p$i AS (SELECT cell, vec_id,
        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
        |    unnest(embedding) AS x FROM a$p$i),
@@ -636,13 +646,51 @@ object Similarity {
        |        FROM seeded)
        |  WHERE rn <= $kExpr),
        |${(0 until KmeansIters).map(i => sqlLloydIter(i)).mkString(",\n")},
-       |dfin AS (SELECT m.vec_id, m.embedding, c.cell,
-       |    ${sqlSqDist("m.embedding", "c.cvec")} AS d
-       |  FROM embeddings m CROSS JOIN c$KmeansIters c),
-       |rfin AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY d, cell) AS rn FROM dfin),
+       |${sqlRankedTail(s"c$KmeansIters")}""".stripMargin
+
+  /** The final ranked assignment `rfin` (rn = 1..[[RankedNProbe]]) and
+    * its rn = 1 slice `afin`, as rank-chained min-struct aggregations:
+    * rank r is the per-vector min {'d','cell'} strictly greater than
+    * rank r−1's — each rank one more pipelined pass over the
+    * (embeddings × cells) cross join, never a materialized pair-sized
+    * relation or a 625M-row window sort (see [[sqlLloydIter]]'s fused
+    * assignment for why). Values are the same order-exact [[sqlSqDist]]
+    * doubles, so rn assignment is bit-identical to the previous
+    * `row_number() ORDER BY d, cell` form. */
+  private def sqlRankedTail(cells: String): String = {
+    val s = s"{'d': ${sqlSqDist("m.embedding", "c.cvec")}, 'cell': c.cell}"
+    val ranks = (1 to RankedNProbe).map { r =>
+      if (r == 1)
+        s"""t1 AS (SELECT m.vec_id, first(m.embedding) AS embedding,
+           |    min($s) AS t
+           |  FROM embeddings m CROSS JOIN $cells c GROUP BY m.vec_id)"""
+          .stripMargin
+      else
+        s"""t$r AS (SELECT m.vec_id, min($s) AS t
+           |  FROM embeddings m CROSS JOIN $cells c
+           |  JOIN t${r - 1} p ON p.vec_id = m.vec_id
+           |  WHERE $s > p.t
+           |  GROUP BY m.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to RankedNProbe).map { r =>
+      s"""  UNION ALL SELECT t1.vec_id, t1.embedding, (t$r.t).cell,
+         |    CAST($r AS BIGINT) FROM t$r JOIN t1 ON t1.vec_id = t$r.vec_id"""
+        .stripMargin
+    }.mkString("\n")
+    s"""$ranks,
+       |rfin AS (
+       |  SELECT vec_id, embedding, (t).cell AS cell, CAST(1 AS BIGINT)
+       |    AS rn FROM t1
+       |$union),
        |afin AS (SELECT vec_id, embedding, cell,
-       |    ${sqlNormD("embedding")} AS nrm FROM rfin WHERE rn = 1)""".stripMargin
+       |    ${sqlNormD("embedding")} AS nrm FROM rfin WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  /** Ranks emitted by [[sqlRankedTail]] — the max `rn` any consumer
+    * filters on (q48 probes ≤ [[NProbe]] = 2, semantic membership ≤
+    * SemNProbe = 2, contamination probes ≤ ContamNProbe = 3). */
+  private val RankedNProbe = 3
 
   private[operators] val sqlKmeansAssign: String =
     sqlKmeansAssignK(KmeansK.toString)
