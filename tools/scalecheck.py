@@ -21,6 +21,12 @@ Usage:
   #   feasible and hash-equal to the same Spark dump, is the empirical
   #   equivalence proof for the rewrite.
   # --only: restrict to named queries (dump dirs) in either mode.
+  # --stage-cache=<file.db>: (staged mode) persist each materialized
+  #   stage keyed by the md5 of its whole prefix chain, so queries that
+  #   share a literal CTE prefix (the k-means chain behind the four
+  #   semantic oracles) compute it once, and a rerun after a timeout
+  #   resumes from the last finished stage. Storage-only: stage SQL and
+  #   the final compare are unchanged.
   # <verifyOutDir> comes from graft.Verify run with its dev-only query
   # filter against <sfDir>; oracle_sql.json there must hold the FULL
   # oracle map (re-copy it from a full-suite Verify dump if a filtered
@@ -34,18 +40,19 @@ import sys
 from collections import Counter
 
 
-def _connect(sf_dir, mem_limit):
+def _connect(sf_dir, mem_limit, db_path=None):
     import duckdb
-    con = duckdb.connect()
+    con = duckdb.connect(db_path) if db_path else duckdb.connect()
     con.sql(f"SET memory_limit='{mem_limit}'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM '{p}/*.parquet'")
         elif os.path.isfile(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 
@@ -155,30 +162,81 @@ def _self_referential(name, body):
     return re.search(rf"\b{re.escape(name)}\b", body, re.I) is not None
 
 
-def run_one_staged(sf_dir, out_dir, name, mem_limit, max_rounds=500):
-    """Subprocess entry: staged-oracle compare of one query, exit 0/1."""
-    con = _connect(sf_dir, mem_limit)
+def run_one_staged(sf_dir, out_dir, name, mem_limit, max_rounds=500,
+                   cache_db=None):
+    """Subprocess entry: staged-oracle compare of one query, exit 0/1.
+
+    With `cache_db` (a DuckDB file path), each materialized stage is
+    stored as a persistent table keyed by the md5 of its WHOLE prefix
+    chain (sf_dir + every (name, effective-SQL) up to and including this
+    stage, whitespace-normalized). Queries sharing a literal CTE-chain
+    prefix — e.g. the four semantic-dedup/contamination oracles, which
+    embed one generator-produced k-means chain over `embeddings` —
+    compute it ONCE; reruns after a timeout resume from the last
+    finished stage. Keying on the full prefix (not the stage body alone)
+    makes a hit safe by construction: identical prefix SQL over the same
+    inputs is the same relation. The cache changes WHERE a stage's rows
+    are stored, never how they are computed or compared.
+    """
+    import hashlib
+    import time as _time
+    con = _connect(sf_dir, mem_limit, db_path=cache_db)
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
     ctes, final = split_ctes(sql)
+    chain = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()
+
+    def cached(key):
+        return con.sql(
+            "SELECT count(*) FROM duckdb_tables() WHERE table_name = "
+            f"'c_{key}'").fetchone()[0] > 0
+
+    def publish(nm, key, build_sql):
+        """Materialize a stage (to the cache on a hit-miss, else temp)
+        and expose it under the CTE's name for downstream stages."""
+        t0 = _time.time()
+        if cache_db:
+            if cached(key):
+                con.sql(f'CREATE TEMP VIEW "{nm}" AS '
+                        f'SELECT * FROM c_{key}')
+                n = con.sql(f'SELECT count(*) FROM "{nm}"').fetchone()[0]
+                print(f"  [staged] {nm}: {n} rows (cache hit)", flush=True)
+                return True
+            con.sql(f"CREATE TABLE c_{key} AS {build_sql}")
+            con.sql(f'CREATE TEMP VIEW "{nm}" AS SELECT * FROM c_{key}')
+        else:
+            con.sql(f'CREATE TEMP TABLE "{nm}" AS {build_sql}')
+        n = con.sql(f'SELECT count(*) FROM "{nm}"').fetchone()[0]
+        print(f"  [staged] {nm}: {n} rows ({_time.time() - t0:.1f}s)",
+              flush=True)
+        return False
+
     for nm, cols, body in ctes:
         if nm.lower() == "reach" and _norm_ws(body) == REACH_NORM:
-            con.sql("CREATE TEMP TABLE reach AS "
+            chain = hashlib.md5(
+                (chain + "|reach-minlabel|" + _norm_ws(body))
+                .encode()).hexdigest()
+            if cache_db and cached(chain):
+                con.sql(f'CREATE TEMP VIEW reach AS '
+                        f'SELECT * FROM c_{chain}')
+                print("  [staged] reach: cache hit", flush=True)
+                continue
+            con.sql("CREATE TEMP TABLE reach_w AS "
                     "SELECT DISTINCT a AS v, a AS r FROM edges")
             rounds = 0
             while True:
                 con.sql(
                     "CREATE TEMP TABLE reach_next AS "
                     "SELECT v, MIN(r) AS r FROM ("
-                    "  SELECT v, r FROM reach"
+                    "  SELECT v, r FROM reach_w"
                     "  UNION ALL"
                     "  SELECT e.a AS v, rc.r FROM edges e"
-                    "  JOIN reach rc ON rc.v = e.b"
+                    "  JOIN reach_w rc ON rc.v = e.b"
                     ") GROUP BY v")
                 changed = con.sql(
-                    "SELECT count(*) FROM reach_next n JOIN reach o "
+                    "SELECT count(*) FROM reach_next n JOIN reach_w o "
                     "ON o.v = n.v AND o.r <> n.r").fetchone()[0]
-                con.sql("DROP TABLE reach")
-                con.sql("ALTER TABLE reach_next RENAME TO reach")
+                con.sql("DROP TABLE reach_w")
+                con.sql("ALTER TABLE reach_next RENAME TO reach_w")
                 rounds += 1
                 if changed == 0:
                     break
@@ -186,6 +244,14 @@ def run_one_staged(sf_dir, out_dir, name, mem_limit, max_rounds=500):
                     print(f"FAIL {name}: min-label propagation did not "
                           f"converge in {max_rounds} rounds")
                     return 1
+            if cache_db:
+                con.sql(f"CREATE TABLE c_{chain} AS "
+                        f"SELECT * FROM reach_w")
+                con.sql("DROP TABLE reach_w")
+                con.sql(f'CREATE TEMP VIEW reach AS '
+                        f'SELECT * FROM c_{chain}')
+            else:
+                con.sql("ALTER TABLE reach_w RENAME TO reach")
             print(f"  [staged] reach: fixpoint in {rounds} rounds",
                   flush=True)
         else:
@@ -200,9 +266,10 @@ def run_one_staged(sf_dir, out_dir, name, mem_limit, max_rounds=500):
                 # explicit column list (e.g. `p(pattern) AS (VALUES ...)`)
                 # must survive materialization
                 stage_sql = f"SELECT * FROM ({body}) AS _staged_t{cols}"
-            con.sql(f'CREATE TEMP TABLE "{nm}" AS {stage_sql}')
-            n = con.sql(f'SELECT count(*) FROM "{nm}"').fetchone()[0]
-            print(f"  [staged] {nm}: {n} rows", flush=True)
+            chain = hashlib.md5(
+                (chain + "|" + nm.lower() + "|" + _norm_ws(stage_sql))
+                .encode()).hexdigest()
+            publish(nm, chain, stage_sql)
     return _compare(con, final, out_dir, name)
 
 
@@ -211,16 +278,21 @@ def main():
         sys.exit(run_one(sys.argv[2], sys.argv[3], sys.argv[4],
                          sys.argv[5]))
     if len(sys.argv) >= 3 and sys.argv[1] == "--one-staged":
-        sys.exit(run_one_staged(sys.argv[2], sys.argv[3], sys.argv[4],
-                                sys.argv[5]))
+        sys.exit(run_one_staged(
+            sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5],
+            cache_db=(sys.argv[6] if len(sys.argv) > 6 else None)))
     staged = "--staged" in sys.argv
     only = None
+    stage_cache = None
     args = []
     for a in sys.argv[1:]:
         if a == "--staged":
             continue
         if a.startswith("--only="):
             only = set(a[len("--only="):].split(","))
+            continue
+        if a.startswith("--stage-cache="):
+            stage_cache = a[len("--stage-cache="):]
             continue
         args.append(a)
     sf_dir, out_dir = args[0], args[1]
@@ -233,11 +305,13 @@ def main():
     res = {}
     for n in names:
         try:
+            argv = [sys.executable, os.path.abspath(__file__),
+                    "--one-staged" if staged else "--one",
+                    sf_dir, out_dir, n, mem]
+            if staged and stage_cache:
+                argv.append(stage_cache)
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--one-staged" if staged else "--one",
-                 sf_dir, out_dir, n, mem],
-                capture_output=True, text=True, timeout=timeout)
+                argv, capture_output=True, text=True, timeout=timeout)
             o = p.stdout + p.stderr
             tag = "PASS" if p.returncode == 0 else "FAIL"
             if p.returncode != 0:
