@@ -22,6 +22,44 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Mirror {
 
+  /** Lineage-truncate a SMALL (model- or report-sized) relation so plans
+    * with several consumers of the same expensive subtree materialize it
+    * exactly once — AQE plans sibling subtrees independently and reuses
+    * no exchange across them, so without a barrier each consumer re-runs
+    * the full upstream (scans included). Executor-local by default;
+    * `spark.graft.cc.checkpointDir` switches to a reliable store (the
+    * shared cluster posture: an executor loss makes a local checkpoint
+    * unrecoverable, so non-local deployments set it). Only ever call this
+    * on relations whose size is BOUNDED by a model/query/histogram
+    * cardinality, never on corpus-scale data. */
+  def truncated(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
+    if (ckDir.nonEmpty) {
+      spark.sparkContext.setCheckpointDir(ckDir)
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
+  /** Materialize a BOUNDED (model/report-sized) relation as a driver-
+    * local table so every downstream consumer — including broadcast
+    * builds — reads it without scheduling a job: a LocalTableScan's
+    * executeCollect returns rows in-process, where a localCheckpoint
+    * costs ~2 scheduled jobs to write and one more per re-read.
+    * `maxRows` is the caller's PROOF OBLIGATION (the construction bound:
+    * a top-k table, a source-pair matrix); if the relation unexpectedly
+    * exceeds it, fall back to [[truncated]] — correct at any size —
+    * rather than holding unbounded data on the driver (the
+    * Lloyd-pattern collect discipline). */
+  def localized(df: org.apache.spark.sql.DataFrame, maxRows: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.take(maxRows + 1)
+    if (rows.length > maxRows) truncated(df)
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** 60-bit hash of a string expression via md5 hex prefix — the native
     * digest-to-long expression ([[graft.functions.Md5Hash60]]),
     * value-identical to `conv(substring(md5(c), 1, 15), 16, 10)`. */

@@ -758,6 +758,13 @@ object Quality {
   private def perplexityReport(docs: org.apache.spark.sql.DataFrame,
       c2: org.apache.spark.sql.DataFrame,
       c1: org.apache.spark.sql.DataFrame, v: Long)
+      : org.apache.spark.sql.DataFrame =
+    bucketReport(truncated(lmScores(docs, c2, c1, v)))
+
+  private def perplexityReportV(docs: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame,
+      vDf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // sp feeds BOTH the per-doc report and the bucket histogram; AQE
     // plans the two subtrees independently (no exchange reuse across
@@ -766,12 +773,23 @@ object Quality {
     // ONE narrow row per document — truncate it once and the join-back
     // is a doc-count-sized hash join (same cluster-aware posture as
     // [[lmCounts]]' model truncation).
-    val sp = truncated(lmScores(docs, c2, c1, v))
-    sp.join(lmBuckets(sp), Seq("source", "score_ppm"))
+    //
+    bucketReport(truncated(lmScoresV(docs, c2, c1, vDf)))
+  }
+
+  /** The shared report tail over a TRUNCATED per-doc score table: bucket
+    * thresholds, join-back, order. The bucket side is broadcast
+    * EXPLICITLY: it is (source × distinct ppm scores) ≤ 10⁶ rows per
+    * source by construction, while sp is corpus-scale — without the hint
+    * Spark picked its build side from the checkpoint's unknown stats
+    * (observed: BuildLeft on sp, i.e. broadcasting the per-document
+    * table — wrong at any real scale). */
+  private def bucketReport(sp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sp.join(broadcast(lmBuckets(sp)), Seq("source", "score_ppm"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         col("score_ppm"), col("bucket"))
       .orderBy(col("doc_id"))
-  }
 
   /** Lineage-truncate a SMALL (model- or doc-count-sized) relation so
     * multi-consumer plans materialize it once. Executor-local by
@@ -779,14 +797,7 @@ object Quality {
     * store (on a cluster an executor loss makes a local checkpoint
     * unrecoverable — non-local deployments set it). */
   private def truncated(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    val ckDir = spark.conf.get("spark.graft.cc.checkpointDir", "")
-    if (ckDir.nonEmpty) {
-      spark.sparkContext.setCheckpointDir(ckDir)
-      df.checkpoint()
-    } else df.localCheckpoint()
-  }
+      : org.apache.spark.sql.DataFrame = Mirror.truncated(df)
 
   /** q154: the q153 pipeline with the artifact tier bypassed BY
     * CONSTRUCTION — reference training runs fresh inside the query, so
@@ -797,8 +808,11 @@ object Quality {
   val q154PerplexityTrainPipeline = QueryDef(
     "q154_perplexity_train_pipeline",
     q153PerplexityBuckets.oracle.get) { (spark, dir) =>
-    val (c2, c1, v) = lmRefCounts(spark, dir)
-    perplexityReport(Tables(spark, dir, "documents"), c2, c1, v)
+    // Fresh-train path: V rides as a 1-row broadcast relation (exactly
+    // the oracle's CROSS JOIN vv) instead of a blocking c1.count() driver
+    // action — one fewer scheduled job between training and scoring.
+    val (c2, c1, vDf) = lmRefCountsLazy(spark, dir)
+    perplexityReportV(Tables(spark, dir, "documents"), c2, c1, vDf)
   }
 
   /** Per-occurrence bigram hash rows (keep-cols, h2, h1) — the token-
@@ -824,6 +838,24 @@ object Quality {
       org.apache.spark.sql.DataFrame, Long) =
     lmCounts(funnelMetrics(Tables(spark, dir, "documents"), Seq("text"))
       .filter(keepAll).select(col("text")))
+
+  /** [[lmRefCounts]] with V kept LAZY — a 1-row (v) relation derived from
+    * the truncated model instead of an eager c1.count(): the q154 fresh
+    * path never blocks the driver between training and scoring, and the
+    * scoring plan cross-joins the broadcast scalar exactly like the
+    * oracle's `CROSS JOIN vv`. */
+  private[graft] def lmRefCountsLazy(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val g = truncated(
+      bigramHashes(funnelMetrics(Tables(spark, dir, "documents"),
+          Seq("text")).filter(keepAll).select(col("text")), Seq.empty)
+        .groupBy(col("h2"), col("h1")).agg(count(lit(1)).as("n")))
+    val c1 = g.groupBy(col("h1")).agg(sum(col("n")).as("n1"))
+    (g.groupBy(col("h2")).agg(sum(col("n")).as("n2")), c1,
+      c1.select(count(lit(1)).as("v")))
+  }
 
   /** The frozen q153 reference model: bigram counts, prefix counts, and
     * prefix-vocabulary size over `ref` (one scalar collect for V — the
@@ -889,6 +921,27 @@ object Quality {
       .join(c1, Seq("h1"), "left")
       .select(col("doc_id"), col("source"),
         expr(s"(coalesce(n2, 0L) + 1L) * $Ppb div (coalesce(n1, 0L) + $v)")
+          .as("ppb"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppb")).as("sum_ppb"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("sum_ppb div (n_bigrams * 1000L)").as("score_ppm"))
+
+  /** [[lmScores]] with V as a 1-row broadcast relation (see
+    * [[lmRefCountsLazy]]) — identical arithmetic, the scalar arrives via
+    * a broadcast cross join (the oracle's `CROSS JOIN vv`) instead of a
+    * collected literal. */
+  private[graft] def lmScoresV(docs: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame,
+      vDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bigramHashes(docs, Seq("doc_id", "source"))
+      .join(c2, Seq("h2"), "left")
+      .join(c1, Seq("h1"), "left")
+      .crossJoin(broadcast(vDf))
+      .select(col("doc_id"), col("source"),
+        expr(s"(coalesce(n2, 0L) + 1L) * $Ppb div (coalesce(n1, 0L) + v)")
           .as("ppb"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppb")).as("sum_ppb"))

@@ -652,36 +652,42 @@ object Recipe {
        |LEFT JOIN (SELECT source, sh FROM top WHERE rn = 1) t
        |  ON nd.source = t.source
        |ORDER BY nd.source""".stripMargin) { (spark, dir) =>
+    // TWO lazy executions of the corpus explode+count subtree (was ~five
+    // — inv, nbp, the top-shingle window, and aff each re-ran d→df from
+    // the scan), still ONE action with no driver barrier:
+    //  1. a per-source ROLLUP over the (source, shingle) document-
+    //     frequency aggregation, boilerplate flagged in-row off the
+    //     broadcast doc-count table: shingle inventory count, boilerplate
+    //     count, and the top boilerplate shingle as min(struct(-df, sh))
+    //     — lexicographic struct-min ≡ the old row_number ORDER BY df
+    //     DESC, sh, deterministic, and the window exchange is gone;
+    //  2. the affected-doc count, off its own df→bp slice (the tiny
+    //     ≥30%-df inventory) semi-joined back to the exploded docs.
     val docs = Tables(spark, dir, "documents")
     val d = docs.select(col("source"), col("doc_id"),
       explode(shingles3(col("text"))).as("sh"))
     val nd = docs.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val isBp = col("df") * 10 >= col("n_docs") * BoilerplateTenths
     val df = d.groupBy(col("source"), col("sh"))
       .agg(count(lit(1)).as("df"))
-    val bp = df.join(nd, Seq("source"))
-      .filter(col("df") * 10 >= col("n_docs") * BoilerplateTenths)
-      .select(col("source"), col("sh"), col("df"))
-    val top = bp.withColumn("rn", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("df").desc, col("sh"))))
-      .filter(col("rn") === 1)
-      .select(col("source"), col("sh").as("top_boilerplate"))
-    val aff = d.join(bp.select(col("source"), col("sh")), Seq("source", "sh"))
+      .join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("sh"), col("df"), isBp.as("bp"))
+    val roll = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("bp_shingles"),
+        min(when(col("bp"), struct((-col("df")).as("nd"), col("sh"))))
+          .as("top"))
+    val bp = df.filter(col("bp")).select(col("source"), col("sh"))
+    val aff = d.join(bp, Seq("source", "sh"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("affected_docs"))
-    val inv = df.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val nbp = bp.groupBy(col("source"))
-      .agg(count(lit(1)).as("bp_shingles"))
-    nd.join(inv, Seq("source"))
-      .join(nbp, Seq("source"), "left")
+    nd.join(roll, Seq("source"))
       .join(aff, Seq("source"), "left")
-      .join(top, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_shingles"),
-        coalesce(col("bp_shingles"), lit(0L)).as("bp_shingles"),
+        col("bp_shingles"),
         coalesce(col("affected_docs"), lit(0L)).as("affected_docs"),
-        col("top_boilerplate"))
+        col("top").getField("sh").as("top_boilerplate"))
       .orderBy(col("source"))
   }
 

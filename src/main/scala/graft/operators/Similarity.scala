@@ -1543,17 +1543,46 @@ object Similarity {
     val candSig = cands(col("sig") === col("qsig"))
       .select(lit("sig8").as("variant"), col("q_id"), col("vec_id"),
         col("score"))
-    val candBand = cands(expr("sig div 16") === expr("qsig div 16"))
-      .union(cands(col("sig") % 16 === col("qsig") % 16))
+    // One exploded-band equi-join replaces the former UNION of two
+    // whole-corpus joins (one per 4-bit half): each side emits one
+    // (band, value) row per half, and the (band, value) equi-key is
+    // hash-joinable exactly like each original half-join. Row multiset
+    // before DISTINCT is identical — a pair sharing one half matched one
+    // union branch and matches one band row here; a pair sharing both
+    // halves matched both branches and matches both band rows (the
+    // band ordinal in the key keeps equal-valued halves distinct).
+    val bandC = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array(expr("sig div 16"), col("sig") % 16)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val bandQ = q.select(col("q_id"), col("qv"), col("qn"),
+      posexplode(array(expr("qsig div 16"), col("qsig") % 16)))
+      .withColumnRenamed("pos", "qband").withColumnRenamed("col", "qbv")
+    val candBand = bandC.join(broadcast(bandQ),
+        col("band") === col("qband") && col("bv") === col("qbv") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), score)
       .distinct()
       .select(lit("band4x2").as("variant"), col("q_id"), col("vec_id"),
         col("score"))
     val cand = candSig.union(candBand)
     val w = Window.partitionBy(col("variant"), col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    val lsh = cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("variant"), col("q_id"), col("vec_id"))
+    // lsh is read by THREE consumers below (retrieved counts, the hit
+    // join, and the variant dimension) — without a barrier AQE re-executes
+    // the whole candidate union (every corpus scan + dot product) once per
+    // consumer (static plan: the cand subtree appeared 3x, 10 parquet
+    // scans total). lsh is ≤ variants × NumQueries × TopK rows BY
+    // CONSTRUCTION — truncate it once. The variant dimension comes off
+    // lsh, not cand: any variant with ≥ 1 candidate row keeps ≥ 1 top-K
+    // row per populated q_id group (row_number starts at 1 ≤ TopK), so
+    // DISTINCT variant over lsh ≡ DISTINCT variant over cand. The bound
+    // (2 variants × NumQueries × TopK) makes it a driver-local table —
+    // re-reads and broadcast builds then schedule no jobs at all.
+    val lsh = Mirror.localized(
+      cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("variant"), col("q_id"), col("vec_id")),
+      2 * NumQueries * TopK)
     val wb = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     val brute = sig.crossJoin(broadcast(q))
@@ -1566,7 +1595,7 @@ object Similarity {
     // crossJoin of two derived relations plans a CartesianProduct, and
     // that operator string must never appear in this tree (policy:
     // every cross join broadcasts a bounded model/scalar relation)
-    val variants = broadcast(cand.select(col("variant")).distinct())
+    val variants = broadcast(lsh.select(col("variant")).distinct())
     val lr = lsh.groupBy(col("variant"), col("q_id"))
       .agg(count(lit(1)).as("retrieved"))
     val hits = brute.crossJoin(variants)

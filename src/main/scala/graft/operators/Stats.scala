@@ -541,8 +541,14 @@ object Stats {
     * (ReuseExchange — asserted in the spec). */
   /** The (source, shingle) distinct domain q138 sketches and grades on. */
   private[graft] def hllShingles(docs: DataFrame): DataFrame =
+    rawShingles(docs).distinct()
+
+  /** Per-occurrence (source, shingle) rows — [[hllShingles]] without the
+    * corpus-scale DISTINCT exchange, for consumers that dedup inside
+    * their own aggregation (collect_set / countDistinct / a downstream
+    * hash-distinct). */
+  private[graft] def rawShingles(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(shingleGen(col("text"))).as("sh"))
-      .distinct()
 
   /** Per-(source, bucket) HLL registers over a shingle slice. MERGEABLE:
     * the registers of a union of slices are the per-bucket max of each
@@ -807,13 +813,20 @@ object Stats {
        |    * 1000000.0 / CAST(exact_distinct AS DOUBLE)) AS BIGINT)
        |    AS err_pm
        |FROM e ORDER BY source""".stripMargin) { (spark, dir) =>
-    val s = hllShingles(Tables(spark, dir, "documents"))
+    // RAW shingle occurrences — no string-level distinct: the sketch
+    // chain dedups on (source, hash) inside kmvSketchOf (DISTINCT over
+    // raw hashes ≡ DISTINCT over pre-distincted strings, hash collisions
+    // merge identically), and the exact branch dedups inside its own
+    // aggregation (countDistinct). The old shape ran the corpus-scale
+    // (source, sh) DISTINCT exchange once per consumer and then
+    // re-distincted the hashes on top of it.
+    val raw = rawShingles(Tables(spark, dir, "documents"))
     val sketch = kmvSketchOf(
-      s.select(col("source"), hash60(col("sh")).as("h")).distinct())
+      raw.select(col("source"), hash60(col("sh")).as("h")))
     val k = sketch.groupBy(col("source"))
       .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_min"))
-    val exact = s.groupBy(col("source"))
-      .agg(count(lit(1)).as("exact_distinct"))
+    val exact = raw.groupBy(col("source"))
+      .agg(countDistinct(col("sh")).as("exact_distinct"))
     val est = when(col("n_k") < KmvK, col("exact_distinct").cast(DoubleType))
       .otherwise(lit((KmvK - 1).toDouble) * lit(KmvU)
         / col("kth_min").cast(DoubleType))
@@ -895,10 +908,37 @@ object Stats {
        |  CAST(floor(abs(est_jaccard - exact_jaccard) * 1000000.0)
        |    AS BIGINT) AS err_pm
        |FROM e ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
-    val s = hllShingles(Tables(spark, dir, "documents"))
+    // TWO corpus passes total (was four executions of the corpus-scale
+    // explode+DISTINCT subtree — the sketch chain, the source dimension,
+    // the per-source rollup, and the per-shingle pass each re-ran it):
+    //  1. the sketch chain, dedup fused into kmvSketchOf's own DISTINCT
+    //     (raw hashes ≡ pre-distincted strings — collisions merge
+    //     identically);
+    //  2. ONE per-shingle aggregation whose source set expands natively
+    //     (PairGen, ≤ n_sources²/2 structs per shingle) to its unordered
+    //     pairs PLUS the diagonal — a (src_a=src_b=s) struct per member —
+    //     so a single (a, b) count table carries the per-pair
+    //     intersections (a < b) AND the per-source distinct-shingle
+    //     counts (a = b); the source dimension is the diagonal's key set
+    //     (a source has a diagonal row iff it has ≥ 1 shingle, exactly
+    //     the old DISTINCT source domain).
+    // Every branch consumes RAW shingle occurrences and dedups inside
+    // its own aggregation — the old shape put a corpus-scale
+    // (source, sh) string-DISTINCT exchange under FOUR consumers (the
+    // sketch chain re-distincted the hashes on top of it; the source
+    // dimension ran a full explode+DISTINCT just to list 20 sources).
+    // The plan stays ONE lazy action (no driver barrier): at bench scale
+    // sibling subtrees overlap across cores, and at cluster scale each
+    // branch is one exchange narrower than before.
+    val docs = Tables(spark, dir, "documents")
+    val raw = rawShingles(docs)
     val sketch = kmvSketchOf(
-      s.select(col("source"), hash60(col("sh")).as("h")).distinct())
-    val sources = s.select(col("source")).distinct()
+      raw.select(col("source"), hash60(col("sh")).as("h")))
+    // the source dimension off the BASE TABLE — no shingle explode. A
+    // source whose docs carry zero shingles gains pair rows here, but
+    // they die in the INNER perSrc joins of x below exactly like the
+    // never-formed pairs of the old DISTINCT-over-shingles dimension.
+    val sources = docs.select(col("source")).distinct()
     val pairs = sources.as("a").join(sources.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -922,16 +962,16 @@ object Stats {
     // shingle's (sorted, ≤ n_sources) source set expands to its pairs
     // natively (PairGen, the capped-bucket discipline: ≤ n_sources²/2
     // structs per shingle regardless of corpus), giving per-pair
-    // intersection counts; union = nA + nB − inter from the q149 exact
-    // rollup. Replaces a 190-pair broadcast nested-loop probe of the
-    // corpus-scale shingle table (measured 1.34 s → one hash agg).
-    val inter = s.groupBy(col("sh"))
+    // intersection counts; union = nA + nB − inter. collect_set dedups
+    // the raw occurrences in-aggregation — no upstream DISTINCT.
+    val inter = raw.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(explode(Mirror.pairs(col("ss"))).as("p"))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("exact_inter"))
-    val perSrc = s.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val perSrc = raw.groupBy(col("source"))
+      .agg(countDistinct(col("sh")).as("n_sh"))
     val x = pairs
       .join(broadcast(perSrc.select(col("source").as("src_a"),
         col("n_sh").as("na"))), "src_a")
