@@ -59,10 +59,90 @@ final case class TopKPerKey(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKey =>
-      TopKPerKeyExec(t.k, t.partExprs, t.order, t.rankAttr,
-        planLater(t.child)) :: Nil
+      // Map-side partial pass (the partial-aggregation pattern applied to
+      // top-k): each upstream partition keeps only its own top k rows per
+      // key BEFORE the exchange, so the shuffle carries at most
+      // keys × k × mapPartitions rows instead of the full input. Exact by
+      // the same argument as the heap itself — a row dropped by the
+      // partial already had k better same-key rows in its partition, so it
+      // can never be in the global top k. Gated per session for A/B.
+      val partial = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partial", "true").toBoolean
+      val child0 = planLater(t.child)
+      val child =
+        if (partial) TopKPartialExec(t.k, t.partExprs, t.order, child0)
+        else child0
+      TopKPerKeyExec(t.k, t.partExprs, t.order, t.rankAttr, child) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side companion of [[TopKPerKeyExec]]: reduces each input partition
+  * to its local per-key top k rows (no rank column — ranks are assigned
+  * after the exchange by the final operator). Requires nothing of its
+  * child and never changes correctness: every row it drops provably has k
+  * better same-key rows in the same partition. Two cheap exits keep it
+  * from ever being a pessimization: (a) when the child is already
+  * clustered on the keys no exchange follows and the final pass would redo
+  * identical work, so the pass is skipped outright; (b) when a partition's
+  * distinct-key count exceeds `spark.graft.topk.partial.maxKeys` (the
+  * near-unique-key case where a heap map is pure overhead) the retained
+  * rows plus the unread remainder stream through unchanged — unlike the
+  * final operator, a partial needs no sort fallback because passing rows
+  * through is always correct. */
+final case class TopKPartialExec(
+    k: Int,
+    partExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    if (child.outputPartitioning.satisfies(ClusteredDistribution(partExprs)))
+      return child.execute() // no exchange follows; final does this work
+    val childOutput = child.output
+    val kLocal = k
+    val partLocal = partExprs
+    val orderLocal = order
+    val maxKeys = conf
+      .getConfString("spark.graft.topk.partial.maxKeys", "131072").toInt
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(partLocal, childOutput)
+      val ord = GenerateOrdering.generate(orderLocal, childOutput)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      var over = false
+      while (it.hasNext && !over) {
+        val row = it.next()
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue
+              .empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            over = heaps.size > maxKeys
+            h
+        }
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      // retained rows in any order (the final pass re-heaps), plus the
+      // unread remainder verbatim when the key budget tripped
+      heaps.valuesIterator.flatMap(_.iterator) ++ it
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : SparkPlan = copy(child = newChild)
 }
 
 final case class TopKPerKeyExec(
@@ -80,6 +160,17 @@ final case class TopKPerKeyExec(
     * point (the window form would demand a full sort here). */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partExprs) :: Nil
+
+  /** The heap pass is per-partition and preserves the child's partitioning
+    * (mapPartitions, preservesPartitioning = true). Without this override
+    * the default UnknownPartitioning hid the child's hash partitioning
+    * from EnsureRequirements, so a downstream operator keyed on the SAME
+    * columns (e.g. a second top-k per q_id after a partition-preserving
+    * broadcast join, the q68 shortlist→rerank→rank shape) paid a
+    * redundant Exchange. */
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

@@ -83,6 +83,56 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 
+  test("map-side partial pass: same result as partial-off, and planned") {
+    val df = randomRows(5000).repartition(7)
+    def run() = TopK.perKey(df, 3, Seq("grp"),
+      Seq(("score", false), ("id", true)))
+      .select(col("grp"), col("id"), col("score"), col("rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val withPartial = run()
+    // planned: the executed plan carries the partial node below the final
+    val planned = TopK.perKey(df, 3, Seq("grp"), Seq(("score", false),
+      ("id", true)))
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPartial"), plan)
+    spark.conf.set("spark.graft.topk.partial", "false")
+    try {
+      val without = run()
+      assert(withPartial == without)
+      assert(withPartial.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.partial")
+  }
+
+  test("partial pass key-budget overflow passes rows through unchanged") {
+    // near-unique keys + a 10-key partial budget: the partial must stream
+    // the remainder through and the final result must still equal the
+    // window form exactly
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 20000).map(i =>
+      (i.toLong, rnd.nextInt(8000), math.round(rnd.nextDouble() * 1e6) / 100.0))
+      .toDF("id", "grp", "score").repartition(5)
+    spark.conf.set("spark.graft.topk.partial.maxKeys", "10")
+    try {
+      val native = TopK.perKey(df, 2, Seq("grp"),
+        Seq(("score", false), ("id", true)))
+        .select(col("grp"), col("id"), col("score"), col("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("score").desc, col("id"))
+      val windowed = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("grp"), col("id"), col("score"), col("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(native == windowed)
+      assert(native.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.partial.maxKeys")
+  }
+
   test("plans without sorting the input") {
     val df = randomRows(1000)
     val native = TopK.perKey(df, 3, Seq("grp"),
