@@ -819,15 +819,26 @@ object Dedup {
           .as("cell"))
       .withColumn("crn", row_number().over(capW))
       .filter(col("crn") <= Buckets.MaxBucket)
-    val a = member.select(col("cell"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = member.select(col("cell"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("va") < col("vb"))
-      .filter((FloatVector.dot(col("ea"), col("eb"))
-        / (col("na") * col("nb"))) >= CosineThreshold)
-      .select(col("va"), col("vb"))
+    // Within-cell pairs WITHOUT a second corpus pass: the previous form
+    // self-joined `member` on cell, which re-computed the whole
+    // scan→explode→window subtree for each join side and sort-merge-
+    // joined them (2 corpus scans, 2 exchanges, 2 sorts). The capped
+    // members instead gather into ONE vec_id-sorted array per cell —
+    // bounded at MaxBucket × (Dim floats + norm) per group BECAUSE the
+    // row_number cap runs first, so the collect buffer is ≤ ~30 KB
+    // regardless of cell skew — and expand in-row via the native pair
+    // generator. groupBy(cell) reuses the window's hash(cell)
+    // partitioning, so the whole pair stage costs one exchange. Pair set
+    // is IDENTICAL: sort_array orders by the unique leading vec_id, so
+    // index-ordered pairs are exactly the va < vb pairs of the join form.
+    member
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id"), col("embedding"), col("nrm")))).as("ms"))
+      .select(explode(Mirror.pairs(col("ms"))).as("p"))
+      .filter((FloatVector.dot(col("p.a.embedding"), col("p.b.embedding"))
+        / (col("p.a.nrm") * col("p.b.nrm"))) >= CosineThreshold)
+      .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"))
       .dropDuplicates("va", "vb")
   }
 

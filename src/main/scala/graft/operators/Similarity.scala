@@ -319,19 +319,28 @@ object Similarity {
        |    ORDER BY score DESC, vec_id) AS rnk FROM scored)
        |WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
-    import graft.functions.FloatVector
+    import graft.functions.{FloatVector, NearestCentroid}
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val dists = emb.crossJoin(broadcast(centroidVectors(spark, dir)))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        sqDist(col("embedding"), col("cvec")).as("d"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cell"))
-    val assigned = dists
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        FloatVector.norm(col("embedding")).as("nrm"))
+    // The per-label centroid table is MODEL state (K = |labels| × Dim
+    // doubles, a bounded category set): collect it once and assign cells
+    // with the native argmin expression — a narrow, shuffle-free map, as
+    // this query's own scale note always claimed. The previous form
+    // cross-joined the corpus with the K centroids and ran a row_number
+    // window PARTITIONED BY vec_id to pick the min — a corpus×K-row
+    // exchange keyed on corpus-cardinality ids, twice (the assigned
+    // subtree was referenced by both the probe and the corpus side).
+    // NearestCentroid's (d, cell) argmin tiebreak and IEEE op sequence
+    // are the window form's exactly (SimilaritySpec pins it against the
+    // least(struct) specification).
+    val cents: Array[(Long, Array[Double])] = centroidVectors(spark, dir)
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.getAs[Seq[Double]]("cvec").toArray))
+      .sortBy(_._1)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      NearestCentroid(col("embedding"), cents).as("cell"),
+      FloatVector.norm(col("embedding")).as("nrm"))
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("cell"), col("vec_id").as("q_id"),
         col("embedding").as("qv"), col("nrm").as("qn"))
