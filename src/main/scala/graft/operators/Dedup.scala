@@ -809,7 +809,7 @@ object Dedup {
     * [[SemNProbe]] nearest cells), per-cell row_number cap, within-cell
     * cosine filter, distinct pairs. Factored for the hot-cell bound test
     * and the blocker-recall measurement in CorpusSpec. */
-  private[operators] def semanticPairs(emb: DataFrame,
+  private[graft] def semanticPairs(emb: DataFrame,
       cents: Array[(Long, Array[Double])]): DataFrame = {
     import graft.functions.{FloatVector, NearestCentroids}
     val capW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
@@ -839,6 +839,32 @@ object Dedup {
       .filter((FloatVector.dot(col("p.a.embedding"), col("p.b.embedding"))
         / (col("p.a.nrm") * col("p.b.nrm"))) >= CosineThreshold)
       .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"))
+      .dropDuplicates("va", "vb")
+  }
+
+  /** Declarative specification of [[semanticPairs]] — the self-join form
+    * it replaced, kept as the executable spec the in-row PairGen form is
+    * tested against (DedupScaleSpec) and as the before-side of the
+    * plans/r18 stage-plan diff. Not on any query path. */
+  private[graft] def semanticPairsJoinSpec(emb: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import graft.functions.{FloatVector, NearestCentroids}
+    val capW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val member = emb.select(col("vec_id"), col("embedding"),
+        FloatVector.norm(col("embedding")).as("nrm"),
+        explode(NearestCentroids(col("embedding"), cents, SemNProbe))
+          .as("cell"))
+      .withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= Buckets.MaxBucket)
+    val a = member.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = member.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter((FloatVector.dot(col("ea"), col("eb"))
+        / (col("na") * col("nb"))) >= CosineThreshold)
+      .select(col("va"), col("vb"))
       .dropDuplicates("va", "vb")
   }
 

@@ -364,7 +364,7 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   private[operators] val KmeansK = 8
-  private[operators] val KmeansIters = 2
+  private[graft] val KmeansIters = 2
   private val NProbe = 2
 
   /** Target cell population for the semantic-dedup blocker (q73). The
@@ -379,7 +379,7 @@ object Similarity {
   private[operators] val SemTargetCell = 64
 
   /** K-vs-corpus sizing rule for the trained blocker (see [[SemTargetCell]]). */
-  private[operators] def semanticK(n: Long): Int =
+  private[graft] def semanticK(n: Long): Int =
     math.max(KmeansK, math.ceil(n.toDouble / SemTargetCell).toInt)
 
   /** DuckDB mirror of [[semanticK]] as an uncorrelated scalar subquery. */

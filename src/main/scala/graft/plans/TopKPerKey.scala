@@ -65,9 +65,29 @@ object TopKStrategy extends SparkStrategy {
       // keys × k × mapPartitions rows instead of the full input. Exact by
       // the same argument as the heap itself — a row dropped by the
       // partial already had k better same-key rows in its partition, so it
-      // can never be in the global top k. Gated per session for A/B.
-      val partial = org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.topk.partial", "true").toBoolean
+      // can never be in the global top k.
+      //
+      // SIZE GATE (`auto`, the default): the pass only pays when the
+      // avoided shuffle bytes dominate its extra O(n) pre-exchange scan;
+      // below `spark.graft.topk.partial.minBytes` (256 MB) of estimated
+      // child size the shuffle is small either way and the pass is pure
+      // added CPU — measured: the trainer-loop queries (q135/q163), whose
+      // per-round relations are vocabulary-sized, read a steady 7–15%
+      // SLOWER with the partial forced on at sf0.1 (A/B/A/B, QBench
+      // min-of-6), while at-scale inputs sail past any MB threshold. The
+      // gate uses planning-time stats, so it adapts with input size
+      // instead of being tuned to either local mode or the cluster;
+      // `true`/`false` still force it for A/B.
+      val partialConf = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partial", "auto")
+      val minBytes = BigInt(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partial.minBytes",
+          (256L * 1024 * 1024).toString))
+      val partial = partialConf match {
+        case "true" => true
+        case "false" => false
+        case _ => t.child.stats.sizeInBytes >= minBytes
+      }
       val child0 = planLater(t.child)
       val child =
         if (partial) TopKPartialExec(t.k, t.partExprs, t.order, child0)

@@ -77,6 +77,26 @@ class DedupScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"blocker recall $recall over ${exact.size} pairs")
   }
 
+  test("q73 blocker: in-row PairGen form equals the self-join spec " +
+    "(trained centroids, real fixture)") {
+    // round-18 rewrite: semanticPairs gathers capped members per cell and
+    // expands pairs in-row instead of self-joining on cell. The pair SET
+    // must be identical — sort_array orders by the unique leading vec_id,
+    // so index-ordered pairs are exactly the va < vb pairs of the join.
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val k = Similarity.semanticK(emb.count())
+    val cents = Similarity.lloydCentroids(emb, Similarity.KmeansIters, k)
+    val got = Dedup.semanticPairs(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spec = Dedup.semanticPairsJoinSpec(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture must produce pairs")
+    assert(got == spec,
+      s"pair sets differ: only-new=${(got -- spec).take(5)} " +
+        s"only-spec=${(spec -- got).take(5)}")
+  }
+
   test("q83 direction split executes the verification subtree ONCE") {
     // round-6 judge finding: the old union-of-two-selects planned and ran
     // the capped-candidate + shingle-join + intersection subtree once PER

@@ -90,20 +90,45 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
       .select(col("grp"), col("id"), col("score"), col("rank"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).toSet
-    val withPartial = run()
-    // planned: the executed plan carries the partial node below the final
-    val planned = TopK.perKey(df, 3, Seq("grp"), Seq(("score", false),
-      ("id", true)))
-    planned.collect()
-    val plan = planned.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(plan.contains("TopKPartial"), plan)
+    spark.conf.set("spark.graft.topk.partial", "true")
+    val withPartial =
+      try {
+        val res = run()
+        // planned: the executed plan carries the partial node below the final
+        val planned = TopK.perKey(df, 3, Seq("grp"), Seq(("score", false),
+          ("id", true)))
+        planned.collect()
+        val plan = planned.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(plan.contains("TopKPartial"), plan)
+        res
+      } finally spark.conf.unset("spark.graft.topk.partial")
     spark.conf.set("spark.graft.topk.partial", "false")
     try {
       val without = run()
       assert(withPartial == without)
       assert(withPartial.nonEmpty)
     } finally spark.conf.unset("spark.graft.topk.partial")
+  }
+
+  test("partial auto gate: off below minBytes, on above (size-adaptive)") {
+    // default `auto` + a tiny input: the partial is pure overhead when the
+    // shuffle is small, so it must NOT plan; with the threshold forced to
+    // zero the same query must plan it — the 100 TB posture, where any
+    // corpus-scale child passes the byte gate
+    val df = randomRows(5000).repartition(7)
+    def planOf() = {
+      val q = TopK.perKey(df, 3, Seq("grp"), Seq(("score", false),
+        ("id", true)))
+      q.collect()
+      q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert(!planOf().contains("TopKPartial"),
+      "tiny input must skip the partial pass under auto")
+    spark.conf.set("spark.graft.topk.partial.minBytes", "0")
+    try assert(planOf().contains("TopKPartial"),
+      "minBytes=0 must plan the partial pass under auto")
+    finally spark.conf.unset("spark.graft.topk.partial.minBytes")
   }
 
   test("partial pass key-budget overflow passes rows through unchanged") {
@@ -114,6 +139,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     val df = (0 until 20000).map(i =>
       (i.toLong, rnd.nextInt(8000), math.round(rnd.nextDouble() * 1e6) / 100.0))
       .toDF("id", "grp", "score").repartition(5)
+    spark.conf.set("spark.graft.topk.partial", "true")
     spark.conf.set("spark.graft.topk.partial.maxKeys", "10")
     try {
       val native = TopK.perKey(df, 2, Seq("grp"),
@@ -130,7 +156,10 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
           r.getInt(3))).toSet
       assert(native == windowed)
       assert(native.nonEmpty)
-    } finally spark.conf.unset("spark.graft.topk.partial.maxKeys")
+    } finally {
+      spark.conf.unset("spark.graft.topk.partial.maxKeys")
+      spark.conf.unset("spark.graft.topk.partial")
+    }
   }
 
   test("plans without sorting the input") {
